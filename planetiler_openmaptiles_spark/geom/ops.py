@@ -1,0 +1,542 @@
+"""Computational-geometry primitives (pure numpy, deterministic).
+
+Parity targets (reference, /root/reference):
+  - area/length/centroid/pointOnSurface/centroidIfConvex: planetiler
+    SourceFeature + FeatureCollector emitters used by e.g.
+    layers/Poi.java:262, layers/Place.java:286-301, layers/Housenumber.java:135
+  - simplify: per-zoom tolerance (README.md:33 --simplify-tolerance)
+  - box clipping: tile render clip to 256px+buffer
+  - line_merge: FeatureMerge.mergeLineStrings connectivity step
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- area/length
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_area(rings) -> float:
+    """Outer ring first; holes subtract. Orientation-insensitive."""
+    if not len(rings):
+        return 0.0
+    area = abs(ring_signed_area(rings[0]))
+    for hole in rings[1:]:
+        area -= abs(ring_signed_area(hole))
+    return max(area, 0.0)
+
+
+def geom_area(geom) -> float:
+    kind, data = geom
+    if kind == "Polygon":
+        return polygon_area(data)
+    if kind == "MultiPolygon":
+        return sum(polygon_area(rings) for rings in data)
+    return 0.0
+
+
+def line_length(coords: np.ndarray) -> float:
+    d = np.diff(np.asarray(coords, dtype=np.float64), axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def geom_length(geom) -> float:
+    kind, data = geom
+    if kind == "LineString":
+        return line_length(data)
+    if kind == "MultiLineString":
+        return sum(line_length(l) for l in data)
+    if kind == "Polygon":
+        return sum(line_length(r) for r in data)
+    if kind == "MultiPolygon":
+        return sum(line_length(r) for rings in data for r in rings)
+    return 0.0
+
+
+def bbox(geom):
+    kind, data = geom
+    if kind == "Point":
+        return float(data[0]), float(data[1]), float(data[0]), float(data[1])
+    pts = _all_coords(geom)
+    return (
+        float(pts[:, 0].min()), float(pts[:, 1].min()),
+        float(pts[:, 0].max()), float(pts[:, 1].max()),
+    )
+
+
+def _all_coords(geom) -> np.ndarray:
+    kind, data = geom
+    if kind == "Point":
+        return np.asarray(data, dtype=np.float64).reshape(1, 2)
+    if kind in ("LineString", "MultiPoint"):
+        return np.asarray(data, dtype=np.float64)
+    if kind in ("Polygon", "MultiLineString"):
+        return np.concatenate([np.asarray(p) for p in data])
+    if kind == "MultiPolygon":
+        return np.concatenate([np.asarray(r) for rings in data for r in rings])
+    if kind == "GeometryCollection":
+        return np.concatenate([_all_coords(g) for g in data])
+    raise ValueError(kind)
+
+
+# ------------------------------------------------------------------ centroids
+
+
+def ring_centroid(ring: np.ndarray):
+    x, y = ring[:, 0], ring[:, 1]
+    cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+    a = np.sum(cross) / 2.0
+    if abs(a) < 1e-18:
+        return np.mean(ring[:-1], axis=0), 0.0
+    cx = np.sum((x + np.roll(x, -1)) * cross) / (6 * a)
+    cy = np.sum((y + np.roll(y, -1)) * cross) / (6 * a)
+    return np.array([cx, cy]), a
+
+
+def centroid(geom) -> np.ndarray:
+    kind, data = geom
+    if kind == "Point":
+        return np.asarray(data, dtype=np.float64)
+    if kind == "MultiPoint":
+        return np.mean(np.asarray(data, dtype=np.float64), axis=0)
+    if kind == "LineString":
+        return _line_centroid([data])
+    if kind == "MultiLineString":
+        return _line_centroid(data)
+    if kind == "Polygon":
+        return _poly_centroid([data])
+    if kind == "MultiPolygon":
+        return _poly_centroid(data)
+    if kind == "GeometryCollection":
+        return np.mean([centroid(g) for g in data], axis=0)
+    raise ValueError(kind)
+
+
+def _line_centroid(lines) -> np.ndarray:
+    num = np.zeros(2)
+    den = 0.0
+    for coords in lines:
+        coords = np.asarray(coords, dtype=np.float64)
+        d = np.diff(coords, axis=0)
+        seg_len = np.hypot(d[:, 0], d[:, 1])
+        mids = (coords[:-1] + coords[1:]) / 2.0
+        num += np.sum(mids * seg_len[:, None], axis=0)
+        den += float(np.sum(seg_len))
+    if den == 0:
+        return np.mean(np.concatenate([np.asarray(l) for l in lines]), axis=0)
+    return num / den
+
+
+def _poly_centroid(polys) -> np.ndarray:
+    num = np.zeros(2)
+    den = 0.0
+    for rings in polys:
+        # outer ring adds, holes subtract (sign from orientation-normalized area)
+        oc, oa = ring_centroid(np.asarray(rings[0], dtype=np.float64))
+        num += oc * abs(oa)
+        den += abs(oa)
+        for hole in rings[1:]:
+            hc, ha = ring_centroid(np.asarray(hole, dtype=np.float64))
+            num -= hc * abs(ha)
+            den -= abs(ha)
+    if den <= 1e-18:
+        return np.mean(np.concatenate([np.asarray(r) for rings in polys for r in rings]), axis=0)
+    return num / den
+
+
+def point_in_ring(pt, ring: np.ndarray) -> bool:
+    """Even-odd rule."""
+    x, y = float(pt[0]), float(pt[1])
+    rx, ry = ring[:, 0], ring[:, 1]
+    x1, y1 = rx[:-1], ry[:-1]
+    x2, y2 = rx[1:], ry[1:]
+    cond = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    return int(np.count_nonzero(cond & (x < xin))) % 2 == 1
+
+
+def point_in_polygon(pt, rings) -> bool:
+    if not point_in_ring(pt, np.asarray(rings[0])):
+        return False
+    for hole in rings[1:]:
+        if point_in_ring(pt, np.asarray(hole)):
+            return False
+    return True
+
+
+def point_in_geom(pt, geom) -> bool:
+    kind, data = geom
+    if kind == "Polygon":
+        return point_in_polygon(pt, data)
+    if kind == "MultiPolygon":
+        return any(point_in_polygon(pt, rings) for rings in data)
+    return False
+
+
+def point_on_surface(geom) -> np.ndarray:
+    """Midpoint of the widest interior interval on the horizontal bisector
+    (JTS InteriorPointArea approach)."""
+    kind, data = geom
+    if kind in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+        if kind == "Point":
+            return np.asarray(data, dtype=np.float64)
+        if kind == "MultiPoint":
+            return np.asarray(data[0], dtype=np.float64)
+        if kind == "LineString":
+            return np.asarray(data[len(data) // 2], dtype=np.float64)
+        return np.asarray(data[0][len(data[0]) // 2], dtype=np.float64)
+    polys = data if kind == "MultiPolygon" else [data]
+    best, best_w = None, -1.0
+    for rings in polys:
+        outer = np.asarray(rings[0], dtype=np.float64)
+        ymin, ymax = outer[:, 1].min(), outer[:, 1].max()
+        y = (ymin + ymax) / 2.0
+        # nudge off vertices to avoid degenerate crossings
+        if np.any(np.isclose(outer[:, 1], y, rtol=0, atol=1e-15)):
+            y = np.nextafter(y, ymax)
+        xs = []
+        for ring in rings:
+            ring = np.asarray(ring, dtype=np.float64)
+            x1, y1 = ring[:-1, 0], ring[:-1, 1]
+            x2, y2 = ring[1:, 0], ring[1:, 1]
+            cond = (y1 > y) != (y2 > y)
+            if np.any(cond):
+                xi = x1[cond] + (y - y1[cond]) * (x2[cond] - x1[cond]) / (y2[cond] - y1[cond])
+                xs.append(xi)
+        if not xs:
+            c, _ = ring_centroid(outer)
+            if best is None:
+                best = c
+            continue
+        xs = np.sort(np.concatenate(xs))
+        for i in range(0, len(xs) - 1, 2):
+            w = xs[i + 1] - xs[i]
+            if w > best_w:
+                best_w = w
+                best = np.array([(xs[i] + xs[i + 1]) / 2.0, y])
+    return best if best is not None else centroid(geom)
+
+
+def is_convex(geom) -> bool:
+    """True if single outer ring with consistent turn direction (Poi.java:262 /
+    Housenumber.java:135 centroidIfConvex semantics)."""
+    kind, data = geom
+    if kind == "Polygon":
+        if len(data) > 1:
+            return False
+        ring = np.asarray(data[0], dtype=np.float64)
+    elif kind == "MultiPolygon":
+        if len(data) != 1 or len(data[0]) > 1:
+            return False
+        ring = np.asarray(data[0][0], dtype=np.float64)
+    else:
+        return False
+    d = np.diff(ring, axis=0)
+    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    # include wraparound turn
+    wrap = d[-1, 0] * d[0, 1] - d[-1, 1] * d[0, 0]
+    cross = np.append(cross, wrap)
+    pos = np.any(cross > 1e-18)
+    neg = np.any(cross < -1e-18)
+    return not (pos and neg)
+
+
+def centroid_if_convex(geom) -> np.ndarray:
+    return centroid(geom) if is_convex(geom) else point_on_surface(geom)
+
+
+# ------------------------------------------------------------------- simplify
+
+
+def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(coords)
+    if n <= 2 or tol <= 0:
+        return coords
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = coords[j] - coords[i]
+        seg_len2 = seg @ seg
+        pts = coords[i + 1 : j]
+        if seg_len2 == 0:
+            d2 = np.sum((pts - coords[i]) ** 2, axis=1)
+        else:
+            t = np.clip(((pts - coords[i]) @ seg) / seg_len2, 0, 1)
+            proj = coords[i] + t[:, None] * seg
+            d2 = np.sum((pts - proj) ** 2, axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol2:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return coords[keep]
+
+
+def simplify(geom, tol: float):
+    if tol <= 0:
+        return geom
+    kind, data = geom
+    if kind in ("Point", "MultiPoint"):
+        return geom
+    if kind == "LineString":
+        return ("LineString", douglas_peucker(data, tol))
+    if kind == "MultiLineString":
+        return ("MultiLineString", [douglas_peucker(l, tol) for l in data])
+    if kind == "Polygon":
+        rings = _simplify_rings(data, tol)
+        return ("Polygon", rings) if rings else None
+    if kind == "MultiPolygon":
+        polys = [r for r in (_simplify_rings(rings, tol) for rings in data) if r]
+        return ("MultiPolygon", polys) if polys else None
+    return geom
+
+
+def _simplify_rings(rings, tol):
+    out = []
+    for i, ring in enumerate(rings):
+        s = douglas_peucker(np.asarray(ring), tol)
+        if len(s) >= 4:
+            out.append(s)
+        elif i == 0:
+            return []  # outer ring collapsed → drop polygon
+    return out
+
+
+# ------------------------------------------------------------------- clipping
+
+
+def clip_ring_box(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray | None:
+    """Sutherland-Hodgman polygon clip against an axis box (exact, convex clip)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.allclose(pts[0], pts[-1]):
+        pts = pts[:-1]
+    for edge in range(4):
+        if len(pts) < 3:
+            return None
+        nxt = np.roll(pts, -1, axis=0)
+        if edge == 0:
+            cur_in, nxt_in = pts[:, 0] >= xmin, nxt[:, 0] >= xmin
+        elif edge == 1:
+            cur_in, nxt_in = pts[:, 0] <= xmax, nxt[:, 0] <= xmax
+        elif edge == 2:
+            cur_in, nxt_in = pts[:, 1] >= ymin, nxt[:, 1] >= ymin
+        else:
+            cur_in, nxt_in = pts[:, 1] <= ymax, nxt[:, 1] <= ymax
+        out = []
+        for i in range(len(pts)):
+            p, q = pts[i], nxt[i]
+            if cur_in[i]:
+                out.append(p)
+                if not nxt_in[i]:
+                    out.append(_isect_box_edge(p, q, edge, xmin, ymin, xmax, ymax))
+            elif nxt_in[i]:
+                out.append(_isect_box_edge(p, q, edge, xmin, ymin, xmax, ymax))
+        if not out:
+            return None
+        pts = np.array(out)
+    if len(pts) < 3:
+        return None
+    return np.vstack([pts, pts[:1]])
+
+
+def _isect_box_edge(p, q, edge, xmin, ymin, xmax, ymax):
+    if edge == 0:
+        t = (xmin - p[0]) / (q[0] - p[0])
+        return np.array([xmin, p[1] + t * (q[1] - p[1])])
+    if edge == 1:
+        t = (xmax - p[0]) / (q[0] - p[0])
+        return np.array([xmax, p[1] + t * (q[1] - p[1])])
+    if edge == 2:
+        t = (ymin - p[1]) / (q[1] - p[1])
+        return np.array([p[0] + t * (q[0] - p[0]), ymin])
+    t = (ymax - p[1]) / (q[1] - p[1])
+    return np.array([p[0] + t * (q[0] - p[0]), ymax])
+
+
+def clip_line_box(coords: np.ndarray, xmin, ymin, xmax, ymax) -> list[np.ndarray]:
+    """Liang-Barsky per segment, re-joining consecutive kept pieces."""
+    coords = np.asarray(coords, dtype=np.float64)
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(coords) - 1):
+        seg = _clip_seg(coords[i], coords[i + 1], xmin, ymin, xmax, ymax)
+        if seg is None:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = []
+            continue
+        a, b = seg
+        if cur and np.allclose(cur[-1], a, rtol=0, atol=1e-12):
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = [a, b]
+    if len(cur) >= 2:
+        pieces.append(np.array(cur))
+    return pieces
+
+
+def _clip_seg(p, q, xmin, ymin, xmax, ymax):
+    t0, t1 = 0.0, 1.0
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    for pi, qi in ((-dx, p[0] - xmin), (dx, xmax - p[0]), (-dy, p[1] - ymin), (dy, ymax - p[1])):
+        if pi == 0:
+            if qi < 0:
+                return None
+            continue
+        r = qi / pi
+        if pi < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    return (
+        np.array([p[0] + t0 * dx, p[1] + t0 * dy]),
+        np.array([p[0] + t1 * dx, p[1] + t1 * dy]),
+    )
+
+
+def clip_geom_box(geom, xmin, ymin, xmax, ymax):
+    """Clip any geometry to a box; returns geometry or None."""
+    kind, data = geom
+    if kind == "Point":
+        x, y = data
+        return geom if xmin <= x <= xmax and ymin <= y <= ymax else None
+    if kind == "MultiPoint":
+        pts = np.asarray(data)
+        m = (pts[:, 0] >= xmin) & (pts[:, 0] <= xmax) & (pts[:, 1] >= ymin) & (pts[:, 1] <= ymax)
+        if not m.any():
+            return None
+        kept = pts[m]
+        return ("Point", kept[0]) if len(kept) == 1 else ("MultiPoint", kept)
+    if kind == "LineString":
+        pieces = clip_line_box(data, xmin, ymin, xmax, ymax)
+        if not pieces:
+            return None
+        return ("LineString", pieces[0]) if len(pieces) == 1 else ("MultiLineString", pieces)
+    if kind == "MultiLineString":
+        pieces = [p for l in data for p in clip_line_box(l, xmin, ymin, xmax, ymax)]
+        if not pieces:
+            return None
+        return ("LineString", pieces[0]) if len(pieces) == 1 else ("MultiLineString", pieces)
+    if kind == "Polygon":
+        rings = _clip_poly_rings(data, xmin, ymin, xmax, ymax)
+        return ("Polygon", rings) if rings else None
+    if kind == "MultiPolygon":
+        polys = [r for rings in data if (r := _clip_poly_rings(rings, xmin, ymin, xmax, ymax))]
+        if not polys:
+            return None
+        return ("Polygon", polys[0]) if len(polys) == 1 else ("MultiPolygon", polys)
+    return None
+
+
+def _clip_poly_rings(rings, xmin, ymin, xmax, ymax):
+    outer = clip_ring_box(np.asarray(rings[0]), xmin, ymin, xmax, ymax)
+    if outer is None:
+        return None
+    out = [outer]
+    for hole in rings[1:]:
+        h = clip_ring_box(np.asarray(hole), xmin, ymin, xmax, ymax)
+        if h is not None:
+            out.append(h)
+    return out
+
+
+# ----------------------------------------------------------------- line merge
+
+
+def merge_lines(lines: list[np.ndarray], quantum: float = 1e-9) -> list[np.ndarray]:
+    """Node connected linestrings end-to-end (FeatureMerge.mergeLineStrings
+    connectivity semantics: join only at degree-2 shared endpoints).
+    Deterministic: inputs processed in given order, endpoints quantized."""
+
+    def key(pt):
+        return (round(pt[0] / quantum), round(pt[1] / quantum))
+
+    lines = [np.asarray(l, dtype=np.float64) for l in lines if len(l) >= 2]
+    endpoints: dict[tuple, list[tuple[int, bool]]] = {}
+    for idx, l in enumerate(lines):
+        endpoints.setdefault(key(l[0]), []).append((idx, False))
+        endpoints.setdefault(key(l[-1]), []).append((idx, True))
+    used = [False] * len(lines)
+    out = []
+    for idx in range(len(lines)):
+        if used[idx]:
+            continue
+        used[idx] = True
+        chain = list(lines[idx])
+        # extend forward
+        for reverse_dir in (False, True):
+            while True:
+                end = chain[-1] if not reverse_dir else chain[0]
+                cands = [
+                    (j, at_end) for (j, at_end) in endpoints.get(key(end), [])
+                    if not used[j]
+                ]
+                if len(cands) != 1 or len(endpoints.get(key(end), [])) != 2:
+                    break
+                j, at_end = cands[0]
+                used[j] = True
+                seg = lines[j][::-1] if at_end else lines[j]
+                if not reverse_dir:
+                    chain.extend(seg[1:])
+                else:
+                    chain = list(seg[::-1][:-1]) + chain
+        out.append(np.array(chain))
+    return out
+
+
+# ---------------------------------------------------------------- dist / misc
+
+
+def point_seg_dist2(pt, a, b) -> float:
+    pt, a, b = np.asarray(pt, float), np.asarray(a, float), np.asarray(b, float)
+    seg = b - a
+    L2 = float(seg @ seg)
+    if L2 == 0:
+        d = pt - a
+        return float(d @ d)
+    t = max(0.0, min(1.0, float((pt - a) @ seg) / L2))
+    d = pt - (a + t * seg)
+    return float(d @ d)
+
+
+def point_geom_dist(pt, geom) -> float:
+    kind, data = geom
+    if kind == "Point":
+        return float(np.hypot(*(np.asarray(pt) - np.asarray(data))))
+    if point_in_geom(pt, geom):
+        return 0.0
+    best = np.inf
+    if kind in ("Polygon", "MultiPolygon", "LineString", "MultiLineString"):
+        lines = (
+            [data] if kind == "LineString"
+            else data if kind == "MultiLineString"
+            else data if kind == "Polygon"
+            else [r for rings in data for r in rings]
+        )
+        for coords in lines:
+            coords = np.asarray(coords)
+            for i in range(len(coords) - 1):
+                best = min(best, point_seg_dist2(pt, coords[i], coords[i + 1]))
+        return float(np.sqrt(best))
+    if kind == "MultiPoint":
+        d = np.asarray(data) - np.asarray(pt)
+        return float(np.min(np.hypot(d[:, 0], d[:, 1])))
+    raise ValueError(kind)

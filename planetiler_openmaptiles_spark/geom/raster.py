@@ -1,0 +1,256 @@
+"""Raster-grid polygon boolean ops (union / buffered union / intersection
+area) for the per-tile merge operators.
+
+GEOS is unavailable, so FeatureMerge.mergeOverlappingPolygons /
+mergeNearbyPolygons (reference layers/Water.java:268-271,
+layers/Building.java:180-187, layers/Landuse.java:135-157) are re-created on
+a fixed sub-pixel grid over the tile: scanline-fill each polygon (even-odd),
+OR the masks, optionally dilate/erode by the merge radius, then trace the
+mask boundary back to rings and Douglas-Peucker at grid resolution.
+
+This is deterministic and resolution-exact at MVT precision (we rasterize at
+GRID_PER_PX sub-pixels per tile pixel; MVT encodes 256px tiles at 4096 extent
+= 16 sub-pixels, so GRID_PER_PX=4 keeps output within 0.25px of true shape —
+the same tolerance the reference applies when simplifying merged results).
+All heavy loops are numpy; tracing is O(boundary length).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import douglas_peucker, ring_signed_area
+
+GRID_PER_PX = 4
+
+
+def rasterize(polys, x0, y0, cell, shape) -> np.ndarray:
+    """Nonzero-winding fill of a list of polygons (each = list of rings) into
+    a bool grid of `shape` (rows, cols); grid cell (r,c) covers
+    [x0+c*cell, x0+(c+1)*cell) × [y0+r*cell, ...). Sampled at cell centers.
+
+    Ring orientations are normalized (outer positive shoelace, holes
+    negative) so nonzero winding computes the UNION of all input polygons in
+    one pass — no per-polygon masks even for 1000s of z13 buildings."""
+    rows, cols = shape
+    winding = np.zeros((rows, cols + 1), dtype=np.int32)
+    ycenters = y0 + (np.arange(rows) + 0.5) * cell
+    for rings in polys:
+        for k, ring in enumerate(rings):
+            ring = np.asarray(ring, dtype=np.float64)
+            if len(ring) < 4:
+                continue
+            sa = ring_signed_area(ring)
+            want_pos = k == 0
+            if (sa > 0) != want_pos:
+                ring = ring[::-1]
+            x1, y1 = ring[:-1, 0], ring[:-1, 1]
+            x2, y2 = ring[1:, 0], ring[1:, 1]
+            nz = y1 != y2
+            x1, y1, x2, y2 = x1[nz], y1[nz], x2[nz], y2[nz]
+            if not len(x1):
+                continue
+            sign = np.where(y2 > y1, 1, -1).astype(np.int32)
+            ylo = np.minimum(y1, y2)
+            yhi = np.maximum(y1, y2)
+            r_lo = np.clip(np.ceil((ylo - y0) / cell - 0.5).astype(np.int64), 0, rows - 1)
+            r_hi = np.clip(np.floor((yhi - y0) / cell - 0.5).astype(np.int64), -1, rows - 1)
+            for i in range(len(x1)):
+                if r_hi[i] < r_lo[i]:
+                    continue
+                rr = np.arange(r_lo[i], r_hi[i] + 1)
+                yc = ycenters[rr]
+                inside = (yc >= ylo[i]) & (yc < yhi[i])
+                rr = rr[inside]
+                if not len(rr):
+                    continue
+                xi = x1[i] + (ycenters[rr] - y1[i]) * (x2[i] - x1[i]) / (y2[i] - y1[i])
+                ci = np.clip(np.ceil((xi - x0) / cell - 0.5).astype(np.int64), 0, cols)
+                np.add.at(winding, (rr, ci), sign[i])
+    # winding number at a cell center = sum of signed crossings to its right
+    suffix = np.cumsum(winding[:, ::-1], axis=1)[:, ::-1]
+    return suffix[:, 1:] != 0
+
+
+def dilate(mask: np.ndarray, r: int) -> np.ndarray:
+    out = mask.copy()
+    for _ in range(r):
+        nxt = out.copy()
+        nxt[1:, :] |= out[:-1, :]
+        nxt[:-1, :] |= out[1:, :]
+        nxt[:, 1:] |= out[:, :-1]
+        nxt[:, :-1] |= out[:, 1:]
+        out = nxt
+    return out
+
+
+def erode(mask: np.ndarray, r: int) -> np.ndarray:
+    return ~dilate(~mask, r)
+
+
+def trace_rings(mask: np.ndarray, x0, y0, cell) -> list[np.ndarray]:
+    """Extract boundary rings of a binary mask (rectilinear, then returned in
+    world units). Outer rings CCW-in-grid, holes CW; even-odd consistent."""
+    rows, cols = mask.shape
+    # boundary edges between filled and unfilled cells, directed so that the
+    # filled cell is on the left
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add_edge(a, b):
+        edges.setdefault(a, []).append(b)
+
+    # Lattice convention: pad cell (r, c) covers lattice square
+    # (c, r)-(c+1, r+1), x = col (right), y = row (down). Boundary edges are
+    # directed so a filled cell traces the loop
+    # (c,r) -> (c+1,r) -> (c+1,r+1) -> (c,r+1) -> (c,r): outer rings get
+    # POSITIVE shoelace signed area, holes negative.
+    pad = np.zeros((rows + 2, cols + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    # top edge (empty above): (c, r) -> (c+1, r)
+    tb = pad[1:, :] & ~pad[:-1, :]
+    rs, cs = np.nonzero(tb)
+    for i, c in zip(rs.tolist(), cs.tolist()):
+        add_edge((c, i + 1), (c + 1, i + 1))
+    # right edge (empty right): (c+1, r) -> (c+1, r+1)
+    rb = pad[:, :-1] & ~pad[:, 1:]
+    rs, cs = np.nonzero(rb)
+    for r, j in zip(rs.tolist(), cs.tolist()):
+        add_edge((j + 1, r), (j + 1, r + 1))
+    # bottom edge (empty below): (c+1, r+1) -> (c, r+1)
+    bb = pad[:-1, :] & ~pad[1:, :]
+    rs, cs = np.nonzero(bb)
+    for i, c in zip(rs.tolist(), cs.tolist()):
+        add_edge((c + 1, i + 1), (c, i + 1))
+    # left edge (empty left): (c, r+1) -> (c, r)
+    lb = pad[:, 1:] & ~pad[:, :-1]
+    rs, cs = np.nonzero(lb)
+    for r, j in zip(rs.tolist(), cs.tolist()):
+        add_edge((j + 1, r + 1), (j + 1, r))
+
+    rings = []
+    for start in sorted(edges.keys()):
+        while edges.get(start):
+            ring = [start]
+            cur = edges[start].pop()
+            prev = start
+            while cur != start:
+                ring.append(cur)
+                nxts = edges.get(cur)
+                if not nxts:
+                    break  # open chain (shouldn't happen) — drop
+                if len(nxts) == 1:
+                    nxt = nxts.pop()
+                else:
+                    # prefer the turn that keeps filled area on the left
+                    # (right-hand rule): pick deterministically by angle
+                    dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                    def turn_key(n):
+                        ex, ey = n[0] - cur[0], n[1] - cur[1]
+                        return -(dx * ey - dy * ex), (dx * ex + dy * ey)
+                    nxts.sort(key=turn_key)
+                    nxt = nxts.pop(0)
+                prev, cur = cur, nxt
+            else:
+                pass
+            if cur == start and len(ring) >= 4:
+                ring.append(start)
+                pts = np.array(ring, dtype=np.float64)
+                # collapse collinear runs
+                keep = np.ones(len(pts), dtype=bool)
+                d1 = pts[1:-1] - pts[:-2]
+                d2 = pts[2:] - pts[1:-1]
+                collinear = (d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]) == 0
+                keep[1:-1] = ~collinear
+                pts = pts[keep]
+                # lattice → world: lattice (c, r) offset by the +1 padding
+                world = np.empty_like(pts)
+                world[:, 0] = x0 + (pts[:, 0] - 1) * cell
+                world[:, 1] = y0 + (pts[:, 1] - 1) * cell
+                rings.append(world)
+    return rings
+
+
+def assemble_polygons(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Group traced rings into polygons: rings with positive grid orientation
+    are outers, negative are holes assigned to the smallest containing outer."""
+    from .ops import point_in_ring
+
+    outers, holes = [], []
+    for r in rings:
+        (outers if ring_signed_area(r) > 0 else holes).append(r)
+    polys = [[o] for o in outers]
+    for h in holes:
+        pt = h[0] + (h[1] - h[0]) * 0.5
+        candidates = [
+            (abs(ring_signed_area(p[0])), i)
+            for i, p in enumerate(polys)
+            if point_in_ring(pt, p[0])
+        ]
+        if candidates:
+            _, i = min(candidates)
+            polys[i].append(h)
+    return polys
+
+
+def union_polygons(
+    polys: list[list[np.ndarray]],
+    x0: float,
+    y0: float,
+    extent: float,
+    px: float,
+    buffer_dist_px: float = 0.0,
+    min_hole_area_px2: float = 0.0,
+    simplify_px: float = 0.25,
+    grid_per_px: int = GRID_PER_PX,
+):
+    """Union (optionally buffered union = mergeNearbyPolygons) of polygons in
+    a square window [x0, x0+extent]² where `px` = world units per tile pixel.
+
+    Returns list of polygons (list of rings, world units)."""
+    n = int(round(extent / px)) * grid_per_px
+    cell = px / grid_per_px
+    mask = rasterize(polys, x0, y0, cell, (n, n))
+    if not mask.any():
+        return []
+    r = int(round(buffer_dist_px * grid_per_px))
+    if r > 0:
+        mask = erode(dilate(mask, r), r)
+    rings = trace_rings(mask, x0, y0, cell)
+    out_polys = assemble_polygons(rings)
+    result = []
+    min_hole = min_hole_area_px2 * px * px
+    tol = simplify_px * px
+    for rings in out_polys:
+        kept = []
+        for i, ring in enumerate(rings):
+            if i > 0 and abs(ring_signed_area(ring)) < min_hole:
+                continue
+            s = douglas_peucker(ring, tol)
+            if len(s) >= 4:
+                kept.append(s)
+            elif i == 0:
+                kept = []
+                break
+        if kept:
+            result.append(kept)
+    return result
+
+
+def intersection_area(polyA, polyB, resolution: int = 128) -> float:
+    """Approximate |A ∩ B| by rasterizing both on a grid over the bbox overlap
+    (used for the lake-id argmax join, reference layers/Water.java:296-301 —
+    only the argmax ordering matters, not the absolute value)."""
+    ax = np.concatenate([np.asarray(r)[:, 0] for rings in polyA for r in rings])
+    ay = np.concatenate([np.asarray(r)[:, 1] for rings in polyA for r in rings])
+    bx = np.concatenate([np.asarray(r)[:, 0] for rings in polyB for r in rings])
+    by = np.concatenate([np.asarray(r)[:, 1] for rings in polyB for r in rings])
+    xmin, xmax = max(ax.min(), bx.min()), min(ax.max(), bx.max())
+    ymin, ymax = max(ay.min(), by.min()), min(ay.max(), by.max())
+    if xmin >= xmax or ymin >= ymax:
+        return 0.0
+    w, h = xmax - xmin, ymax - ymin
+    cell = max(w, h) / resolution
+    shape = (max(int(np.ceil(h / cell)), 1), max(int(np.ceil(w / cell)), 1))
+    ma = rasterize(polyA, xmin, ymin, cell, shape)
+    mb = rasterize(polyB, xmin, ymin, cell, shape)
+    return float(np.count_nonzero(ma & mb)) * cell * cell

@@ -1,0 +1,137 @@
+"""Geometry kernel unit tests (no Spark)."""
+
+import numpy as np
+import pytest
+
+from planetiler_openmaptiles_spark.geom import parse_wkt, to_wkt
+from planetiler_openmaptiles_spark.geom.mercator import lonlat_to_world, world_to_lonlat
+from planetiler_openmaptiles_spark.geom import ops
+from planetiler_openmaptiles_spark.geom import raster
+
+
+def sq(x0, y0, w):
+    return np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w], [x0, y0]], float)
+
+
+def test_wkt_roundtrip():
+    cases = [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOINT (1 1, 2 2)",
+    ]
+    for w in cases:
+        g = parse_wkt(w)
+        assert to_wkt(g) == w
+        assert to_wkt(parse_wkt(to_wkt(g))) == w
+
+
+def test_mercator_roundtrip():
+    lon = np.array([-180.0, 0.0, 7.42, 179.9])
+    lat = np.array([-60.0, 0.0, 43.73, 80.0])
+    x, y = lonlat_to_world(lon, lat)
+    lon2, lat2 = world_to_lonlat(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    assert 0 <= x.min() and x.max() <= 1 and 0 <= y.min() and y.max() <= 1
+
+
+def test_area_centroid():
+    poly = ("Polygon", [sq(0, 0, 4), sq(1, 1, 1)[::-1]])
+    assert ops.geom_area(poly) == pytest.approx(15.0)
+    c = ops.centroid(("Polygon", [sq(2, 2, 2)]))
+    np.testing.assert_allclose(c, [3, 3])
+    assert ops.line_length(np.array([[0, 0], [3, 4]])) == pytest.approx(5.0)
+
+
+def test_point_in_polygon_and_pos():
+    poly = ("Polygon", [sq(0, 0, 4), sq(1, 1, 1)[::-1]])
+    assert ops.point_in_geom([0.5, 0.5], poly)
+    assert not ops.point_in_geom([1.5, 1.5], poly)  # in hole
+    assert not ops.point_in_geom([5, 5], poly)
+    pos = ops.point_on_surface(poly)
+    assert ops.point_in_geom(pos, poly)
+
+
+def test_convexity():
+    assert ops.is_convex(("Polygon", [sq(0, 0, 1)]))
+    concave = np.array([[0, 0], [4, 0], [4, 4], [2, 1], [0, 4], [0, 0]], float)
+    assert not ops.is_convex(("Polygon", [concave]))
+
+
+def test_simplify():
+    line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 5], [4, 0]], float)
+    s = ops.douglas_peucker(line, 0.01)
+    assert len(s) == 4  # middle point on straight run dropped
+    np.testing.assert_allclose(s[0], [0, 0])
+    np.testing.assert_allclose(s[-1], [4, 0])
+
+
+def test_clip_polygon_box():
+    g = ops.clip_geom_box(("Polygon", [sq(0, 0, 4)]), 2, 2, 6, 6)
+    assert g is not None and g[0] == "Polygon"
+    assert ops.geom_area(g) == pytest.approx(4.0)
+    assert ops.clip_geom_box(("Polygon", [sq(0, 0, 1)]), 5, 5, 6, 6) is None
+
+
+def test_clip_line_box():
+    g = ops.clip_geom_box(("LineString", np.array([[0, 1], [10, 1]], float)), 2, 0, 4, 2)
+    assert g[0] == "LineString"
+    assert ops.line_length(g[1]) == pytest.approx(2.0)
+    # line crossing out and back in → multilinestring
+    zig = np.array([[0, 0], [5, 10], [10, 0]], float)
+    g2 = ops.clip_geom_box(("LineString", zig), 0, 0, 10, 4)
+    assert g2[0] == "MultiLineString" and len(g2[1]) == 2
+
+
+def test_merge_lines():
+    a = np.array([[0, 0], [1, 0]], float)
+    b = np.array([[1, 0], [2, 0]], float)
+    c = np.array([[5, 5], [6, 6]], float)
+    merged = ops.merge_lines([a, b, c])
+    assert len(merged) == 2
+    assert max(len(m) for m in merged) == 3
+    # degree-3 junction must NOT merge through
+    d = np.array([[1, 0], [1, 1]], float)
+    merged2 = ops.merge_lines([a, b, d])
+    assert len(merged2) == 3
+
+
+def test_raster_union_merges_overlapping():
+    polys = [[sq(0.0, 0.0, 0.5)], [sq(0.4, 0.0, 0.5)]]
+    out = raster.union_polygons(polys, 0.0, 0.0, 1.0, 1.0 / 256, simplify_px=0.0)
+    assert len(out) == 1
+    area = ops.polygon_area(out[0])
+    assert area == pytest.approx(0.5 * 0.5 + 0.5 * 0.5 - 0.1 * 0.5, rel=0.05)
+
+
+def test_raster_union_keeps_disjoint_and_buffer_merges():
+    polys = [[sq(0.1, 0.1, 0.2)], [sq(0.35, 0.1, 0.2)]]
+    px = 1.0 / 256
+    out = raster.union_polygons(polys, 0.0, 0.0, 1.0, px, simplify_px=0.0)
+    assert len(out) == 2
+    # gap = 0.05 world = 12.8 px; buffer 7px closes it
+    out2 = raster.union_polygons(polys, 0.0, 0.0, 1.0, px, buffer_dist_px=7.0, simplify_px=0.0)
+    assert len(out2) == 1
+
+
+def test_raster_union_hole_preserved():
+    donut = [sq(0.1, 0.1, 0.8), sq(0.3, 0.3, 0.4)[::-1]]
+    out = raster.union_polygons([donut], 0.0, 0.0, 1.0, 1.0 / 256, simplify_px=0.0)
+    assert len(out) == 1
+    assert len(out[0]) == 2  # outer + hole
+    area = ops.polygon_area(out[0])
+    assert area == pytest.approx(0.64 - 0.16, rel=0.05)
+
+
+def test_intersection_area_argmax_ordering():
+    big = [[sq(0, 0, 10)]]        # overlap with target = [5,10]² = 25
+    small = [[sq(14, 14, 10)]]    # overlap with target = [14,15]² = 1
+    target = [[sq(5, 5, 10)]]
+    a1 = raster.intersection_area(target, big)
+    a2 = raster.intersection_area(target, small)
+    assert a1 > a2 > 0
+    assert a1 == pytest.approx(25.0, rel=0.05)
+    assert a2 == pytest.approx(1.0, rel=0.3)
