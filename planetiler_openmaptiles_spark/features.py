@@ -1,0 +1,249 @@
+"""Rendered-feature schema + collector helpers (FeatureCollector parity).
+
+A "rendered feature" row is the Spark analog of the reference's
+`FeatureCollector.Feature` (SURVEY.md §1.1): target layer, requested
+geometry form, attr map (with optional zoom-gated attrs), zoom window,
+buffer px, pixel-size gates, sort key and label-grid spec.
+
+Layer transform modules build these rows with plain `select` projections so
+the whole per-feature stage stays inside whole-stage codegen; only the tile
+explode and tile post-process stages drop into Arrow-batched pandas.
+
+Reference parity targets: FeatureCollector emitters used across layers,
+e.g. layers/Transportation.java:514-540, layers/Place.java:353-359,
+layers/MountainPeak.java:117-139.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TILE_EXTENT = 256  # px per tile edge (reference buffer units)
+
+# geometry forms a layer may request (F9 in SURVEY.md §2.2)
+FORMS = (
+    "point",
+    "line",
+    "polygon",
+    "centroid",
+    "point_on_surface",
+    "centroid_if_convex",
+)
+
+ZATTR_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("minzoom", T.IntegerType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+)
+
+GRID_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("minzoom", T.IntegerType()),
+            T.StructField("maxzoom", T.IntegerType()),
+            T.StructField("size", T.DoubleType()),
+            T.StructField("limit", T.IntegerType()),
+        ]
+    )
+)
+
+MPS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("below_zoom", T.IntegerType()),
+            T.StructField("size", T.DoubleType()),
+        ]
+    )
+)
+
+FEATURE_COLUMNS = [
+    "doc_id",
+    "elem_id",
+    "layer",
+    "form",
+    "geom_wkt",
+    "attrs",
+    "zattrs",
+    "minzoom",
+    "maxzoom",
+    "buffer_px",
+    "min_pixel_size",
+    "mps_overrides",
+    "sort_key",
+    "grid",
+]
+
+
+def attr_entries(**attrs: Column | str | int | float | None) -> Column:
+    """Build a map<string,string> attr column; null values are omitted
+    (reference `nullIfEmpty` convention, util/Utils.java:31-49)."""
+    entries = []
+    for k, v in attrs.items():
+        c = v if isinstance(v, Column) else F.lit(v)
+        entries.append(F.struct(F.lit(k).alias("key"), c.cast("string").alias("value")))
+    arr = F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+    return F.map_from_entries(arr)
+
+
+def zattr(key: str, minzoom: Column | int, value: Column) -> Column:
+    """One zoom-gated attr entry: active at z >= minzoom
+    (reference setAttrWithMinzoom / ZoomFunction)."""
+    mz = minzoom if isinstance(minzoom, Column) else F.lit(minzoom)
+    return F.struct(
+        F.lit(key).alias("key"),
+        mz.cast("int").alias("minzoom"),
+        value.cast("string").alias("value"),
+    )
+
+
+def zattrs_array(*entries: Column) -> Column:
+    if not entries:
+        return F.lit(None).cast(ZATTR_TYPE)
+    return F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+
+
+def grid_entry(minzoom: int, maxzoom: int, size: float, limit: int = 0) -> Column:
+    return F.struct(
+        F.lit(minzoom).cast("int").alias("minzoom"),
+        F.lit(maxzoom).cast("int").alias("maxzoom"),
+        F.lit(float(size)).alias("size"),
+        F.lit(limit).cast("int").alias("limit"),
+    )
+
+
+def mps_below(below_zoom: int, size: float) -> Column:
+    """setMinPixelSizeBelowZoom(z, s): gate applies only at zoom < z."""
+    return F.struct(
+        F.lit(below_zoom).cast("int").alias("below_zoom"),
+        F.lit(float(size)).alias("size"),
+    )
+
+
+def emit(
+    layer: str,
+    form: str | Column,
+    *,
+    geom: Column | None = None,
+    attrs: Column | None = None,
+    zattrs: Column | None = None,
+    minzoom: Column | int = 0,
+    maxzoom: Column | int = 14,
+    buffer_px: Column | float = 4.0,
+    min_pixel_size: Column | float = 1.0,
+    mps_overrides: Column | None = None,
+    sort_key: Column | int = 0,
+    grid: Column | None = None,
+) -> list[Column]:
+    """Column list for one rendered feature (append id columns yourself via
+    the standard doc_id/elem_id pass-through)."""
+
+    def _c(v, typ=None):
+        c = v if isinstance(v, Column) else F.lit(v)
+        return c.cast(typ) if typ else c
+
+    return [
+        F.col("doc_id"),
+        F.col("elem_id"),
+        F.lit(layer).alias("layer"),
+        _c(form).alias("form"),
+        (geom if geom is not None else F.col("geom_wkt")).alias("geom_wkt"),
+        (attrs if attrs is not None else attr_entries()).alias("attrs"),
+        (zattrs if zattrs is not None else F.lit(None).cast(ZATTR_TYPE)).alias("zattrs"),
+        _c(minzoom, "int").alias("minzoom"),
+        _c(maxzoom, "int").alias("maxzoom"),
+        _c(buffer_px, "double").alias("buffer_px"),
+        _c(min_pixel_size, "double").alias("min_pixel_size"),
+        (mps_overrides if mps_overrides is not None else F.lit(None).cast(MPS_TYPE)).alias(
+            "mps_overrides"
+        ),
+        _c(sort_key, "int").alias("sort_key"),
+        (grid if grid is not None else F.lit(None).cast(GRID_TYPE)).alias("grid"),
+    ]
+
+
+def empty_features(spark) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("elem_id", T.LongType()),
+            T.StructField("layer", T.StringType()),
+            T.StructField("form", T.StringType()),
+            T.StructField("geom_wkt", T.StringType()),
+            T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("zattrs", ZATTR_TYPE),
+            T.StructField("minzoom", T.IntegerType()),
+            T.StructField("maxzoom", T.IntegerType()),
+            T.StructField("buffer_px", T.DoubleType()),
+            T.StructField("min_pixel_size", T.DoubleType()),
+            T.StructField("mps_overrides", MPS_TYPE),
+            T.StructField("sort_key", T.IntegerType()),
+            T.StructField("grid", GRID_TYPE),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def union_features(dfs: list[DataFrame]) -> DataFrame:
+    """unionByName over layer outputs (SURVEY.md §2.7)."""
+    out = None
+    for df in dfs:
+        df = df.select(*FEATURE_COLUMNS)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------- sort keys
+# Reference packs multi-field orderings into one int (SortKey; SURVEY.md
+# §2.6). We reproduce the packing so rank stamping (A6/A7) sees the same
+# order. Fields are packed most-significant-first.
+
+
+class SortKeyPacker:
+    """Build `sort_key` int expressions by packing ordered fields.
+
+    Mirrors planetiler's SortKey.orderByInt/orderByLog/orderByTruesFirst:
+    each field occupies ceil(log2(levels)) of the key, most-significant
+    first; ascending packs the value, descending packs (levels-1 - value).
+    """
+
+    def __init__(self):
+        self._expr = F.lit(0)
+
+    def _push(self, value: Column, levels: int) -> "SortKeyPacker":
+        self._expr = self._expr * F.lit(levels) + F.greatest(
+            F.lit(0), F.least(F.lit(levels - 1), value.cast("int"))
+        )
+        return self
+
+    def asc(self, value: Column, lo: int, hi: int) -> "SortKeyPacker":
+        return self._push(value - F.lit(lo), hi - lo + 1)
+
+    def desc(self, value: Column, lo: int, hi: int) -> "SortKeyPacker":
+        return self._push(F.lit(hi) - value, hi - lo + 1)
+
+    def trues_first(self, cond: Column) -> "SortKeyPacker":
+        return self._push(F.when(cond, F.lit(0)).otherwise(F.lit(1)), 2)
+
+    def asc_log(self, value: Column, lo: float, hi: float, buckets: int) -> "SortKeyPacker":
+        """log-scale ascending bucket (planetiler orderByLog)."""
+        import math
+
+        v = F.greatest(F.lit(float(lo)), F.least(F.lit(float(hi)), value.cast("double")))
+        scaled = (F.log(v / F.lit(float(lo))) / F.lit(math.log(hi / lo))) * F.lit(buckets - 1)
+        return self._push(F.round(scaled).cast("int"), buckets)
+
+    def desc_log(self, value: Column, lo: float, hi: float, buckets: int) -> "SortKeyPacker":
+        import math
+
+        v = F.greatest(F.lit(float(lo)), F.least(F.lit(float(hi)), value.cast("double")))
+        scaled = (F.log(v / F.lit(float(lo))) / F.lit(math.log(hi / lo))) * F.lit(buckets - 1)
+        return self._push(F.lit(buckets - 1) - F.round(scaled).cast("int"), buckets)
+
+    def key(self) -> Column:
+        return self._expr.cast("int")

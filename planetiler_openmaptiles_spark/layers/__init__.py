@@ -1,0 +1,106 @@
+"""Layer registry + shared transform context.
+
+Each layer module mirrors one reference `Layer` class (SURVEY.md §2.10):
+it exposes ``transform(ctx) -> DataFrame`` returning rendered-feature rows
+(features.FEATURE_COLUMNS) and optionally registers a tile post-processor
+in tiling.postprocess.POST_PROCESSORS at import time.
+
+`LayerContext` is the Spark replacement for the reference's profile wiring
+(OpenMapTilesProfile.java:59-143): it owns the decoded documents DataFrame,
+lazily-cached typed table projections, the auxiliary side tables, and the
+engine config knobs; layer modules never touch SparkSession directly.
+"""
+
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema.tables import table_rows
+
+# reference layer order (OpenMapTilesSchema.createInstances,
+# OpenMapTilesSchema.java:69-88)
+LAYER_MODULES = [
+    "water",
+    "waterway",
+    "landcover",
+    "landuse",
+    "mountain_peak",
+    "park",
+    "boundary",
+    "aeroway",
+    "transportation",
+    "building",
+    "water_name",
+    "transportation_name",
+    "place",
+    "housenumber",
+    "poi",
+    "aerodrome_label",
+]
+
+
+@dataclass
+class Config:
+    """Engine knobs (reference arg surface, SURVEY.md §2.10)."""
+
+    only_layers: tuple = ()
+    exclude_layers: tuple = ()
+    transportation_z13_paths: bool = False
+    building_merge_z13: bool = True
+    boundary_country_names: bool = True
+    boundary_osm_only: bool = False
+    transportation_name_brunnel: bool = False
+    transportation_name_size_for_shield: bool = False
+    transportation_name_limit_merge: bool = False
+    transportation_name_minor_refs: bool = False
+    max_zoom: int = 14
+
+    def active_layers(self) -> list[str]:
+        names = [l for l in LAYER_MODULES if not self.only_layers or l in self.only_layers]
+        return [l for l in names if l not in self.exclude_layers]
+
+
+@dataclass
+class LayerContext:
+    spark: object
+    features: DataFrame  # decoded documents (spans.decode_documents output)
+    side: dict = field(default_factory=dict)  # side tables by name
+    config: Config = field(default_factory=Config)
+    _tables: dict = field(default_factory=dict)
+    _shared: dict = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            self._tables[name] = table_rows(self.features, name)
+        return self._tables[name]
+
+    def natural_earth(self, *source_layers: str) -> DataFrame:
+        """NE rows from the document stream (source dispatch — S3)."""
+        return self.features.filter(
+            (F.col("source") == "natural_earth") & F.col("source_layer").isin(*source_layers)
+        )
+
+    def source(self, name: str) -> DataFrame:
+        return self.features.filter(F.col("source") == name)
+
+    def shared(self, key: str, builder):
+        """Cross-layer shared intermediates (J9: transportation_name reuses
+        transportation's route join — OpenMapTilesProfile.java:86-93)."""
+        if key not in self._shared:
+            self._shared[key] = builder()
+        return self._shared[key]
+
+
+def transform_all(ctx: LayerContext) -> list[DataFrame]:
+    """Run every active layer's transform; returns rendered-feature DFs."""
+    out = []
+    for name in ctx.config.active_layers():
+        mod = importlib.import_module(f".{name}", __package__)
+        df = mod.transform(ctx)
+        if df is not None:
+            out.append(df)
+    return out

@@ -1,0 +1,198 @@
+"""Spatial-join infrastructure: geometry stats, cell covers, exact refiners.
+
+The engine's replacement for the reference's in-RAM spatial indexes
+(PolygonIndex / PointIndex / PreparedGeometry — SURVEY.md §4): a spatial
+predicate join runs as
+
+    candidates = A (exploded on cover cells)  ⋈cell  B (exploded on cells)
+    result     = candidates.filter(exact predicate via Arrow UDF)
+
+Cell keys are web-mercator quad tiles (tiling/cells.py) so Catalyst plans a
+plain (broadcastable, saltable) hash join; the Arrow UDFs below do only the
+exact refinement on the much smaller candidate set.
+
+All UDFs are vectorized over Arrow batches; geometry parsing is the numpy
+WKT kernel. Coordinates: input WKT is lon/lat; predicates computed in
+world [0,1]² (same convention as the reference's worldGeometry()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .geom import mercator, ops, raster, wkt
+from .tiling.cells import CELL_ZOOM
+
+
+def _parse_world(w: str):
+    if w is None or w == "":
+        return None
+    try:
+        g = wkt.parse_wkt(w)
+    except (ValueError, IndexError):
+        return None
+    if g is None:
+        return None
+
+    def fn(c):
+        x, y = mercator.lonlat_to_world(c[:, 0], c[:, 1])
+        return np.column_stack([x, y])
+
+    kind, data = g
+    if kind == "Point":
+        return (kind, fn(data.reshape(1, 2))[0])
+    if kind in ("LineString", "MultiPoint"):
+        return (kind, fn(np.asarray(data)))
+    if kind in ("MultiLineString", "Polygon"):
+        return (kind, [fn(np.asarray(c)) for c in data])
+    if kind == "MultiPolygon":
+        return (kind, [[fn(np.asarray(r)) for r in rings] for rings in data])
+    return None
+
+
+_STATS_TYPE = T.StructType(
+    [
+        T.StructField("area", T.DoubleType()),
+        T.StructField("length", T.DoubleType()),
+        T.StructField("min_x", T.DoubleType()),
+        T.StructField("min_y", T.DoubleType()),
+        T.StructField("max_x", T.DoubleType()),
+        T.StructField("max_y", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_STATS_TYPE)
+def geom_stats_udf(wkts: pd.Series) -> pd.DataFrame:
+    """World-coordinate area/length/bbox per WKT (lon/lat input)."""
+    rows = []
+    for w in wkts:
+        g = _parse_world(w)
+        if g is None:
+            rows.append((None, None, None, None, None, None))
+            continue
+        x0, y0, x1, y1 = ops.bbox(g)
+        rows.append(
+            (float(ops.geom_area(g)), float(ops.geom_length(g)), float(x0), float(y0), float(x1), float(y1))
+        )
+    return pd.DataFrame(rows, columns=["area", "length", "min_x", "min_y", "max_x", "max_y"])
+
+
+def with_geom_stats(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
+    s = geom_stats_udf(F.col(wkt_col))
+    return df.withColumn("_s", s).select("*", "_s.*").drop("_s")
+
+
+def cover_cells_udf(zoom: int = CELL_ZOOM, cap: int = 4096):
+    """WKT → array of covering cells (bbox cover — candidate generation)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cover(wkts: pd.Series) -> pd.Series:
+        out = []
+        n = 1 << zoom
+        for w in wkts:
+            g = _parse_world(w)
+            if g is None:
+                out.append([])
+                continue
+            x0, y0, x1, y1 = ops.bbox(g)
+            tx0, tx1 = max(0, int(x0 * n)), min(n - 1, int(x1 * n))
+            ty0, ty1 = max(0, int(y0 * n)), min(n - 1, int(y1 * n))
+            cells = []
+            count = 0
+            for tx in range(tx0, tx1 + 1):
+                for ty in range(ty0, ty1 + 1):
+                    cells.append((zoom << 58) | (tx << 29) | ty)
+                    count += 1
+                    if count >= cap:
+                        break
+                if count >= cap:
+                    break
+            out.append(cells)
+        return pd.Series(out)
+
+    return cover
+
+
+@pandas_udf(T.DoubleType())
+def intersection_area_udf(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """|A ∩ B| in world units² (raster-approx; ordering-faithful for the
+    argmax joins — reference layers/Water.java:296-301)."""
+    out = np.full(len(wkt_a), 0.0)
+    for i, (wa, wb) in enumerate(zip(wkt_a, wkt_b)):
+        ga, gb = _parse_world(wa), _parse_world(wb)
+        if ga is None or gb is None:
+            continue
+        pa = [ga[1]] if ga[0] == "Polygon" else (list(ga[1]) if ga[0] == "MultiPolygon" else None)
+        pb = [gb[1]] if gb[0] == "Polygon" else (list(gb[1]) if gb[0] == "MultiPolygon" else None)
+        if pa is None or pb is None:
+            continue
+        out[i] = raster.intersection_area(pa, pb)
+    return pd.Series(out)
+
+
+@pandas_udf(T.BooleanType())
+def intersects_udf(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """Approximate polygon-polygon intersects (bbox + raster overlap)."""
+    out = np.zeros(len(wkt_a), dtype=bool)
+    for i, (wa, wb) in enumerate(zip(wkt_a, wkt_b)):
+        ga, gb = _parse_world(wa), _parse_world(wb)
+        if ga is None or gb is None:
+            continue
+        ax0, ay0, ax1, ay1 = ops.bbox(ga)
+        bx0, by0, bx1, by1 = ops.bbox(gb)
+        if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+            continue
+        pa = [ga[1]] if ga[0] == "Polygon" else (list(ga[1]) if ga[0] == "MultiPolygon" else None)
+        pb = [gb[1]] if gb[0] == "Polygon" else (list(gb[1]) if gb[0] == "MultiPolygon" else None)
+        if pa is None or pb is None:
+            continue
+        out[i] = raster.intersection_area(pa, pb) > 0.0
+    return pd.Series(out)
+
+
+@pandas_udf(T.BooleanType())
+def contains_point_udf(poly_wkt: pd.Series, pt_wkt: pd.Series) -> pd.Series:
+    """Point-in-polygon exact test (J5 refinement)."""
+    out = np.zeros(len(poly_wkt), dtype=bool)
+    for i, (wp, wq) in enumerate(zip(poly_wkt, pt_wkt)):
+        gp, gq = _parse_world(wp), _parse_world(wq)
+        if gp is None or gq is None or gq[0] != "Point":
+            continue
+        out[i] = ops.point_in_geom(gq[1], gp)
+    return pd.Series(out)
+
+
+@pandas_udf(T.DoubleType())
+def point_distance_udf(pt_wkt: pd.Series, other_wkt: pd.Series) -> pd.Series:
+    """World-unit distance point → geometry (J3/J4/J5 refinement)."""
+    out = np.full(len(pt_wkt), np.inf)
+    for i, (wp, wo) in enumerate(zip(pt_wkt, other_wkt)):
+        gp, go = _parse_world(wp), _parse_world(wo)
+        if gp is None or go is None or gp[0] != "Point":
+            continue
+        out[i] = ops.point_geom_dist(gp[1], go)
+    return pd.Series(out)
+
+
+def point_cell(lon_lat_wkt_col: Column, zoom: int = CELL_ZOOM) -> Column:
+    """Cell key of a POINT WKT — JVM-side (regex coordinate extraction, no
+    Python): for point-keyed joins the cell assignment stays in codegen."""
+    from .tiling import cells
+
+    lon = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 1).cast("double")
+    lat = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 2).cast("double")
+    return cells.cell_of_lonlat(lon, lat, zoom)
+
+
+def point_kring(lon_lat_wkt_col: Column, meters: float, zoom: int = CELL_ZOOM) -> Column:
+    from .tiling import cells
+
+    lon = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 1).cast("double")
+    lat = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 2).cast("double")
+    return cells.cells_within_meters(lon, lat, meters, zoom)

@@ -1,0 +1,425 @@
+"""Feature → (z, x, y) tile explode — the render stage.
+
+Reference parity: planetiler's FeatureRenderer step (SURVEY.md §3.1 step 8):
+slice every rendered feature into each tile it touches between its min/max
+zoom, clip to 256px + buffer, simplify per zoom, resolve zoom-gated attrs,
+compute the label-grid group, then shuffle by tile for per-tile reduction.
+
+Spark-first decomposition — three sub-stages so the expensive work is pruned
+as early as possible and everything prunable stays JVM-side:
+
+  A. ``prepare_geoms`` (mapInPandas, one Arrow pass): parse WKT once per
+     feature, resolve the geometry *form* (centroid / point_on_surface /
+     centroid_if_convex), convert lon/lat → world [0,1]², and attach cheap
+     stats (bbox, sqrt-area / length in world units). After this stage the
+     geometry is a world-coordinate WKT and every gate below is arithmetic.
+
+  B. ``zoom_explode`` (pure Catalyst): explode the zoom range, resolve
+     zoom-gated attrs / min-pixel-size / tolerance / label-grid spec for
+     each z, and FILTER on the pixel-size gate using the stage-A stats —
+     at z5 a 10 m building dies here, in codegen, before any Python. Also
+     computes the tile coordinate range per (feature, z) so stage C's cost
+     is known to the optimizer (AQE balances by exploded row count).
+
+  C. ``tile_cut`` (mapInPandas): simplify at z-tolerance, assign + clip to
+     each covered tile (px coords, origin = tile top-left). Consecutive rows
+     share the parsed geometry via last-feature memoization (explode keeps a
+     feature's zoom rows adjacent within a partition). Giant polygons
+     (ocean: millions of z14 tiles) take the fill path: rasterize the tile
+     grid, interior tiles emit a canned full-cover rectangle, only boundary
+     tiles pay for an exact clip — planetiler's "tile fill" optimization.
+
+At 100 TB the shuffle after stage C (repartition by z,x,y,layer) is the big
+exchange; it is keyed by tile so the per-tile reducers (windows + merge
+UDFs) are co-located, and AQE splits oversized tile partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geom import mercator, ops, wkt
+from ..features import TILE_EXTENT
+
+MAX_ZOOM = 14
+FILL_TILE_THRESHOLD = 1024  # tiles per (feature, z) beyond which fill path kicks in
+DEFAULT_TOLERANCE_PX = 0.1  # planetiler --simplify-tolerance default
+
+# per-layer simplification tolerance overrides (layer → fn(z) -> px)
+# landcover: 0.25px below z10 (reference layers/Landcover.java:129-130)
+LAYER_TOLERANCE = {
+    "landcover": lambda z: 0.25 if z < 10 else DEFAULT_TOLERANCE_PX,
+}
+
+
+# ------------------------------------------------------------------ stage A
+
+_PREP_EXTRA = [
+    ("kind", T.StringType()),
+    ("geom_world", T.StringType()),
+    ("min_x", T.DoubleType()),
+    ("min_y", T.DoubleType()),
+    ("max_x", T.DoubleType()),
+    ("max_y", T.DoubleType()),
+    ("size_world", T.DoubleType()),
+]
+
+
+def _resolve_form(geom, form: str):
+    """Apply the requested geometry form (F9). Returns geometry or None."""
+    gk = wkt.geom_kind(geom)
+    if form == "point":
+        return geom if gk == "point" else ("Point", ops.centroid(geom))
+    if form == "centroid":
+        return ("Point", ops.centroid(geom))
+    if form == "point_on_surface":
+        return ("Point", ops.point_on_surface(geom))
+    if form == "centroid_if_convex":
+        return ("Point", ops.centroid_if_convex(geom))
+    if form == "line":
+        if gk == "linestring":
+            return geom
+        if geom[0] == "Polygon":  # polygon boundary as line (pier lines etc.)
+            rings = geom[1]
+            return ("LineString", rings[0]) if len(rings) == 1 else ("MultiLineString", list(rings))
+        if geom[0] == "MultiPolygon":
+            return ("MultiLineString", [r for rings in geom[1] for r in rings])
+        return None
+    if form == "polygon":
+        return geom if gk == "polygon" else None
+    raise ValueError(form)
+
+
+def prepare_geoms(features: DataFrame) -> DataFrame:
+    """Stage A: parse + form-resolve + world-convert + stats (one Arrow pass)."""
+    out_schema = T.StructType(
+        list(features.schema.fields) + [T.StructField(n, t) for n, t in _PREP_EXTRA]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {n: [] for n, _ in _PREP_EXTRA}
+            keep = np.ones(len(pdf), dtype=bool)
+            for i, (gw, form) in enumerate(zip(pdf["geom_wkt"], pdf["form"])):
+                try:
+                    g = wkt.parse_wkt(gw)
+                    g = _resolve_form(g, form) if g is not None else None
+                except (ValueError, IndexError):
+                    g = None
+                if g is None:
+                    keep[i] = False
+                    for n in rows:
+                        rows[n].append(None)
+                    continue
+                g = _to_world(g)
+                x0, y0, x1, y1 = ops.bbox(g)
+                gk = wkt.geom_kind(g)
+                if gk == "polygon":
+                    size = float(np.sqrt(max(ops.geom_area(g), 0.0)))
+                elif gk == "linestring":
+                    size = float(ops.geom_length(g))
+                else:
+                    size = 0.0
+                rows["kind"].append(gk)
+                rows["geom_world"].append(wkt.to_wkt(g))
+                rows["min_x"].append(float(x0))
+                rows["min_y"].append(float(y0))
+                rows["max_x"].append(float(x1))
+                rows["max_y"].append(float(y1))
+                rows["size_world"].append(size)
+            for n, vals in rows.items():
+                pdf[n] = vals
+            yield pdf[keep]
+
+    return features.mapInPandas(run, schema=out_schema)
+
+
+def _map_coords(geom, fn):
+    kind, data = geom
+    if kind == "Point":
+        return (kind, fn(data.reshape(1, 2))[0])
+    if kind in ("LineString", "MultiPoint"):
+        return (kind, fn(np.asarray(data)))
+    if kind in ("MultiLineString", "Polygon"):
+        return (kind, [fn(np.asarray(c)) for c in data])
+    if kind == "MultiPolygon":
+        return (kind, [[fn(np.asarray(r)) for r in rings] for rings in data])
+    raise ValueError(kind)
+
+
+def _to_world(geom):
+    def fn(c):
+        x, y = mercator.lonlat_to_world(c[:, 0], c[:, 1])
+        return np.column_stack([x, y])
+
+    return _map_coords(geom, fn)
+
+
+# ------------------------------------------------------------------ stage B
+
+
+def zoom_explode(prepared: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+    """Stage B: explode zoom, resolve z-dependent specs, pixel-gate (JVM)."""
+    df = prepared.withColumn(
+        "z",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("minzoom")),
+                F.least(F.lit(max_zoom), F.col("maxzoom")),
+            )
+        ),
+    )
+    z = F.col("z")
+    scale = F.lit(float(TILE_EXTENT)) * F.pow(F.lit(2.0), z.cast("double"))  # px per world unit
+
+    # resolve zoom-gated attrs: base map overwritten by active zattrs
+    # (LAST_WIN map policy set in session); higher-minzoom entries win.
+    active = F.array_sort(
+        F.filter(F.coalesce(F.col("zattrs"), F.array()), lambda e: e["minzoom"] <= z),
+        lambda a, b: F.when(a["minzoom"] < b["minzoom"], -1)
+        .when(a["minzoom"] > b["minzoom"], 1)
+        .otherwise(0),
+    )
+    attrs_z = F.map_concat(
+        F.col("attrs"),
+        F.map_from_entries(
+            F.transform(active, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")))
+        ),
+    )
+    # min pixel size at z: smallest-matching below_zoom override, else base
+    ov = F.filter(F.coalesce(F.col("mps_overrides"), F.array()), lambda o: z < o["below_zoom"])
+    ov_sorted = F.array_sort(
+        ov,
+        lambda a, b: F.when(a["below_zoom"] < b["below_zoom"], -1)
+        .when(a["below_zoom"] > b["below_zoom"], 1)
+        .otherwise(0),
+    )
+    mps_z = F.when(F.size(ov_sorted) > 0, F.element_at(ov_sorted, 1)["size"]).otherwise(
+        F.col("min_pixel_size")
+    )
+    # label grid spec at z
+    grid_z = F.filter(
+        F.coalesce(F.col("grid"), F.array()),
+        lambda g: (g["minzoom"] <= z) & (z <= g["maxzoom"]),
+    )
+    grid_size_z = F.when(F.size(grid_z) > 0, F.element_at(grid_z, 1)["size"])
+    grid_limit_z = F.when(F.size(grid_z) > 0, F.element_at(grid_z, 1)["limit"]).otherwise(F.lit(0))
+
+    df = (
+        df.withColumn("attrs_z", attrs_z)
+        .withColumn("mps_z", mps_z)
+        .withColumn("grid_size_z", grid_size_z)
+        .withColumn("grid_limit_z", grid_limit_z)
+        .withColumn("size_px", F.col("size_world") * scale)
+    )
+    # the pixel gate (skipped at the map max zoom so overzooming keeps data —
+    # planetiler FeatureCollector.Feature#setMinPixelSize semantics)
+    gate = (
+        (F.col("kind") == "point")
+        | (z == F.lit(max_zoom))
+        | (F.col("size_px") >= F.col("mps_z"))
+    )
+    return df.filter(gate)
+
+
+# ------------------------------------------------------------------ stage C
+
+TILE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("elem_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("geom_px", T.StringType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("sort_key", T.IntegerType()),
+        T.StructField("grid_cell", T.LongType()),
+        T.StructField("grid_limit", T.IntegerType()),
+    ]
+)
+
+
+def _scale_to_tile(geom, tx, ty, scale_tiles):
+    """world → px coords local to tile (tx, ty): px = world*2^z*256 - tile*256."""
+
+    def fn(c):
+        out = c * (scale_tiles * TILE_EXTENT)
+        out[:, 0] -= tx * TILE_EXTENT
+        out[:, 1] -= ty * TILE_EXTENT
+        return out
+
+    return _map_coords(geom, fn)
+
+
+def _emit_row(out, row, z, tx, ty, geom_px, grid_cell):
+    out["z"].append(z)
+    out["x"].append(tx)
+    out["y"].append(ty)
+    out["layer"].append(row.layer)
+    out["doc_id"].append(row.doc_id)
+    out["elem_id"].append(row.elem_id)
+    out["kind"].append(row.kind)
+    out["geom_px"].append(wkt.to_wkt(geom_px))
+    out["attrs"].append(row.attrs_z)
+    out["sort_key"].append(row.sort_key)
+    out["grid_cell"].append(grid_cell)
+    out["grid_limit"].append(row.grid_limit_z)
+
+
+_FILL_GEOM = None
+
+
+def _fill_rect(buffer_px):
+    return (
+        "Polygon",
+        [
+            np.array(
+                [
+                    [-buffer_px, -buffer_px],
+                    [TILE_EXTENT + buffer_px, -buffer_px],
+                    [TILE_EXTENT + buffer_px, TILE_EXTENT + buffer_px],
+                    [-buffer_px, TILE_EXTENT + buffer_px],
+                    [-buffer_px, -buffer_px],
+                ]
+            )
+        ],
+    )
+
+
+def tile_cut(exploded: DataFrame) -> DataFrame:
+    """Stage C: per (feature, z) → tile rows with clipped px geometry."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo_key, memo_geom = None, None
+        for pdf in batches:
+            out = {f.name: [] for f in TILE_FEATURE_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                key = (row.doc_id, row.elem_id, row.layer, row.form)
+                if key != memo_key:
+                    memo_key = key
+                    memo_geom = wkt.parse_wkt(row.geom_world)
+                g = memo_geom
+                if g is None:
+                    continue
+                z = int(row.z)
+                n = 1 << z
+                scale = n * TILE_EXTENT  # px per world unit
+                buf = float(row.buffer_px)
+                buf_world = buf / scale
+                if row.kind == "point":
+                    _cut_points(out, row, g, z, n, scale, buf)
+                    continue
+                # simplify at this zoom's tolerance (world units)
+                tol_fn = LAYER_TOLERANCE.get(row.layer)
+                tol_px = tol_fn(z) if tol_fn else DEFAULT_TOLERANCE_PX
+                gs = ops.simplify(g, tol_px / scale) if tol_px > 0 else g
+                if gs is None:
+                    continue
+                x0 = max(0, int(np.floor((row.min_x - buf_world) * n)))
+                x1 = min(n - 1, int(np.floor((row.max_x + buf_world) * n)))
+                y0 = max(0, int(np.floor((row.min_y - buf_world) * n)))
+                y1 = min(n - 1, int(np.floor((row.max_y + buf_world) * n)))
+                ntiles = (x1 - x0 + 1) * (y1 - y0 + 1)
+                if row.kind == "polygon" and ntiles > FILL_TILE_THRESHOLD:
+                    _cut_polygon_fill(out, row, gs, z, n, scale, buf, x0, x1, y0, y1)
+                    continue
+                for tx in range(x0, x1 + 1):
+                    for ty in range(y0, y1 + 1):
+                        bx0 = (tx * TILE_EXTENT - buf) / scale
+                        bx1 = ((tx + 1) * TILE_EXTENT + buf) / scale
+                        by0 = (ty * TILE_EXTENT - buf) / scale
+                        by1 = ((ty + 1) * TILE_EXTENT + buf) / scale
+                        c = ops.clip_geom_box(gs, bx0, by0, bx1, by1)
+                        if c is None:
+                            continue
+                        _emit_row(out, row, z, tx, ty, _scale_to_tile(c, tx, ty, n), None)
+            yield pd.DataFrame(out)
+
+    return exploded.mapInPandas(run, schema=TILE_FEATURE_SCHEMA)
+
+
+def _cut_points(out, row, g, z, n, scale, buf):
+    pts = g[1].reshape(1, 2) if g[0] == "Point" else np.asarray(g[1])
+    gsize = row.grid_size_z
+    for px, py in np.asarray(pts, dtype=np.float64):
+        gx, gy = px * scale, py * scale  # global px at z
+        if gsize is not None and not (isinstance(gsize, float) and np.isnan(gsize)) and gsize > 0:
+            cell = (int(gx // gsize) << 31) | int(gy // gsize)
+        else:
+            cell = None
+        tx0, tx1 = int((gx - buf) // TILE_EXTENT), int((gx + buf) // TILE_EXTENT)
+        ty0, ty1 = int((gy - buf) // TILE_EXTENT), int((gy + buf) // TILE_EXTENT)
+        for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+            for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
+                local = ("Point", np.array([gx - tx * TILE_EXTENT, gy - ty * TILE_EXTENT]))
+                _emit_row(out, row, z, tx, ty, local, cell)
+
+
+def _cut_polygon_fill(out, row, gs, z, n, scale, buf, x0, x1, y0, y1):
+    """Fill path for giant polygons: classify tiles via a tile-grid raster;
+    interior tiles emit a full-cover rectangle, boundary tiles exact-clip."""
+    from ..geom import raster
+
+    polys = [gs[1]] if gs[0] == "Polygon" else list(gs[1])
+    cols, rows_n = x1 - x0 + 1, y1 - y0 + 1
+    cell_w = 1.0 / n
+    mask = raster.rasterize(polys, x0 * cell_w, y0 * cell_w, cell_w, (rows_n, cols))
+    # boundary cells: any cell whose 3×3 neighborhood is not uniformly filled
+    interior = raster.erode(mask, 1)
+    edge_mask = _edge_cells(polys, x0, y0, cols, rows_n, n)
+    boundary = (mask | edge_mask) & ~(interior & ~edge_mask)
+    fill = interior & ~edge_mask
+    fr, fc = np.nonzero(fill)
+    rect = _fill_rect(buf)
+    for r, c in zip(fr.tolist(), fc.tolist()):
+        _emit_row(out, row, z, x0 + c, y0 + r, rect, None)
+    br, bc = np.nonzero(boundary)
+    for r, c in zip(br.tolist(), bc.tolist()):
+        tx, ty = x0 + c, y0 + r
+        bx0 = (tx * TILE_EXTENT - buf) / scale
+        bx1 = ((tx + 1) * TILE_EXTENT + buf) / scale
+        by0 = (ty * TILE_EXTENT - buf) / scale
+        by1 = ((ty + 1) * TILE_EXTENT + buf) / scale
+        cgeom = ops.clip_geom_box(gs, bx0, by0, bx1, by1)
+        if cgeom is not None:
+            _emit_row(out, row, z, tx, ty, _scale_to_tile(cgeom, tx, ty, n), None)
+
+
+def _edge_cells(polys, x0, y0, cols, rows_n, n):
+    """Cells crossed by any polygon edge (conservative supercover)."""
+    mask = np.zeros((rows_n, cols), dtype=bool)
+    for rings in polys:
+        for ring in rings:
+            c = np.asarray(ring) * n  # tile units
+            cx, cy = c[:, 0] - x0, c[:, 1] - y0
+            for i in range(len(c) - 1):
+                _mark_segment(mask, cx[i], cy[i], cx[i + 1], cy[i + 1], cols, rows_n)
+    return mask
+
+
+def _mark_segment(mask, ax, ay, bx, by, cols, rows_n):
+    steps = int(max(abs(bx - ax), abs(by - ay)) * 2) + 1
+    ts = np.linspace(0.0, 1.0, steps + 1)
+    xs = np.clip((ax + (bx - ax) * ts).astype(np.int64), 0, cols - 1)
+    ys = np.clip((ay + (by - ay) * ts).astype(np.int64), 0, rows_n - 1)
+    # mark a 1-cell neighborhood to stay conservative at corners
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            mask[np.clip(ys + dy, 0, rows_n - 1), np.clip(xs + dx, 0, cols - 1)] = True
+
+
+# -------------------------------------------------------------- full stage
+
+
+def render_tiles(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+    """features → per-tile features (stages A+B+C), before tile reduction."""
+    return tile_cut(zoom_explode(prepare_geoms(features), max_zoom))
