@@ -62,6 +62,40 @@ MPS_TYPE = T.ArrayType(
     )
 )
 
+BUF_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("zoom", T.IntegerType()),
+            T.StructField("size", T.DoubleType()),
+        ]
+    )
+)
+
+WORLD_CIRCUMFERENCE_METERS = 40075016.686
+
+
+def meters_to_px(meters: float, zoom: int) -> float:
+    """planetiler GeoUtils.metersToPixelAtEquator(zoom, meters)."""
+    return meters * TILE_EXTENT * (1 << zoom) / WORLD_CIRCUMFERENCE_METERS
+
+
+def meters_to_world(meters: float) -> float:
+    return meters / WORLD_CIRCUMFERENCE_METERS
+
+
+def meter_thresholds_buffer(thresholds: dict[int, float]) -> Column:
+    """ZoomFunction.MeterToPixelThresholds as per-zoom buffer overrides
+    (reference setBufferPixelOverrides — layers/Waterway.java:202)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(z).cast("int").alias("zoom"),
+                F.lit(meters_to_px(m, z)).alias("size"),
+            )
+            for z, m in sorted(thresholds.items())
+        ]
+    )
+
 FEATURE_COLUMNS = [
     "doc_id",
     "elem_id",
@@ -73,6 +107,7 @@ FEATURE_COLUMNS = [
     "minzoom",
     "maxzoom",
     "buffer_px",
+    "buffer_overrides",
     "min_pixel_size",
     "mps_overrides",
     "sort_key",
@@ -118,7 +153,9 @@ def grid_entry(minzoom: int, maxzoom: int, size: float, limit: int = 0) -> Colum
 
 
 def mps_below(below_zoom: int, size: float) -> Column:
-    """setMinPixelSizeBelowZoom(z, s): gate applies only at zoom < z."""
+    """setMinPixelSizeBelowZoom(z, s): gate applies at zoom <= z
+    (planetiler ZoomFunction.maxZoom semantics — WaterTest asserts
+    _minpixelsize 2 at z11 for setMinPixelSizeBelowZoom(11, 2))."""
     return F.struct(
         F.lit(below_zoom).cast("int").alias("below_zoom"),
         F.lit(float(size)).alias("size"),
@@ -135,6 +172,7 @@ def emit(
     minzoom: Column | int = 0,
     maxzoom: Column | int = 14,
     buffer_px: Column | float = 4.0,
+    buffer_overrides: Column | None = None,
     min_pixel_size: Column | float = 1.0,
     mps_overrides: Column | None = None,
     sort_key: Column | int = 0,
@@ -158,6 +196,9 @@ def emit(
         _c(minzoom, "int").alias("minzoom"),
         _c(maxzoom, "int").alias("maxzoom"),
         _c(buffer_px, "double").alias("buffer_px"),
+        (buffer_overrides if buffer_overrides is not None else F.lit(None).cast(BUF_TYPE)).alias(
+            "buffer_overrides"
+        ),
         _c(min_pixel_size, "double").alias("min_pixel_size"),
         (mps_overrides if mps_overrides is not None else F.lit(None).cast(MPS_TYPE)).alias(
             "mps_overrides"
@@ -180,6 +221,7 @@ def empty_features(spark) -> DataFrame:
             T.StructField("minzoom", T.IntegerType()),
             T.StructField("maxzoom", T.IntegerType()),
             T.StructField("buffer_px", T.DoubleType()),
+            T.StructField("buffer_overrides", BUF_TYPE),
             T.StructField("min_pixel_size", T.DoubleType()),
             T.StructField("mps_overrides", MPS_TYPE),
             T.StructField("sort_key", T.IntegerType()),

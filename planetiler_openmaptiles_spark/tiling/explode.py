@@ -193,7 +193,7 @@ def zoom_explode(prepared: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
         ),
     )
     # min pixel size at z: smallest-matching below_zoom override, else base
-    ov = F.filter(F.coalesce(F.col("mps_overrides"), F.array()), lambda o: z < o["below_zoom"])
+    ov = F.filter(F.coalesce(F.col("mps_overrides"), F.array()), lambda o: z <= o["below_zoom"])
     ov_sorted = F.array_sort(
         ov,
         lambda a, b: F.when(a["below_zoom"] < b["below_zoom"], -1)
@@ -211,8 +211,13 @@ def zoom_explode(prepared: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
     grid_size_z = F.when(F.size(grid_z) > 0, F.element_at(grid_z, 1)["size"])
     grid_limit_z = F.when(F.size(grid_z) > 0, F.element_at(grid_z, 1)["limit"]).otherwise(F.lit(0))
 
+    buf_ov = F.filter(F.coalesce(F.col("buffer_overrides"), F.array()), lambda o: o["zoom"] == z)
+    buffer_z = F.when(F.size(buf_ov) > 0, F.element_at(buf_ov, 1)["size"]).otherwise(
+        F.col("buffer_px")
+    )
     df = (
         df.withColumn("attrs_z", attrs_z)
+        .withColumn("buffer_z", buffer_z)
         .withColumn("mps_z", mps_z)
         .withColumn("grid_size_z", grid_size_z)
         .withColumn("grid_limit_z", grid_limit_z)
@@ -313,7 +318,7 @@ def tile_cut(exploded: DataFrame) -> DataFrame:
                 z = int(row.z)
                 n = 1 << z
                 scale = n * TILE_EXTENT  # px per world unit
-                buf = float(row.buffer_px)
+                buf = float(row.buffer_z)
                 buf_world = buf / scale
                 if row.kind == "point":
                     _cut_points(out, row, g, z, n, scale, buf)
