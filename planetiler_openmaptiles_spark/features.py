@@ -118,6 +118,10 @@ FEATURE_COLUMNS = [
 def attr_entries(**attrs: Column | str | int | float | None) -> Column:
     """Build a map<string,string> attr column; null values are omitted
     (reference `nullIfEmpty` convention, util/Utils.java:31-49)."""
+    if not attrs:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
     entries = []
     for k, v in attrs.items():
         c = v if isinstance(v, Column) else F.lit(v)

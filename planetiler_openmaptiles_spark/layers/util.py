@@ -55,6 +55,80 @@ def elevation_attrs(ele_col: Column) -> dict[str, Column]:
     }
 
 
+# ----------------------------------------------------------- name / i18n
+# Port of util/OmtLanguageUtils.java:76-115 (F5) as pure Column expressions.
+# Latin detection ≈ planetiler LanguageUtils.containsOnlyLatinCharacters:
+# code points < U+024F or in the Latin script (Java regex \p{IsLatin}).
+
+_LATIN_ONLY = "^[\\u0020-\\u024F\\u1E00-\\u1EFF\\u2C60-\\u2C7F\\uA720-\\uA7FF]*$"
+_NAME_LANG_KEY = r"^name:[a-z]{2,3}(?:[-_][a-zA-Z]{2,4})?$"
+
+
+def _only_latin(c: Column) -> Column:
+    return c.isNotNull() & (c != "") & c.rlike(_LATIN_ONLY)
+
+
+def names_map(tags: Column | None = None, translations: bool = True) -> Column:
+    """map<string,string> of name, name_en, name_de, name:latin,
+    name:nonlatin, name_int (+ passthrough name:xx translations)."""
+    tags = F.col("tags") if tags is None else tags
+    name = nullif_empty(F.element_at(tags, "name"))
+    int_name = nullif_empty(F.element_at(tags, "int_name"))
+    name_en = nullif_empty(F.element_at(tags, "name:en"))
+    name_de = nullif_empty(F.element_at(tags, "name:de"))
+
+    other_translations = F.transform(
+        F.filter(
+            F.map_entries(tags),
+            lambda e: e["key"].rlike(_NAME_LANG_KEY)
+            & ~e["key"].isin("name:en", "name:de"),
+        ),
+        lambda e: e["value"],
+    )
+    latin_candidates = F.concat(
+        F.array(name_en, int_name, name_de), other_translations
+    )
+    first_latin = F.element_at(
+        F.filter(latin_candidates, lambda v: v.isNotNull() & (v != "") & v.rlike(_LATIN_ONLY)),
+        1,
+    )
+    latin = F.when(_only_latin(name), name).otherwise(first_latin)
+    non_latin_raw = F.regexp_replace(
+        name, "[\\u0020-\\u024F\\u1E00-\\u1EFF\\u2C60-\\u2C7F\\uA720-\\uA7FF]", ""
+    )
+    non_latin = F.when(_only_latin(name), F.lit(None)).otherwise(nullif_empty(non_latin_raw))
+    non_latin = F.when(non_latin.eqNullSafe(latin), F.lit(None)).otherwise(non_latin)
+
+    entries = [
+        F.struct(F.lit("name").alias("key"), name.alias("value")),
+        F.struct(F.lit("name_en").alias("key"), F.coalesce(name_en, name).alias("value")),
+        F.struct(F.lit("name_de").alias("key"), F.coalesce(name_de, name, name_en).alias("value")),
+        F.struct(F.lit("name:latin").alias("key"), latin.alias("value")),
+        F.struct(F.lit("name:nonlatin").alias("key"), non_latin.alias("value")),
+        F.struct(
+            F.lit("name_int").alias("key"),
+            F.coalesce(int_name, name_en, latin, name).alias("value"),
+        ),
+    ]
+    base = F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+    if translations:
+        trans = F.filter(
+            F.map_entries(tags),
+            lambda e: e["key"].rlike(_NAME_LANG_KEY) & e["value"].isNotNull() & (e["value"] != ""),
+        )
+        base = F.concat(base, trans)
+    return F.map_from_entries(base)
+
+
+def names_zattrs(minzoom: int, tags: Column | None = None, translations: bool = True) -> Column:
+    """names_map as zoom-gated attr entries (putAttrsWithMinzoom)."""
+    mz = F.lit(minzoom).cast("int")
+    return F.transform(
+        F.map_entries(names_map(tags, translations)),
+        lambda e: F.struct(e["key"].alias("key"), mz.alias("minzoom"), e["value"].alias("value")),
+    )
+
+
 def class_case(rules: list[tuple[str, tuple[str, tuple]]], default: str | None = None) -> Column:
     """MultiExpression first-match over `tags` → class value (F3):
     rules = [(class_value, (tag_key, (accepted values...))), ...]."""

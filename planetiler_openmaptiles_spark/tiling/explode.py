@@ -126,6 +126,12 @@ def prepare_geoms(features: DataFrame) -> DataFrame:
                     size = float(ops.geom_length(g))
                 else:
                     size = 0.0
+                attrs = pdf["attrs"].iloc[i]
+                if attrs is not None and attrs.get("_numpoints") == "__computed__":
+                    # setNumPointsAttr (reference layers/Landcover.java:84,133)
+                    attrs = dict(attrs)
+                    attrs["_numpoints"] = str(len(ops._all_coords(g)))
+                    pdf.iat[i, pdf.columns.get_loc("attrs")] = attrs
                 rows["kind"].append(gk)
                 rows["geom_world"].append(wkt.to_wkt(g))
                 rows["min_x"].append(float(x0))

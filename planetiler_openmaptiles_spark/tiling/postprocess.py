@@ -146,7 +146,7 @@ def merge_line_strings(
     lo, hi = -buffer_px, TILE_EXTENT + buffer_px
     for k in sorted(groups, key=lambda k: order[k]):
         elem_id, attrs = meta[k]
-        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("__")}
+        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
         min_len = min_length_fn(attrs) if min_length_fn else min_length_px
         merged = ops.merge_lines(groups[k], quantum=0.25 / 16)
         kept = []
@@ -200,7 +200,7 @@ def _merge_polygons(pdf, min_area_px2, min_hole_px2, buffer_dist_px, clip_buffer
     extent = TILE_EXTENT + 2 * pad
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
-        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("__")}
+        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
         merged = raster.union_polygons(
             groups[k],
             x0,
@@ -238,7 +238,7 @@ def merge_multi_point(pdf: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
-        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("__")}
+        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
         pts = np.array(groups[k])
         geom = ("Point", pts[0]) if len(pts) == 1 else ("MultiPoint", pts)
         rows.append((elem_id, "point", wkt.to_wkt(geom), out_attrs))
@@ -261,7 +261,7 @@ def merge_multi_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
-        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("__")}
+        out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
         polys = groups[k]
         geom = ("Polygon", polys[0]) if len(polys) == 1 else ("MultiPolygon", polys)
         rows.append((elem_id, "polygon", wkt.to_wkt(geom), out_attrs))
