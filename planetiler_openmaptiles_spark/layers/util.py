@@ -36,14 +36,17 @@ METERS_PER_FOOT = 0.3048
 
 
 def parse_meters(c: Column) -> Column:
-    """Parse.meters subset ("12", "12 m", "40 ft", "12.5m") → double meters
+    """Parse.meters ("12", "12 m", "40 ft", "100' 11\\"") → double meters
     (reference layers/Building.java:143-150 via planetiler Parse.meters)."""
     s = F.trim(F.lower(c.cast("string")))
-    num = F.regexp_extract(s, r"^(-?\d+(?:\.\d+)?)", 1).cast("double")
-    is_ft = s.rlike(r"(ft|feet|')\s*$")
-    return F.when(num.isNull(), F.lit(None)).otherwise(
-        F.when(is_ft, num * F.lit(METERS_PER_FOOT)).otherwise(num)
-    )
+    ft_re = r"^(-?\d+(?:\.\d+)?)\s*(?:'|ft|feet)(?:\s*(\d+(?:\.\d+)?)\s*(?:\x22|in(?:ch(?:es)?)?))?\s*$"
+    feet = F.regexp_extract(s, ft_re, 1)
+    inches = F.regexp_extract(s, ft_re, 2)
+    ft_val = (
+        feet.cast("double") + F.coalesce(inches.cast("double"), F.lit(0.0)) / F.lit(12.0)
+    ) * F.lit(METERS_PER_FOOT)
+    num = F.regexp_extract(s, r"^(-?\d+(?:\.\d+)?)\s*m?\s*$", 1).cast("double")
+    return F.when(feet != "", ft_val).otherwise(num)
 
 
 def elevation_attrs(ele_col: Column) -> dict[str, Column]:

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # zoom-gated attrs overwrite base attrs via map_concat (explode.py)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # lenient coercion: invalid tag casts → null (imposm3/planetiler
+        # getLong/getDouble semantics), element_at out-of-bounds → null
+        .config("spark.sql.ansi.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -51,10 +51,14 @@ MAX_ZOOM = 14
 FILL_TILE_THRESHOLD = 1024  # tiles per (feature, z) beyond which fill path kicks in
 DEFAULT_TOLERANCE_PX = 0.1  # planetiler --simplify-tolerance default
 
-# per-layer simplification tolerance overrides (layer → fn(z) -> px)
-# landcover: 0.25px below z10 (reference layers/Landcover.java:129-130)
+# per-layer simplification tolerance overrides (layer → fn(z, attrs) -> px)
+# landcover: 0.25px at z<=10 (reference layers/Landcover.java:129-130);
+# buildings & residential landuse: 0.25px (Building.java:172-176,
+# Landuse.java:124-126)
 LAYER_TOLERANCE = {
-    "landcover": lambda z: 0.25 if z < 10 else DEFAULT_TOLERANCE_PX,
+    "landcover": lambda z, a: 0.25 if z <= 10 else DEFAULT_TOLERANCE_PX,
+    "building": lambda z, a: 0.25,
+    "landuse": lambda z, a: 0.25 if a.get("class") == "residential" else DEFAULT_TOLERANCE_PX,
 }
 
 
@@ -331,7 +335,7 @@ def tile_cut(exploded: DataFrame) -> DataFrame:
                     continue
                 # simplify at this zoom's tolerance (world units)
                 tol_fn = LAYER_TOLERANCE.get(row.layer)
-                tol_px = tol_fn(z) if tol_fn else DEFAULT_TOLERANCE_PX
+                tol_px = tol_fn(z, row.attrs_z or {}) if tol_fn else DEFAULT_TOLERANCE_PX
                 gs = ops.simplify(g, tol_px / scale) if tol_px > 0 else g
                 if gs is None:
                     continue

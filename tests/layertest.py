@@ -129,6 +129,13 @@ class FeatureSet:
             f["_sortkey"] = r["sort_key"]
             f["_elem_id"] = r["elem_id"]
             f["_doc_id"] = r["doc_id"]
+            gs, gl = None, 0
+            for g in r.get("grid") or []:
+                if g["minzoom"] <= zoom <= g["maxzoom"]:
+                    gs, gl = g["size"], g["limit"]
+                    break
+            f["_labelgrid_size"] = gs
+            f["_labelgrid_limit"] = gl
             out.append(f)
         return out
 
