@@ -221,6 +221,8 @@ _POI_COLUMNS = {
     "sport": ("sport", "s"),
     "operator": ("operator", "s"),
     "network": ("network", "s"),
+    "brand": ("brand", "s"),
+    "ref": ("ref", "s"),
 }
 
 _LANDCOVER_KEYS = {

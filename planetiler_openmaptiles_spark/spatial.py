@@ -196,3 +196,18 @@ def point_kring(lon_lat_wkt_col: Column, meters: float, zoom: int = CELL_ZOOM) -
     lon = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 1).cast("double")
     lat = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 2).cast("double")
     return cells.cells_within_meters(lon, lat, meters, zoom)
+
+
+@pandas_udf(T.StringType())
+def strip_accents_udf(s: pd.Series) -> pd.Series:
+    """Apache-commons StringUtils.stripAccents equivalent (J4 city match)."""
+    import unicodedata
+
+    def strip(v):
+        if v is None:
+            return None
+        return "".join(
+            ch for ch in unicodedata.normalize("NFD", v) if not unicodedata.combining(ch)
+        )
+
+    return s.map(strip)

@@ -52,11 +52,11 @@ def cell_of_lonlat(lon: Column, lat: Column, zoom: int = CELL_ZOOM) -> Column:
 
 
 def cell_x(cell: Column) -> Column:
-    return F.shiftright(cell, 29) & F.lit((1 << 29) - 1)
+    return F.shiftright(cell, 29).bitwiseAND(F.lit((1 << 29) - 1).cast("long"))
 
 
 def cell_y(cell: Column) -> Column:
-    return cell & F.lit((1 << 29) - 1)
+    return cell.bitwiseAND(F.lit((1 << 29) - 1).cast("long"))
 
 
 def cell_z(cell: Column) -> Column:
@@ -68,7 +68,7 @@ def kring_cells(cell: Column, k: int = 1) -> Column:
     deduplicated). Used for within-distance joins: index points at CELL_ZOOM,
     explode the kRing of the probe side, equi-join on cell."""
     z = cell_z(cell)
-    n = F.shiftleft(F.lit(1).cast("long"), z.cast("int"))
+    n = F.pow(F.lit(2.0), z.cast("double")).cast("long")
     x, y = cell_x(cell), cell_y(cell)
     offsets = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
     neigh = [

@@ -66,6 +66,7 @@ LAYER_TOLERANCE = {
 
 _PREP_EXTRA = [
     ("kind", T.StringType()),
+    ("src_kind", T.StringType()),
     ("geom_world", T.StringType()),
     ("min_x", T.DoubleType()),
     ("min_y", T.DoubleType()),
@@ -112,10 +113,10 @@ def prepare_geoms(features: DataFrame) -> DataFrame:
             keep = np.ones(len(pdf), dtype=bool)
             for i, (gw, form) in enumerate(zip(pdf["geom_wkt"], pdf["form"])):
                 try:
-                    g = wkt.parse_wkt(gw)
-                    g = _resolve_form(g, form) if g is not None else None
+                    src = wkt.parse_wkt(gw)
+                    g = _resolve_form(src, form) if src is not None else None
                 except (ValueError, IndexError):
-                    g = None
+                    src, g = None, None
                 if g is None:
                     keep[i] = False
                     for n in rows:
@@ -124,10 +125,18 @@ def prepare_geoms(features: DataFrame) -> DataFrame:
                 g = _to_world(g)
                 x0, y0, x1, y1 = ops.bbox(g)
                 gk = wkt.geom_kind(g)
-                if gk == "polygon":
-                    size = float(np.sqrt(max(ops.geom_area(g), 0.0)))
-                elif gk == "linestring":
-                    size = float(ops.geom_length(g))
+                # pixel gates measure the SOURCE geometry (planetiler
+                # setMinPixelSize semantics — a pointOnSurface label is
+                # gated by its source polygon's size, WaterName.java:246-257)
+                src_kind = wkt.geom_kind(src)
+                if src_kind == gk and gk != "polygon" and gk != "linestring":
+                    size = 0.0
+                if src_kind == "polygon":
+                    sw = _to_world(src) if form != "polygon" else g
+                    size = float(np.sqrt(max(ops.geom_area(sw), 0.0)))
+                elif src_kind == "linestring":
+                    sw = _to_world(src) if form not in ("line",) else g
+                    size = float(ops.geom_length(sw))
                 else:
                     size = 0.0
                 attrs = pdf["attrs"].iloc[i]
@@ -137,6 +146,7 @@ def prepare_geoms(features: DataFrame) -> DataFrame:
                     attrs["_numpoints"] = str(len(ops._all_coords(g)))
                     pdf.iat[i, pdf.columns.get_loc("attrs")] = attrs
                 rows["kind"].append(gk)
+                rows["src_kind"].append(src_kind)
                 rows["geom_world"].append(wkt.to_wkt(g))
                 rows["min_x"].append(float(x0))
                 rows["min_y"].append(float(y0))
@@ -236,7 +246,7 @@ def zoom_explode(prepared: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
     # the pixel gate (skipped at the map max zoom so overzooming keeps data —
     # planetiler FeatureCollector.Feature#setMinPixelSize semantics)
     gate = (
-        (F.col("kind") == "point")
+        (F.col("src_kind") == "point")
         | (z == F.lit(max_zoom))
         | (F.col("size_px") >= F.col("mps_z"))
     )
