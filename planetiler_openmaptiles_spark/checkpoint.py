@@ -1,0 +1,99 @@
+"""Per-stage checkpointing with lineage + row-count metrics (resume support).
+
+The north rule requires each stage to checkpoint per-partition with lineage
+and row counts so a killed job resumes mid-zoom without recomputation. In a
+full deployment these are Iceberg tables (`df.writeTo(...)` + snapshot ids);
+the sandbox has no Iceberg runtime jar, so this module emulates the same
+contract over parquet directories with a JSON manifest per stage
+(SURVEY.md §7 fallback note — same API, flagged in metrics).
+
+Contract:
+  cp = CheckpointManager(root)
+  df = cp.stage("rendered_features", fingerprint, lambda: build_df(), spark)
+    - if a manifest exists for (name, fingerprint): read the parquet back
+      (skip recompute) — resume path.
+    - else: compute, write parquet + manifest {name, fingerprint, rows,
+      wall_s, partitions, lineage: [upstream stage names], written_at}.
+
+`fingerprint` should capture the stage's inputs (e.g. input snapshot id /
+corpus directory + config hash) so stale checkpoints never resurrect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointManager:
+    def __init__(self, root: str, enabled: bool = True):
+        self.root = root
+        self.enabled = enabled and bool(root)
+        if self.enabled:
+            os.makedirs(root, exist_ok=True)
+
+    def _paths(self, name: str):
+        d = os.path.join(self.root, name)
+        return d, os.path.join(d, "_MANIFEST.json")
+
+    def manifest(self, name: str) -> dict | None:
+        _, mf = self._paths(name)
+        if os.path.exists(mf):
+            with open(mf) as f:
+                return json.load(f)
+        return None
+
+    def stage(
+        self,
+        name: str,
+        fingerprint: str,
+        build,
+        spark: SparkSession,
+        lineage: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        if not self.enabled:
+            return build()
+        d, mf = self._paths(name)
+        m = self.manifest(name)
+        if m is not None and m.get("fingerprint") == fingerprint:
+            return spark.read.parquet(os.path.join(d, "data"))
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+        t0 = time.time()
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        data_dir = os.path.join(d, "data")
+        writer.parquet(data_dir)
+        out = spark.read.parquet(data_dir)
+        rows = out.count()
+        manifest = {
+            "name": name,
+            "fingerprint": fingerprint,
+            "rows": rows,
+            "wall_s": round(time.time() - t0, 3),
+            "partitions": out.rdd.getNumPartitions(),
+            "lineage": lineage or [],
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "format": "parquet-manifest (iceberg emulation; no runtime jar in sandbox)",
+        }
+        with open(mf, "w") as f:
+            json.dump(manifest, f, indent=2)
+        return out
+
+    def metrics(self) -> list[dict]:
+        out = []
+        if not self.enabled:
+            return out
+        for name in sorted(os.listdir(self.root)):
+            m = self.manifest(name)
+            if m:
+                out.append(m)
+        return out

