@@ -1,38 +1,807 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Two families of queries:
+
+* Geospatial-engine queries run over the engine's own deterministic
+  interleaved-documents corpus (BASELINE.json input_hint shape), generated
+  by `planetiler_openmaptiles_spark.datagen` into `.gendata/` — seeded, so
+  Spark and the DuckDB oracle read the *same parquet bytes*. Oracles decode
+  the span structure with DuckDB list/map functions and replay the same
+  logic in ANSI SQL.
+
+* Training-data-pipeline queries (dedup / similarity / text analysis) and
+  relational coverage queries run over the driver-provided testdata tables.
+
+Non-SQL-expressible ops (xxhash-based LSH, raster geometry merges, the full
+tile pipeline) are included without oracles → driver records rows-only.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+GEN_ROOT = os.path.join(REPO, ".gendata")
+SEED = 42
+
+_SF_DOCS = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 40000}
+ORACLE_SF = "sf0.01"  # driver compares at sf=0.01
+
+
+def _corpus_dir(sf_dir: str) -> str:
+    from planetiler_openmaptiles_spark.datagen import write_corpus
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_DOCS.get(name, 4000)
+    return write_corpus(GEN_ROOT, n_docs=n, seed=SEED)
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(_corpus_dir(sf_dir), "documents.parquet")
+
+
+def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    docs = spark.read.parquet(_docs_path(sf_dir))
+    return decode_documents(docs)
+
+
+# ----------------------------------------------------------- DuckDB helpers
+
+_DECODE_CTE = """
+WITH raw AS (SELECT * FROM read_parquet('{path}')),
+feat AS (
+  SELECT doc_id,
+    split_part(list_filter(spans, s -> s.kind='src')[1].text, '|', 1) AS source,
+    split_part(list_filter(spans, s -> s.kind='src')[1].text, '|', 2) AS source_layer,
+    CAST(split_part(list_filter(spans, s -> s.kind='src')[1].text, '|', 3) AS BIGINT) AS elem_id,
+    map_from_entries(list_transform(list_filter(spans, s -> s.kind='tag'),
+      s -> {{'key': split_part(s.text,'=',1),
+             'value': substr(s.text, length(split_part(s.text,'=',1))+2)}})) AS tags,
+    list_aggregate(list_transform(list_filter(spans, s -> s.kind='geom'), s -> s.text),
+                   'string_agg', '') AS geom_wkt,
+    length(list_filter(spans, s -> s.kind='media')) AS n_media,
+    length(list_filter(spans, s -> s.kind='rel')) AS n_rels
+  FROM raw),
+feat2 AS (
+  SELECT *,
+    CASE upper(trim(split_part(geom_wkt, '(', 1)))
+      WHEN 'POINT' THEN 'point' WHEN 'MULTIPOINT' THEN 'point'
+      WHEN 'LINESTRING' THEN 'linestring' WHEN 'MULTILINESTRING' THEN 'linestring'
+      WHEN 'POLYGON' THEN 'polygon' WHEN 'MULTIPOLYGON' THEN 'polygon'
+      ELSE 'other' END AS geom_kind
+  FROM feat)
+"""
+
+
+def _tag(key: str) -> str:
+    return f"list_extract(map_extract(tags, '{key}'), 1)"
+
+
+def _dsl_sql(expr) -> str:
+    """Render a schema.tables match expression to DuckDB SQL over feat2."""
+    from planetiler_openmaptiles_spark.schema.tables import And, MatchAny, MatchField, MatchType, Not, Or
+
+    if isinstance(expr, MatchAny):
+        tag = _tag(expr.key)
+        exact = [v for v in expr.values if not str(v).endswith("%")]
+        like = [v for v in expr.values if str(v).endswith("%")]
+        parts = []
+        if exact:
+            vals = ", ".join("'" + str(v).replace("'", "''") + "'" for v in exact)
+            parts.append(f"{tag} IN ({vals})")
+        for pat in like:
+            parts.append(f"starts_with({tag}, '{pat[:-1]}')")
+        return "coalesce(" + (" OR ".join(parts) or "false") + ", false)"
+    if isinstance(expr, MatchField):
+        tag = _tag(expr.key)
+        return f"({tag} IS NOT NULL AND {tag} <> '')"
+    if isinstance(expr, MatchType):
+        return f"(geom_kind = '{expr.gtype}')"
+    if isinstance(expr, And):
+        return "(" + " AND ".join(_dsl_sql(p) for p in expr.parts) + ")"
+    if isinstance(expr, Or):
+        return "(" + " OR ".join(_dsl_sql(p) for p in expr.parts) + ")"
+    if isinstance(expr, Not):
+        return f"(NOT coalesce({_dsl_sql(expr.part)}, false))"
+    raise TypeError(type(expr))
+
+
+GEO_TABLES = [
+    "osm_water_polygon", "osm_waterway_linestring", "osm_highway_linestring",
+    "osm_poi_point", "osm_building_polygon", "osm_housenumber_point",
+    "osm_peak_point", "osm_city_point", "osm_park_polygon", "osm_aeroway_polygon",
+    "osm_landcover_polygon", "osm_landuse_polygon",
+]
+
+_PT_RE = r"\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)"
+
+
+# =================================================================== queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: water-layer z0-8 tile build over the interleaved corpus."""
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+
+    corpus = _corpus_dir("/root/testdata/sf0.001")
+    return build_tiles(
+        spark, corpus, Config(only_layers=("water", "landuse"), max_zoom=8)
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_orders(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _q_region_volume(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("r_name")
+    )
+
+
+def _q_customer_order_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+def _q_events_daily(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+# ------------------------------------------------------------------ geo
+
+
+def _q_geo_table_counts(spark, sf_dir):
+    from planetiler_openmaptiles_spark.schema.tables import TABLES
+
+    feats = _decoded(spark, sf_dir)
+    conds = [
+        F.when(TABLES[t].mapping.col(), F.lit(t)).otherwise(F.lit(None)) for t in GEO_TABLES
+    ]
+    return (
+        feats.select(F.explode(F.array_compact(F.array(*conds))).alias("tbl"))
+        .groupBy("tbl").agg(F.count("*").alias("n"))
+        .orderBy("tbl")
+    )
+
+
+def _q_geo_tile_assignment(spark, sf_dir):
+    from planetiler_openmaptiles_spark.tiling import cells
+
+    feats = _decoded(spark, sf_dir).filter(F.col("geom_kind") == "point")
+    lon = F.regexp_extract("geom_wkt", _PT_RE, 1).cast("double")
+    lat = F.regexp_extract("geom_wkt", _PT_RE, 2).cast("double")
+    tx = cells.tile_coord(cells.world_x(lon), 14)
+    ty = cells.tile_coord(cells.world_y(lat), 14)
+    return (
+        feats.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tx", "ty")
+        .limit(100)
+    )
+
+
+def _q_geo_water_class(spark, sf_dir):
+    from planetiler_openmaptiles_spark.layers.util import class_case
+    from planetiler_openmaptiles_spark.schema.layers import WATER_CLASS_DEFAULT, WATER_CLASS_RULES
+    from planetiler_openmaptiles_spark.schema.tables import TABLES, table_rows
+
+    feats = _decoded(spark, sf_dir)
+    wp = table_rows(feats, "osm_water_polygon").filter(
+        ~F.coalesce(F.col("natural") == "bay", F.lit(False))
+    )
+    return (
+        wp.select(class_case(WATER_CLASS_RULES, WATER_CLASS_DEFAULT).alias("class"))
+        .groupBy("class").agg(F.count("*").alias("n")).orderBy("class")
+    )
+
+
+def _q_geo_highway_columns(spark, sf_dir):
+    from planetiler_openmaptiles_spark.schema.tables import table_rows
+
+    feats = _decoded(spark, sf_dir)
+    hw = table_rows(feats, "osm_highway_linestring")
+    return (
+        hw.groupBy("highway")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("is_oneway") == 1, 1).otherwise(0)).alias("n_oneway"),
+            F.sum(F.when(F.col("is_bridge"), 1).otherwise(0)).alias("n_bridge"),
+            F.sum(F.when(F.col("name").isNotNull(), 1).otherwise(0)).alias("n_named"),
+        )
+        .orderBy("highway")
+    )
+
+
+def _q_geo_housenumber_display(spark, sf_dir):
+    from planetiler_openmaptiles_spark.layers.housenumber import display_housenumber
+    from planetiler_openmaptiles_spark.schema.tables import table_rows
+
+    feats = _decoded(spark, sf_dir)
+    h = table_rows(feats, "osm_housenumber_point")
+    return h.select(
+        "doc_id", display_housenumber(F.col("housenumber")).alias("display")
+    ).orderBy("doc_id")
+
+
+def _q_geo_label_grid(spark, sf_dir):
+    from pyspark.sql import Window
+    from planetiler_openmaptiles_spark.tiling import cells
+
+    feats = _decoded(spark, sf_dir).filter(
+        (F.col("geom_kind") == "point")
+        & F.element_at(F.col("tags"), "place").isNotNull()
+    )
+    lon = F.regexp_extract("geom_wkt", _PT_RE, 1).cast("double")
+    lat = F.regexp_extract("geom_wkt", _PT_RE, 2).cast("double")
+    # 128px label-grid cells at z12: grid coordinate = world_px/128
+    scale = 256.0 * (1 << 12)
+    gx = F.floor(cells.world_x(lon) * scale / 128).cast("long")
+    gy = F.floor(cells.world_y(lat) * scale / 128).cast("long")
+    pop = F.coalesce(F.element_at(F.col("tags"), "population").cast("long"), F.lit(0))
+    df = feats.select("doc_id", gx.alias("gx"), gy.alias("gy"), pop.alias("pop"))
+    w = Window.partitionBy("gx", "gy").orderBy(F.col("pop").desc(), F.col("doc_id").asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("doc_id", "gx", "gy", "rank")
+        .orderBy("doc_id")
+    )
+
+
+def _q_geo_rel_min_admin(spark, sf_dir):
+    feats = _decoded(spark, sf_dir)
+    rels = F.filter(
+        F.coalesce(F.col("rels"), F.array().cast(
+            "array<struct<rel_id:long,role:string,rel_tags:map<string,string>>>")),
+        lambda r: (F.element_at(r["rel_tags"], "type") == "boundary")
+        & (F.element_at(r["rel_tags"], "boundary") == "administrative"),
+    )
+    admin = F.array_min(
+        F.transform(rels, lambda r: F.round(F.element_at(r["rel_tags"], "admin_level").cast("double")).cast("int"))
+    )
+    return (
+        feats.filter(F.size(rels) > 0)
+        .select("doc_id", admin.alias("min_admin"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_geo_media_refs(spark, sf_dir):
+    feats = _decoded(spark, sf_dir)
+    return (
+        feats.filter(F.size(F.col("media_refs")) > 0)
+        .select("doc_id", F.size("media_refs").alias("n_media"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_geo_span_roundtrip(spark, sf_dir):
+    """Span-sequence invariant: every document must re-encode exactly."""
+    from planetiler_openmaptiles_spark.pipeline import check_span_invariant
+
+    docs = spark.read.parquet(_docs_path(sf_dir))
+    feats = _decoded(spark, sf_dir)
+    bad = check_span_invariant(docs, feats)
+    total = docs.count()
+    return spark.createDataFrame(
+        [(total, int(bad))], "n_docs long, n_violations long"
+    )
+
+
+def _q_geo_tiles_water(spark, sf_dir):
+    """Rows-only: real tile pipeline (water) z0-8 over the corpus."""
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+
+    corpus = _corpus_dir(sf_dir)
+    tiles = build_tiles(spark, corpus, Config(only_layers=("water",), max_zoom=8))
+    return (
+        tiles.groupBy("z", "layer").agg(F.count("*").alias("n_features"),
+                                        F.countDistinct("x", "y").alias("n_tiles"))
+        .orderBy("z", "layer")
+    )
+
+
+# ------------------------------------------------------------------ textops
+
+
+def _q_dedup_exact_groups(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        exact_duplicates(docs)
+        .select(F.element_at("doc_ids", 1).alias("rep_doc"), "n_docs")
+        .orderBy("rep_doc")
+    )
+
+
+def _q_dedup_exact_keep(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+def _q_text_tokens(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.textstats import (
+        regex_token_count, whitespace_token_count)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("re_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q_text_lang_scores(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.textstats import lang_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id", *[F.round(s, 6).alias(f"score_{lang}") for lang, s in scores.items()]
+    ).orderBy("doc_id")
+
+
+def _q_text_quality(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.textstats import quality_features, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_words"].alias("n_words"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    k = F.greatest(F.size(words) - 7, F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    win = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(words, i + 1, 8), " ")))
+    return docs.select("doc_id", F.array_min(win).alias("fingerprint")).orderBy("doc_id")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", shingles(F.col("text"), 8).alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    pairs = (
+        ex.alias("a").join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    j = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return j
+
+
+def _q_ann_topk(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = brute_force_topk(emb, probes, k=10)
+    return out.select(
+        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def _q_simhash(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs).orderBy("doc_a", "doc_b")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return lsh_topk(emb, probes, dim=64, k=10).select(
+        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    return embedding_near_dups(emb, dim=64, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational coverage
+        "q_pricing_summary": _q_pricing_summary,
+        "q_top_orders": _q_top_orders,
+        "q_region_volume": _q_region_volume,
+        "q_customer_order_rank": _q_customer_order_rank,
+        "q_events_daily": _q_events_daily,
+        # geospatial engine
+        "geo_table_counts": _q_geo_table_counts,
+        "geo_tile_assignment": _q_geo_tile_assignment,
+        "geo_water_class": _q_geo_water_class,
+        "geo_highway_columns": _q_geo_highway_columns,
+        "geo_housenumber_display": _q_geo_housenumber_display,
+        "geo_label_grid": _q_geo_label_grid,
+        "geo_rel_min_admin": _q_geo_rel_min_admin,
+        "geo_media_refs": _q_geo_media_refs,
+        "geo_span_roundtrip": _q_geo_span_roundtrip,
+        "geo_tiles_water": _q_geo_tiles_water,
+        # training-data ops
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "text_tokens": _q_text_tokens,
+        "text_lang_scores": _q_text_lang_scores,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_near_dups": _q_simhash,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ==================================================================== oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from planetiler_openmaptiles_spark.schema.tables import TABLES
+
+    path = _docs_path(f"/root/testdata/{ORACLE_SF}")
+    decode = _DECODE_CTE.format(path=path)
+
+    table_cases = ",\n    ".join(
+        f"CASE WHEN {_dsl_sql(TABLES[t].mapping)} THEN '{t}' END"
+        for t in GEO_TABLES
+    )
+
+    water_rules_sql = """
+      CASE
+        WHEN {wway} = 'dock' THEN 'dock'
+        WHEN {water} IN ('river','stream','canal','ditch','drain') THEN 'river'
+        WHEN {water} IN ('pond','basin','wastewater','salt_pond') THEN 'pond'
+        WHEN {leisure} = 'swimming_pool' THEN 'swimming_pool'
+        ELSE 'lake'
+      END
+    """.format(wway=_tag("waterway"), water=_tag("water"), leisure=_tag("leisure"))
+
+    tile_xy = f"""
+      CAST(greatest(0, least(16383, floor(((CAST(regexp_extract(geom_wkt, '{_PT_RE}', 1) AS DOUBLE)+180.0)/360.0)*16384))) AS BIGINT) AS tx,
+      CAST(greatest(0, least(16383, floor((0.5 - ln((1.0+sin(radians(greatest(-85.05112878, least(85.05112878, CAST(regexp_extract(geom_wkt, '{_PT_RE}', 2) AS DOUBLE))))))/(1.0-sin(radians(greatest(-85.05112878, least(85.05112878, CAST(regexp_extract(geom_wkt, '{_PT_RE}', 2) AS DOUBLE)))))))/(4*pi()))*16384))) AS BIGINT) AS ty
     """
-    return {}
+
+    hn = _tag("addr:housenumber")
+    hn_parts = f"list_filter(list_transform(string_split({hn}, ';'), p -> trim(p)), p -> p <> '')"
+    display_sql = f"""
+      CASE
+        WHEN NOT contains({hn}, ';') THEN {hn}
+        WHEN length({hn_parts}) = 0 THEN {hn}
+        WHEN regexp_matches({hn}, '[^0-9;]')
+          THEN {hn_parts}[1] || '–' || {hn_parts}[-1]
+        ELSE CAST(list_min(list_transform({hn_parts}, p -> CAST(p AS BIGINT))) AS VARCHAR)
+             || '–' ||
+             CAST(list_max(list_transform({hn_parts}, p -> CAST(p AS BIGINT))) AS VARCHAR)
+      END
+    """
+
+    en = ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"]
+    es = ["el", "la", "de", "que", "y", "en", "un", "los", "del", "las"]
+    de = ["der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"]
+    fr = ["le", "la", "les", "des", "est", "et", "une", "dans", "que", "pour"]
+
+    def lang_score_sql(markers):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        return (
+            f"round(CAST(length(list_filter(words, w -> list_contains({arr}, w))) AS DOUBLE)"
+            f" / greatest(length(words), 1)"
+            f" + length(list_intersect(list_distinct(words), {arr})) * 0.001, 6)"
+        )
+
+    shingle8 = """
+      list_distinct(list_transform(
+        range(greatest(length(words)-7, 1)),
+        i -> array_to_string(words[(i+1):(i+8)], ' ')))
+    """
+
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_orderkey, c_mktsegment
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 100
+        """,
+        "q_region_volume": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_customer_order_rank": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+        """,
+        "q_events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "geo_table_counts": decode + f"""
+            , matches AS (SELECT unnest([{table_cases}]) AS tbl FROM feat2)
+            SELECT tbl, count(*) AS n FROM matches WHERE tbl IS NOT NULL
+            GROUP BY tbl ORDER BY tbl
+        """,
+        "geo_tile_assignment": decode + f"""
+            SELECT tx, ty, count(*) AS n FROM (
+              SELECT {tile_xy} FROM feat2 WHERE geom_kind = 'point')
+            GROUP BY tx, ty ORDER BY n DESC, tx, ty LIMIT 100
+        """,
+        "geo_water_class": decode + f"""
+            SELECT {water_rules_sql} AS class, count(*) AS n
+            FROM feat2
+            WHERE ({_dsl_sql(TABLES["osm_water_polygon"].mapping)})
+              AND NOT coalesce({_tag("natural")} = 'bay', false)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "geo_highway_columns": decode + f"""
+            SELECT {_tag("highway")} AS highway, count(*) AS n,
+                   CAST(sum(CASE WHEN lower(coalesce({_tag("oneway")}, '')) IN ('yes','true','1') THEN 1 ELSE 0 END) AS BIGINT) AS n_oneway,
+                   CAST(sum(CASE WHEN lower(coalesce({_tag("bridge")}, '')) IN ('yes','true','1') THEN 1 ELSE 0 END) AS BIGINT) AS n_bridge,
+                   CAST(sum(CASE WHEN {_tag("name")} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_named
+            FROM feat2 WHERE ({_dsl_sql(TABLES["osm_highway_linestring"].mapping)})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "geo_housenumber_display": decode + f"""
+            SELECT doc_id, {display_sql} AS display
+            FROM feat2 WHERE ({_dsl_sql(TABLES["osm_housenumber_point"].mapping)})
+            ORDER BY doc_id
+        """,
+        "geo_label_grid": decode + f"""
+            , pts AS (
+              SELECT doc_id,
+                CAST(floor(((CAST(regexp_extract(geom_wkt, '{_PT_RE}', 1) AS DOUBLE)+180.0)/360.0) * 1048576 / 128) AS BIGINT) AS gx,
+                CAST(floor((0.5 - ln((1.0+sin(radians(greatest(-85.05112878, least(85.05112878, CAST(regexp_extract(geom_wkt, '{_PT_RE}', 2) AS DOUBLE))))))/(1.0-sin(radians(greatest(-85.05112878, least(85.05112878, CAST(regexp_extract(geom_wkt, '{_PT_RE}', 2) AS DOUBLE)))))))/(4*pi())) * 1048576 / 128) AS BIGINT) AS gy,
+                coalesce(TRY_CAST({_tag("population")} AS BIGINT), 0) AS pop
+              FROM feat2
+              WHERE geom_kind = 'point' AND {_tag("place")} IS NOT NULL)
+            SELECT doc_id, gx, gy, rank FROM (
+              SELECT doc_id, gx, gy,
+                     row_number() OVER (PARTITION BY gx, gy ORDER BY pop DESC, doc_id ASC) AS rank
+              FROM pts) WHERE rank <= 4 ORDER BY doc_id
+        """,
+        "geo_rel_min_admin": decode + f"""
+            , rels AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(list_filter(spans, s -> s.kind='rel'), s -> s.text),
+                  t -> contains(split_part(t, '|', 3), '"type":"boundary"')
+                       AND contains(split_part(t, '|', 3), '"boundary":"administrative"')
+                ) AS brels
+              FROM raw)
+            SELECT doc_id,
+              CAST(list_min(list_transform(brels,
+                t -> round(CAST(json_extract_string(split_part(t, '|', 3), '$.admin_level') AS DOUBLE)))) AS INT) AS min_admin
+            FROM rels WHERE length(brels) > 0 ORDER BY doc_id
+        """,
+        "geo_media_refs": decode + """
+            SELECT doc_id, n_media FROM feat2 WHERE n_media > 0 ORDER BY doc_id
+        """,
+        "geo_span_roundtrip": f"""
+            SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+            FROM read_parquet('{path}')
+        """,
+        "dedup_exact_groups": """
+            SELECT min(doc_id) AS rep_doc, count(*) AS n_docs
+            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+                  FROM documents)
+            GROUP BY norm HAVING count(*) > 1 ORDER BY rep_doc
+        """,
+        "dedup_exact_keep": """
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+                  FROM documents)
+            GROUP BY norm ORDER BY doc_id
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+              length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS re_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "text_lang_scores": f"""
+            SELECT doc_id,
+              {lang_score_sql(en)} AS score_en,
+              {lang_score_sql(es)} AS score_es,
+              {lang_score_sql(de)} AS score_de,
+              {lang_score_sql(fr)} AS score_fr
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "text_fingerprint": f"""
+            SELECT doc_id,
+              list_min(list_transform(
+                range(greatest(length(words)-7, 1)),
+                i -> md5(array_to_string(words[(i+1):(i+8)], ' ')))) AS fingerprint
+            FROM (SELECT doc_id,
+                    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, {shingle8} AS sh
+              FROM (SELECT doc_id,
+                      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, length(sh) AS n FROM sh)
+            SELECT doc_a, doc_b,
+                   round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+            FROM pairs JOIN sizes na ON doc_a = na.doc_id
+                       JOIN sizes nb ON doc_b = nb.doc_id
+            WHERE round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) >= 0.2
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT probe_id, e.vec_id,
+                     round(list_dot_product(e.v, pv) /
+                           greatest(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+              FROM e CROSS JOIN probes)
+            SELECT probe_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
+        """,
+        # minhash_lsh / simhash_near_dups / ann_lsh_topk / embedding_near_dups /
+        # geo_tiles_water: xxhash64 / custom LSH planes / raster geometry are
+        # not DuckDB-expressible → rows-only checks.
+    }
+
+
+_TEXT_QUALITY_SQL = r"""
+    SELECT doc_id,
+      length(text) AS n_chars,
+      length(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+      round(CAST(length(regexp_replace(text, '[^\.,;:!?]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1), 6) AS punct_ratio,
+      round(CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              w -> list_contains(['the','and','of','to','in','is','you','that','it','for'], w))) AS DOUBLE)
+            / greatest(length(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS stopword_ratio,
+      round((
+        (CASE WHEN length(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(length(regexp_split_to_array(trim(text), '\s+')), 1)
+                   BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN CAST(length(regexp_replace(text, '[^\.,;:!?]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END) +
+        least(CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              w -> list_contains(['the','and','of','to','in','is','you','that','it','for'], w))) AS DOUBLE)
+            / greatest(length(regexp_split_to_array(trim(text), '\s+')), 1) * 4.0, 1.0)
+      ) / 5.0, 6) AS quality
+    FROM documents ORDER BY doc_id
+"""
