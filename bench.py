@@ -1,0 +1,85 @@
+"""Benchmark: headline queries + tile build at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = one representative per engine area: full multi-layer tile
+build (the north-star workload, reported also as tiles/sec + docs/sec),
+spatial join, table match, dedup, ANN, text stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    import __spark_entry__ as entry
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+    from planetiler_openmaptiles_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 16))
+
+    qs = entry.queries()
+    headline = [
+        "geo_table_counts",
+        "geo_tile_assignment",
+        "geo_label_grid",
+        "dedup_exact_groups",
+        "ngram_jaccard",
+        "ann_topk",
+        "text_quality",
+        "q_pricing_summary",
+        "q_top_orders",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # the north-star workload: full 16-layer z0-14 tile build on the
+    # interleaved corpus scaled to this sf
+    corpus = entry._corpus_dir(sf_dir)
+    n_docs = spark.read.parquet(os.path.join(corpus, "documents.parquet")).count()
+    t0 = time.time()
+    tiles = build_tiles(spark, corpus, Config(max_zoom=14))
+    n_feats = tiles.count()
+    tile_wall = time.time() - t0
+    n_tiles = tiles.select("z", "x", "y").distinct().count()
+    timings["tile_build_z0_14"] = round(tile_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "tile_build": {
+            "docs": n_docs,
+            "tiles": n_tiles,
+            "tile_features": n_feats,
+            "wall_s": round(tile_wall, 3),
+            "tiles_per_sec": round(n_tiles / tile_wall, 2),
+            "docs_per_sec": round(n_docs / tile_wall, 2),
+        },
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -572,7 +572,7 @@ def _post_process(zoom: int, pdf: pd.DataFrame) -> pd.DataFrame:
         return a
 
     pdf["attrs"] = [fence(a) for a in pdf["attrs"]]
-    lines = pdf[pdf["kind"] == "line"]
+    lines = pdf[pdf["kind"] == "linestring"]
     polys = pdf[pdf["kind"] == "polygon"]
     merged = postprocess.merge_line_strings(lines, min_len, tol, BUFFER)
     if len(polys):

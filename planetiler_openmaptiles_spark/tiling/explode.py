@@ -139,8 +139,8 @@ def prepare_geoms(features: DataFrame) -> DataFrame:
                     size = float(ops.geom_length(sw))
                 else:
                     size = 0.0
-                attrs = pdf["attrs"].iloc[i]
-                if attrs is not None and attrs.get("_numpoints") == "__computed__":
+                attrs = _attrs_dict(pdf["attrs"].iloc[i])
+                if attrs.get("_numpoints") == "__computed__":
                     # setNumPointsAttr (reference layers/Landcover.java:84,133)
                     attrs = dict(attrs)
                     attrs["_numpoints"] = str(len(ops._all_coords(g)))
@@ -155,6 +155,7 @@ def prepare_geoms(features: DataFrame) -> DataFrame:
                 rows["size_world"].append(size)
             for n, vals in rows.items():
                 pdf[n] = vals
+            pdf["attrs"] = [_attrs_dict(a) for a in pdf["attrs"]]
             yield pdf[keep]
 
     return features.mapInPandas(run, schema=out_schema)
@@ -285,6 +286,14 @@ def _scale_to_tile(geom, tx, ty, scale_tiles):
     return _map_coords(geom, fn)
 
 
+def _attrs_dict(a):
+    if a is None:
+        return {}
+    if isinstance(a, dict):
+        return a
+    return dict(a)  # Arrow may hand maps over as arrays of (k, v) tuples
+
+
 def _emit_row(out, row, z, tx, ty, geom_px, grid_cell):
     out["z"].append(z)
     out["x"].append(tx)
@@ -294,7 +303,7 @@ def _emit_row(out, row, z, tx, ty, geom_px, grid_cell):
     out["elem_id"].append(row.elem_id)
     out["kind"].append(row.kind)
     out["geom_px"].append(wkt.to_wkt(geom_px))
-    out["attrs"].append(row.attrs_z)
+    out["attrs"].append(_attrs_dict(row.attrs_z))
     out["sort_key"].append(row.sort_key)
     out["grid_cell"].append(grid_cell)
     out["grid_limit"].append(row.grid_limit_z)

@@ -161,7 +161,7 @@ def merge_line_strings(
         if not kept:
             continue
         geom = ("LineString", kept[0]) if len(kept) == 1 else ("MultiLineString", kept)
-        rows.append((elem_id, "line", wkt.to_wkt(geom), out_attrs))
+        rows.append((elem_id, "linestring", wkt.to_wkt(geom), out_attrs))
     return pd.DataFrame(rows, columns=["elem_id", "kind", "geom_px", "attrs"])
 
 
@@ -284,17 +284,19 @@ def reduce_tiles(tile_feats: DataFrame) -> DataFrame:
             body = pdf[["elem_id", "kind", "geom_px", "attrs"]]
         body = body.reset_index(drop=True)
         n = len(body)
+        # dtype=object everywhere non-numeric: an empty pandas column defaults
+        # to float64, which Arrow cannot convert to map<string,string>
         return pd.DataFrame(
             {
                 "z": np.full(n, z, dtype=np.int32),
                 "x": np.full(n, x, dtype=np.int32),
                 "y": np.full(n, y, dtype=np.int32),
-                "layer": [layer] * n,
+                "layer": pd.Series([layer] * n, dtype="object"),
                 "seq": np.arange(n, dtype=np.int32),
                 "elem_id": body["elem_id"].astype("int64"),
-                "kind": body["kind"],
-                "geom_px": body["geom_px"],
-                "attrs": [_as_dict(a) for a in body["attrs"]],
+                "kind": pd.Series(list(body["kind"]), dtype="object"),
+                "geom_px": pd.Series(list(body["geom_px"]), dtype="object"),
+                "attrs": pd.Series([_as_dict(a) for a in body["attrs"]], dtype="object"),
             }
         )
 
