@@ -53,8 +53,11 @@ def main():
     # interleaved corpus scaled to this sf
     corpus = entry._corpus_dir(sf_dir)
     n_docs = spark.read.parquet(os.path.join(corpus, "documents.parquet")).count()
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="omt_ckpt_")
     t0 = time.time()
-    tiles = build_tiles(spark, corpus, Config(max_zoom=14))
+    tiles = build_tiles(spark, corpus, Config(max_zoom=14), checkpoint_dir=ckpt)
     n_feats = tiles.count()
     tile_wall = time.time() - t0
     n_tiles = tiles.select("z", "x", "y").distinct().count()

@@ -70,7 +70,10 @@ def check_span_invariant(docs: DataFrame, feats: DataFrame) -> int:
 
 def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = None) -> LayerContext:
     docs = load_documents(spark, corpus_dir)
-    feats = decode_documents(docs)
+    # the decoded features feed 30 table projections + several plan-time
+    # collects (NE registries, region polygons) — persist the decode once.
+    # At full scale this is the decode-stage checkpoint instead.
+    feats = decode_documents(docs).persist()
     return LayerContext(
         spark=spark,
         features=feats,

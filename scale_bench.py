@@ -29,6 +29,7 @@ def run_at(cores: int, corpus: str, out_dir: str) -> dict:
         [
             sys.executable, "-m", "planetiler_openmaptiles_spark.pipeline",
             "--corpus", corpus, "--out", out_dir,
+            "--checkpoints", os.path.join(out_dir, "ckpt"),
             "--master", f"local[{cores}]", "--max-zoom", "14",
         ],
         cwd=REPO, env=env, check=True,
