@@ -68,16 +68,50 @@ def check_span_invariant(docs: DataFrame, feats: DataFrame) -> int:
     return j.filter(~ok).count()
 
 
+def with_wikidata_translations(feats: DataFrame, wikidata: DataFrame) -> DataFrame:
+    """S4: join wikidata name translations onto the tag map — the Spark
+    mirror of the reference's wikidata fetch + Translations provider
+    (OpenMapTilesMain.java:34, OpenMapTilesProfile.java:125-128). The
+    wikidata table is a small dimension → broadcast left join on the
+    `wikidata` tag; matched languages surface as name:<lang> tags, which
+    layers/util.names_map then emits automatically."""
+    wd = (
+        wikidata.groupBy("qid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.concat(F.lit("name:"), F.col("lang")).alias("key"),
+                             F.col("name").alias("value"))
+                )
+            ).alias("_wd_names")
+        )
+    )
+    qid = F.element_at(F.col("tags"), "wikidata")
+    out = feats.join(F.broadcast(wd), qid == wd["qid"], "left").drop("qid")
+    # existing name:xx tags on the element win over wikidata (reference
+    # Translations precedence) → concat with element tags LAST
+    return out.withColumn(
+        "tags",
+        F.when(
+            F.col("_wd_names").isNotNull(), F.map_concat(F.col("_wd_names"), F.col("tags"))
+        ).otherwise(F.col("tags")),
+    ).drop("_wd_names")
+
+
 def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = None) -> LayerContext:
     docs = load_documents(spark, corpus_dir)
+    side = load_side_tables(spark, corpus_dir)
     # the decoded features feed 30 table projections + several plan-time
     # collects (NE registries, region polygons) — persist the decode once.
     # At full scale this is the decode-stage checkpoint instead.
-    feats = decode_documents(docs).persist()
+    feats = decode_documents(docs)
+    if "wikidata" in side:
+        feats = with_wikidata_translations(feats, side["wikidata"])
+    feats = feats.persist()
     return LayerContext(
         spark=spark,
         features=feats,
-        side=load_side_tables(spark, corpus_dir),
+        side=side,
         config=config or Config(),
     )
 
