@@ -101,17 +101,29 @@ CLASS_RULES: list[tuple[str, tuple, str | None]] = [
 ]
 
 
+# class lookup as literal maps (one map per arity) — a 40-branch CASE chain
+# over hundreds of values costs seconds of codegen per query; element_at on
+# a literal map is a single hash probe and compiles instantly.
+_KEYED_CLASS = {}   # "subclass|mapping_key" → class (order: first rule wins)
+_PLAIN_CLASS = {}   # subclass → class
+for _clazz, _subs, _mk in CLASS_RULES:
+    for _s in _subs:
+        if _mk is not None:
+            _KEYED_CLASS.setdefault(f"{_s}|{_mk}", _clazz)
+        else:
+            _PLAIN_CLASS.setdefault(_s, _clazz)
+
+
 def _poi_class(raw_subclass: F.Column, mapping_key: F.Column) -> F.Column:
-    # amenity=university special case → college (Poi.java:142-146)
-    c = F.when(
-        (mapping_key == "amenity") & (raw_subclass == "university"), F.lit("college")
+    keyed = F.create_map(*[F.lit(x) for kv in _KEYED_CLASS.items() for x in kv])
+    plain = F.create_map(*[F.lit(x) for kv in _PLAIN_CLASS.items() for x in kv])
+    return F.coalesce(
+        # amenity=university special case → college (Poi.java:142-146)
+        F.when((mapping_key == "amenity") & (raw_subclass == "university"), F.lit("college")),
+        F.element_at(keyed, F.concat(raw_subclass, F.lit("|"), F.coalesce(mapping_key, F.lit("")))),
+        F.element_at(plain, raw_subclass),
+        raw_subclass,
     )
-    for clazz, subs, mk in CLASS_RULES:
-        cond = raw_subclass.isin(*subs)
-        if mk is not None:
-            cond = cond & (mapping_key == mk)
-        c = c.when(cond, F.lit(clazz))
-    return c.otherwise(raw_subclass)
 
 
 def _rank_expr(clazz: F.Column) -> F.Column:

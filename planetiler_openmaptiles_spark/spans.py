@@ -53,17 +53,27 @@ def _spans_of(kind: str, spans: Column = None) -> Column:
 
 
 def decode_documents(docs: DataFrame) -> DataFrame:
-    """documents → feature rows (one per doc). Pure JVM expressions."""
-    spans = F.array_sort(
-        F.col("spans"),
-        lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
-        .when(a["offset"] > b["offset"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    src_parts = F.split(F.element_at(_spans_of("src", spans), 1)["text"], r"\|", 3)
+    """documents → feature rows (one per doc). Pure JVM expressions.
+
+    Cost discipline: no global span sort — each field filters its span kind
+    first (one cheap array scan) and only order-sensitive kinds (geom
+    chunks, rels, media) sort their own small subset. The naive
+    sort-then-derive form re-sorted the full array once per derived field
+    (Catalyst does not CSE across lambda bodies) and was ~10× slower.
+    """
+
+    def _by_offset(arr: Column) -> Column:
+        return F.array_sort(
+            arr,
+            lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
+            .when(a["offset"] > b["offset"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+
+    src_parts = F.split(F.element_at(_spans_of("src"), 1)["text"], r"\|", 3)
     tags = F.map_from_entries(
         F.transform(
-            _spans_of("tag", spans),
+            _spans_of("tag"),
             lambda s: F.struct(
                 F.substring_index(s["text"], "=", 1).alias("key"),
                 # value = everything after the first '=' (values may contain '=')
@@ -71,16 +81,18 @@ def decode_documents(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    geom_wkt = F.array_join(F.transform(_spans_of("geom", spans), lambda s: s["text"]), "")
+    geom_wkt = F.array_join(
+        F.transform(_by_offset(_spans_of("geom")), lambda s: s["text"]), ""
+    )
     rels = F.transform(
-        _spans_of("rel", spans),
+        _by_offset(_spans_of("rel")),
         lambda s: F.struct(
             F.split(s["text"], r"\|", 3)[0].cast("long").alias("rel_id"),
             F.split(s["text"], r"\|", 3)[1].alias("role"),
             F.from_json(F.split(s["text"], r"\|", 3)[2], REL_TAGS_SCHEMA).alias("rel_tags"),
         ),
     )
-    media_refs = F.transform(_spans_of("media", spans), lambda s: s["media_ref"])
+    media_refs = F.transform(_by_offset(_spans_of("media")), lambda s: s["media_ref"])
     geom_head = F.upper(F.trim(F.substring_index(geom_wkt, "(", 1)))
     geom_kind = (
         F.when(geom_head.isin("POINT", "MULTIPOINT"), F.lit("point"))
