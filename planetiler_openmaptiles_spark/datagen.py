@@ -92,9 +92,19 @@ class _DocBuilder:
 
 
 def generate_corpus(n_docs: int = 2000, seed: int = 42):
-    """Returns (documents pa.Table, side_tables dict[str, pa.Table])."""
+    """Returns (documents pa.Table, side_tables dict[str, pa.Table]).
+
+    The bbox grows with sqrt(n_docs/2000) so feature density stays
+    Monaco-like at every scale — tile counts then scale linearly with the
+    corpus, keeping tiles/sec meaningful and the per-tile reduce realistic
+    (the skew hot-spots remain deliberately dense)."""
     rng = np.random.default_rng(seed)
     lon0, lat0, lon1, lat1 = BBOX
+    import math as _math
+
+    _scale = _math.sqrt(max(n_docs, 1) / 2000.0)
+    lon1 = lon0 + (lon1 - lon0) * _scale
+    lat1 = lat0 + (lat1 - lat0) * _scale
     w, h = lon1 - lon0, lat1 - lat0
     b = _DocBuilder()
     next_id = [1000]
@@ -362,7 +372,7 @@ def generate_corpus(n_docs: int = 2000, seed: int = 42):
 
 def write_corpus(out_dir: str, n_docs: int = 2000, seed: int = 42) -> str:
     """Write documents.parquet + side tables; cached by (n_docs, seed)."""
-    tag = f"n{n_docs}_s{seed}"
+    tag = f"n{n_docs}_s{seed}_v2"
     d = os.path.join(out_dir, tag)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):

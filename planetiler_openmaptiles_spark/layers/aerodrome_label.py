@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..features import attr_entries, emit, union_features
 from ..schema.layers import LAYER_BUFFERS
-from .util import names_map, nullif_empty, parse_meters, tag
+from .util import names_col, names_map, names_zattrs_col, nullif_empty, parse_meters, tag
 
 BUFFER = LAYER_BUFFERS["aerodrome_label"]
 
@@ -47,7 +47,7 @@ def transform(ctx) -> DataFrame:
                             "ele_ft": F.round(m / F.lit(0.3048)).cast("int"),
                         }
                     ),
-                    names_map(),
+                    names_col(),
                 ),
                 minzoom=F.when(important, F.lit(8)).otherwise(F.lit(10)),
                 buffer_px=BUFFER,

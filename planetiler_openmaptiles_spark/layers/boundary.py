@@ -28,7 +28,7 @@ from ..features import WORLD_CIRCUMFERENCE_METERS, attr_entries, emit, mps_below
 from ..geom import mercator, ops, wkt as wktmod
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
-from .util import names_map, nullif_empty, tag
+from .util import names_col, names_map, names_zattrs_col, nullif_empty, tag
 
 BUFFER = LAYER_BUFFERS["boundary"]
 
@@ -167,7 +167,7 @@ def transform(ctx) -> DataFrame:
             *emit(
                 "boundary", "polygon",
                 attrs=F.map_concat(
-                    attr_entries(**{"class": F.col("boundary")}), names_map()
+                    attr_entries(**{"class": F.col("boundary")}), names_col()
                 ),
                 minzoom=4, buffer_px=BUFFER,
                 mps_overrides=F.array(mps_below(13, 4.0)),

@@ -14,7 +14,7 @@ from .. import spatial
 from ..features import attr_entries, emit, grid_entry, union_features
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
-from .util import names_map, nullif_empty, parse_meters, tag
+from .util import names_col, names_map, names_zattrs_col, nullif_empty, parse_meters, tag
 
 BUFFER = LAYER_BUFFERS["mountain_peak"]  # 64 — the *output* buffer
 
@@ -60,7 +60,7 @@ def transform(ctx) -> DataFrame:
                         "customary_ft": F.when(in_us, F.lit(1)),
                     }
                 ),
-                names_map(),
+                names_col(),
             ),
             minzoom=7,
             buffer_px=100.0,  # oversized for stable grid ranks; re-clipped in postProcess
@@ -82,7 +82,7 @@ def transform(ctx) -> DataFrame:
             "mountain_peak",
             "line",
             attrs=F.map_concat(
-                attr_entries(**{"class": tag("natural"), "rank": rank}), names_map()
+                attr_entries(**{"class": tag("natural"), "rank": rank}), names_col()
             ),
             minzoom=13,
             buffer_px=100.0,

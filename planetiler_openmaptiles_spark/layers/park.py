@@ -26,7 +26,7 @@ from ..features import (
 from ..schema.layers import LAYER_BUFFERS
 from ..spatial import with_geom_stats
 from ..tiling import postprocess
-from .util import names_map, names_zattrs, nullif_empty, tag
+from .util import names_col, names_map, names_zattrs, names_zattrs_col, nullif_empty, tag
 
 BUFFER = LAYER_BUFFERS["park"]
 
@@ -94,7 +94,7 @@ def transform(ctx) -> DataFrame:
                 zattrs=F.concat(
                     zattrs_array(zattr("class", 5, F.col("_class"))),
                     F.when(
-                        F.col("name").isNotNull(), names_zattrs(5)
+                        F.col("name").isNotNull(), names_zattrs_col(5)
                     ).otherwise(F.array().cast("array<struct<key:string,minzoom:int,value:string>>")),
                 ),
                 minzoom=4,
@@ -126,7 +126,7 @@ def transform(ctx) -> DataFrame:
                 "park",
                 "point_on_surface",
                 attrs=F.map_concat(
-                    attr_entries(**{"class": F.col("_class")}), names_map()
+                    attr_entries(**{"class": F.col("_class")}), names_col()
                 ),
                 minzoom=minzoom,
                 buffer_px=256.0,

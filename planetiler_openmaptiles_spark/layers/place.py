@@ -29,7 +29,7 @@ from ..features import (
 )
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
-from .util import names_map, nullif_empty, tag
+from .util import names_col, names_map, names_zattrs_col, nullif_empty, tag
 
 BUFFER = LAYER_BUFFERS["place"]  # 256
 
@@ -65,7 +65,7 @@ def _area_rank(area: F.Column) -> F.Column:
 
 def _names_with_en_fallback(en_fallback: F.Column) -> F.Column:
     """getNames + name_en fallback from the NE region name."""
-    names = names_map()
+    names = names_col()
     return F.when(
         F.element_at(names, "name_en").isNull() & en_fallback.isNotNull(),
         F.map_concat(names, F.create_map(F.lit("name_en"), en_fallback)),
@@ -97,7 +97,7 @@ def transform(ctx) -> DataFrame:
                 "place", "point",
                 attrs=F.map_concat(
                     attr_entries(**{"class": F.lit("continent"), "rank": F.lit(1)}),
-                    names_map(),
+                    names_col(),
                 ),
                 minzoom=0, maxzoom=3, buffer_px=BUFFER,
             )
@@ -169,7 +169,7 @@ def transform(ctx) -> DataFrame:
             *emit(
                 "place", "point_on_surface",
                 attrs=F.map_concat(
-                    attr_entries(**{"class": F.lit("island"), "rank": irank}), names_map()
+                    attr_entries(**{"class": F.lit("island"), "rank": irank}), names_col()
                 ),
                 minzoom=iminzoom, buffer_px=BUFFER, sort_key=isort,
             )
@@ -181,7 +181,7 @@ def transform(ctx) -> DataFrame:
             *emit(
                 "place", "point",
                 attrs=F.map_concat(
-                    attr_entries(**{"class": F.lit("island"), "rank": F.lit(7)}), names_map()
+                    attr_entries(**{"class": F.lit("island"), "rank": F.lit(7)}), names_col()
                 ),
                 minzoom=12, buffer_px=BUFFER,
             )
@@ -196,7 +196,7 @@ def transform(ctx) -> DataFrame:
             *emit(
                 "place", "point_on_surface",
                 attrs=F.map_concat(
-                    attr_entries(**{"class": F.col("boundary"), "rank": brank}), names_map()
+                    attr_entries(**{"class": F.col("boundary"), "rank": brank}), names_col()
                 ),
                 minzoom=F.when(brank <= 4, brank + 5).otherwise(10),
                 buffer_px=BUFFER,
@@ -308,7 +308,7 @@ def _cities(ctx) -> DataFrame:
                 attr_entries(
                     **{"class": F.col("place"), "rank": rank, "capital": capital}
                 ),
-                names_map(),
+                names_col(),
             ),
             minzoom=minzoom, buffer_px=BUFFER, sort_key=sort_key, grid=grid,
         )

@@ -114,9 +114,16 @@ for _clazz, _subs, _mk in CLASS_RULES:
             _PLAIN_CLASS.setdefault(_s, _clazz)
 
 
+def _literal_map(d: dict) -> F.Column:
+    """One-py4j-call literal map (create_map with 2N args costs 2N gateway
+    round trips — ~10 s of driver time for the POI tables)."""
+    body = ",".join(f"{k}\t{v}" for k, v in d.items())
+    return F.str_to_map(F.lit(body), F.lit(","), F.lit("\t"))
+
+
 def _poi_class(raw_subclass: F.Column, mapping_key: F.Column) -> F.Column:
-    keyed = F.create_map(*[F.lit(x) for kv in _KEYED_CLASS.items() for x in kv])
-    plain = F.create_map(*[F.lit(x) for kv in _PLAIN_CLASS.items() for x in kv])
+    keyed = _literal_map(_KEYED_CLASS)
+    plain = _literal_map(_PLAIN_CLASS)
     return F.coalesce(
         # amenity=university special case → college (Poi.java:142-146)
         F.when((mapping_key == "amenity") & (raw_subclass == "university"), F.lit("college")),
@@ -127,8 +134,10 @@ def _poi_class(raw_subclass: F.Column, mapping_key: F.Column) -> F.Column:
 
 
 def _rank_expr(clazz: F.Column) -> F.Column:
-    m = F.create_map(*[F.lit(x) for kv in CLASS_RANKS.items() for x in (kv[0], kv[1])])
-    return F.coalesce(F.element_at(m, clazz), F.lit(DEFAULT_CLASS_RANK))
+    m = _literal_map(CLASS_RANKS)
+    return F.coalesce(
+        F.element_at(m, clazz).cast("int"), F.lit(DEFAULT_CLASS_RANK)
+    )
 
 
 def _setup(df: DataFrame, form: str, agg_stop: F.Column | None = None) -> DataFrame:

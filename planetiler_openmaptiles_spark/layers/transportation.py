@@ -277,11 +277,17 @@ def _has_network(routes: F.Column, *networks: str) -> F.Column:
 
 
 def prepared_highways(ctx) -> DataFrame:
-    """Shared route-joined highway table (consumed by transportation_name too)."""
+    """Shared route-joined highway table (consumed by transportation_name too).
+
+    persist() is load-bearing twice over: (a) the `_routes` array expression
+    is enormous — without a materialization barrier CollapseProject inlines
+    it into every downstream reference and the generated code blows past the
+    JVM 64 KB method limit (interpreted fallback, ~300 ms/row); (b) both
+    transportation and transportation_name consume this table (J9)."""
     hw = ctx.table("osm_highway_linestring").filter(~F.col("is_area"))
     hw = spatial.with_geom_stats(hw)
     hw = route_relations(ctx, hw)
-    return hw
+    return hw.persist()
 
 
 def transform(ctx) -> DataFrame:

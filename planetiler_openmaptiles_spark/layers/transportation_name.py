@@ -23,7 +23,7 @@ from pyspark.sql.functions import pandas_udf
 from ..features import attr_entries, emit, meter_thresholds_buffer, union_features, zattr, zattrs_array
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
-from .util import names_map, nullif_empty, tag
+from .util import names_col, names_map, names_zattrs_col, nullif_empty, tag
 from .transportation import highway_class, prepared_highways
 
 BUFFER = LAYER_BUFFERS["transportation_name"]  # 8
@@ -99,7 +99,7 @@ def transform(ctx) -> DataFrame:
                                 "layer": F.when(F.col("layer") != 0, F.col("layer")),
                             }
                         ),
-                        names_map(),
+                        names_col(),
                     ),
                     minzoom=10, buffer_px=BUFFER,
                     sort_key=-F.coalesce(F.col("layer").cast("int"), F.lit(0)),
@@ -270,7 +270,7 @@ def transform(ctx) -> DataFrame:
                                 **extra,
                             }
                         ),
-                        names_map(),
+                        names_col(),
                     ),
                     F.map_from_entries(route_entries),
                 ),
@@ -291,7 +291,7 @@ def transform(ctx) -> DataFrame:
                 "transportation_name", "line",
                 attrs=F.map_concat(
                     attr_entries(**{"class": F.lit("aerialway"), "subclass": F.col("aerialway")}),
-                    names_map(),
+                    names_col(),
                 ),
                 minzoom=12, buffer_px=BUFFER,
                 buffer_overrides=meter_thresholds_buffer(MIN_LENGTH_METERS),
@@ -305,7 +305,7 @@ def transform(ctx) -> DataFrame:
             *emit(
                 "transportation_name", "line",
                 attrs=F.map_concat(
-                    attr_entries(**{"class": F.col("shipway")}), names_map()
+                    attr_entries(**{"class": F.col("shipway")}), names_col()
                 ),
                 minzoom=12, buffer_px=BUFFER,
                 buffer_overrides=meter_thresholds_buffer(MIN_LENGTH_METERS),

@@ -140,3 +140,18 @@ def class_case(rules: list[tuple[str, tuple[str, tuple]]], default: str | None =
         cond = F.element_at(F.col("tags"), key).isin(*accepted)
         c = F.when(cond, F.lit(value)) if c is None else c.when(cond, F.lit(value))
     return c.otherwise(F.lit(default)) if c is not None else F.lit(default)
+
+
+def names_col() -> Column:
+    """The per-element i18n name map, materialized once at decode time
+    (pipeline.make_context). Layers must use this instead of re-inlining
+    names_map() — see the 64 KB-codegen note there."""
+    return F.col("names")
+
+
+def names_zattrs_col(minzoom: int) -> Column:
+    mz = F.lit(minzoom).cast("int")
+    return F.transform(
+        F.map_entries(names_col()),
+        lambda e: F.struct(e["key"].alias("key"), mz.alias("minzoom"), e["value"].alias("value")),
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from .. import spatial
 from ..features import WORLD_CIRCUMFERENCE_METERS, attr_entries, emit, union_features
 from ..schema.layers import LAYER_BUFFERS
-from .util import bool_int, names_map, nullif_empty
+from .util import bool_int, names_col, names_map, names_zattrs_col, nullif_empty
 
 BUFFER = LAYER_BUFFERS["water_name"]  # 256
 
@@ -146,7 +146,7 @@ def transform(ctx) -> DataFrame:
                 attrs=F.map_concat(
                     attr_entries(**{"class": clazz,
                                     "intermittent": bool_int(F.col("is_intermittent"))}),
-                    names_map(),
+                    names_col(),
                 ),
                 minzoom=minzoom, buffer_px=BUFFER,
             )
@@ -173,7 +173,7 @@ def transform(ctx) -> DataFrame:
     minzoom_cl = F.when(clazz == "lake", F.lit(MINZOOM_LAKE)).otherwise(F.lit(MINZOOM_BAY))
     base_attrs = F.map_concat(
         attr_entries(**{"class": clazz, "intermittent": bool_int(F.col("is_intermittent"))}),
-        names_map(),
+        names_col(),
     )
     has_cl = F.col("_cl_wkt").isNotNull()
     name_len_px = F.lit(6.0) * F.length(F.col("name")).cast("double")

@@ -30,7 +30,7 @@ from ..features import (
 )
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
-from .util import bool_int, brunnel, names_map, names_zattrs, nullif_empty
+from .util import bool_int, brunnel, names_col, names_map, names_zattrs, names_zattrs_col, nullif_empty
 
 BUFFER = LAYER_BUFFERS["waterway"]
 
@@ -108,7 +108,7 @@ def transform(ctx) -> DataFrame:
             *emit(
                 "waterway", "line",
                 attrs=F.map_concat(
-                    attr_entries(**{"class": F.col("waterway")}), names_map()
+                    attr_entries(**{"class": F.col("waterway")}), names_col()
                 ),
                 zattrs=zattrs_array(
                     zattr("brunnel", 12, brunnel(F.col("is_bridge"), F.col("is_tunnel"))),

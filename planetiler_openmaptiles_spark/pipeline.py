@@ -107,7 +107,13 @@ def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = N
     feats = decode_documents(docs)
     if "wikidata" in side:
         feats = with_wikidata_translations(feats, side["wikidata"])
-    feats = feats.persist()
+    # materialize the i18n name map ONCE per element: inlining names_map into
+    # every layer expression blew the generated code past the JVM 64 KB
+    # method limit → interpreted fallback (~300 ms/row). The persist() below
+    # is the collapse barrier that makes this a real materialization.
+    from .layers.util import names_map
+
+    feats = feats.withColumn("names", names_map()).persist()
     return LayerContext(
         spark=spark,
         features=feats,

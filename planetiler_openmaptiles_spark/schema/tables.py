@@ -712,6 +712,8 @@ def table_rows(features: DataFrame, table: str) -> DataFrame:
         F.col("geom_kind"),
         F.col("rels"),
     ]
+    if "names" in features.columns:  # materialized i18n map (pipeline)
+        cols.append(F.col("names"))
     for out_col, (tag_key, typ) in spec.columns.items():
         cols.append(_typed_col(tag_key, typ, spec.mapping_keys).alias(out_col))
     return features.filter(spec.mapping.col()).select(*cols)

@@ -64,7 +64,9 @@ def incremental_tile_build(
     def handle_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        feats = decode_documents(batch_df)
+        from ..layers.util import names_map
+
+        feats = decode_documents(batch_df).withColumn("names", names_map())
         ctx = LayerContext(spark=spark, features=feats, side={}, config=config)
         rendered = union_features(transform_all(ctx))
         tiles = finalize_tiles(render_tiles(rendered, max_zoom))

@@ -99,7 +99,9 @@ class LayerHarness:
             for spans in b.spans
         ]})
         docs_df = self.spark.createDataFrame(pdf, schema=schema)
-        feats = decode_documents(docs_df)
+        from planetiler_openmaptiles_spark.layers.util import names_map
+
+        feats = decode_documents(docs_df).withColumn("names", names_map())
         ctx = LayerContext(spark=self.spark, features=feats, side=side or {}, config=self.config)
         rendered = union_features(transform_all(ctx))
         return FeatureSet([r.asDict(recursive=True) for r in rendered.collect()])
