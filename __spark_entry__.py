@@ -32,6 +32,23 @@ _SF_DOCS = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 40000}
 ORACLE_SF = "sf0.01"  # driver compares at sf=0.01
 
 
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    """The engine depends on these runtime-settable SQL confs; the driver's
+    session may not have them (session.get_spark sets them for our own
+    entry points)."""
+    for k, v in [
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def _corpus_dir(sf_dir: str) -> str:
     from planetiler_openmaptiles_spark.datagen import write_corpus
 
@@ -130,6 +147,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from planetiler_openmaptiles_spark.layers import Config
     from planetiler_openmaptiles_spark.pipeline import build_tiles
 
+    _ensure_conf(spark)
     corpus = _corpus_dir("/root/testdata/sf0.001")
     return build_tiles(
         spark, corpus, Config(only_layers=("water", "landuse"), max_zoom=8)
@@ -504,8 +522,15 @@ def _q_embedding_near_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _wrap(fn):
+    def inner(spark, sf_dir):
+        return fn(_ensure_conf(spark), sf_dir)
+
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(v) for k, v in {
         # relational coverage
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -536,7 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
-    }
+    }.items()}
 
 
 # ==================================================================== oracles
