@@ -67,6 +67,12 @@ class CheckpointManager:
         os.makedirs(d, exist_ok=True)
         t0 = time.time()
         df = build()
+        # keep file-level parallelism for the next stage: a small checkpoint
+        # written as 1-4 files would collapse downstream mapInPandas to
+        # 1-4 tasks regardless of cluster size
+        target = max(spark.sparkContext.defaultParallelism, 16)
+        if not partition_by:
+            df = df.repartition(target)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

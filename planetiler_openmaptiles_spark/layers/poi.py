@@ -182,6 +182,10 @@ def _setup(df: DataFrame, form: str, agg_stop: F.Column | None = None) -> DataFr
     is_university = raw.isin(*UNIVERSITY_SUBCLASSES)
     minzoom = F.when(is_university, F.lit(10)).when(low_zoom, F.lit(12)).otherwise(F.lit(14))
 
+    # names: use the materialized map except for the rare ATM/parcel-locker
+    # fallback rows (inlining names_map(eff_tags) for every row was the
+    # layer's dominant cost — interpreted evaluation of the full i18n tree)
+    names = F.when(fallback.isNotNull(), names_map(eff_tags)).otherwise(F.col("names"))
     attrs = F.map_concat(
         attr_entries(
             **{
@@ -193,7 +197,7 @@ def _setup(df: DataFrame, form: str, agg_stop: F.Column | None = None) -> DataFr
                 "agg_stop": agg_stop if agg_stop is not None else F.lit(None).cast("int"),
             }
         ),
-        names_map(eff_tags),
+        names,
     )
     return df.select(
         *emit(

@@ -149,11 +149,34 @@ def build_tiles(
         if bad:
             raise AssertionError(f"span-sequence invariant violated for {bad} documents")
 
-    def _rendered():
+    if checkpoint_dir:
+        # one checkpoint stage per layer: Catalyst analysis/optimization cost
+        # grows superlinearly with plan size — the single 16-layer union plan
+        # serialized to ~26 MB and its per-action optimization dominated wall
+        # time (zero core-scaling). Sixteen small plans optimize fast, fail
+        # independently, and give per-layer resume + lineage.
         ctx = make_context(spark, corpus_dir, config)
-        return rendered_features(ctx)
+        from .features import FEATURE_COLUMNS
+        import importlib
 
-    rendered = cp.stage("rendered_features", fp, _rendered, spark, lineage=["documents"])
+        layer_dfs = []
+        for name in config.active_layers():
+            mod = importlib.import_module(f".layers.{name}", __package__)
+            layer_dfs.append(
+                cp.stage(
+                    f"layer_{name}", fp,
+                    lambda m=mod: m.transform(ctx).select(*FEATURE_COLUMNS),
+                    spark, lineage=["documents"],
+                )
+            )
+        rendered = union_features(layer_dfs)
+    else:
+
+        def _rendered():
+            ctx = make_context(spark, corpus_dir, config)
+            return rendered_features(ctx)
+
+        rendered = cp.stage("rendered_features", fp, _rendered, spark, lineage=["documents"])
     tile_feats = cp.stage(
         "tile_features", fp, lambda: render_tiles(rendered, config.max_zoom), spark,
         lineage=["rendered_features"],

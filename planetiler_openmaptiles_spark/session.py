@@ -30,7 +30,14 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            # AQE partition coalescing targets shuffle BYTES; our per-tile
+            # reduce is Python-CPU-bound on small bytes, and coalescing it to
+            # a handful of partitions serializes the merge UDFs. Skew-join
+            # splitting stays on.
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

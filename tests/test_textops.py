@@ -1,0 +1,102 @@
+"""Unit tests for the training-data operators (dedup/similarity/textstats/
+multimodal plumbing) on tiny in-line data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  quick   brown fox jumps over the lazy dog"),  # exact dup after norm
+        (3, "the quick brown fox jumps over the lazy cat"),     # near dup
+        (4, "completely different text about el la de que y en un los"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from planetiler_openmaptiles_spark.textops.dedup import exact_dedup, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2]
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_shingles_and_jaccard(spark, docs):
+    from planetiler_openmaptiles_spark.textops.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_n=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical after normalization → all bands agree
+    j = ngram_jaccard(docs, pairs, shingle_n=3).collect()
+    jm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in j}
+    assert jm[(1, 2)] == 1.0
+
+
+def test_simhash_identical(spark, docs):
+    from planetiler_openmaptiles_spark.textops.dedup import simhash_near_dups
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dups(docs).collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_langid_and_quality(spark, docs):
+    from planetiler_openmaptiles_spark.textops.textstats import (
+        detect_language, quality_score, regex_token_count, whitespace_token_count)
+
+    out = docs.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("lang"),
+        whitespace_token_count(F.col("text")).alias("ws"),
+        regex_token_count(F.col("text")).alias("re"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["lang"] == "en"
+    assert by_id[4]["lang"] == "es"
+    assert by_id[5]["lang"] == "und"
+    assert by_id[1]["ws"] == 9
+    assert by_id[1]["q"] > by_id[5]["q"]
+
+
+def test_ann_bruteforce(spark):
+    from planetiler_openmaptiles_spark.textops.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    top = brute_force_topk(emb, probes, k=3).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    lsh = lsh_topk(emb, probes, dim=8, k=3).collect()
+    assert lsh[0]["vec_id"] == 0  # own bucket always contains self
+
+
+def test_multimodal_plumbing(spark):
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        decode_images, frame_sample_plan)
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "d1", "image", bytearray(b"\x01\x02"), {}),
+            ("m2", "d1", "video", bytearray(b""), {"duration_s": "3.0"}),
+        ],
+        "media_id string, doc_id string, kind string, content binary, meta map<string,string>",
+    )
+    feats = decode_images(media).collect()
+    assert len(feats) == 1 and len(feats[0]["embedding"]) == 8
+    # deterministic fake: same bytes → same embedding
+    feats2 = decode_images(media).collect()
+    assert feats[0]["embedding"] == feats2[0]["embedding"]
+    # strict mode raises (decode genuinely not implemented in this container)
+    with pytest.raises(Exception):
+        decode_images(media, strict=True).collect()
+    plan = frame_sample_plan(media, every_n_seconds=1.0).collect()
+    assert [r["frame_ts"] for r in plan] == [0.0, 1.0, 2.0]
