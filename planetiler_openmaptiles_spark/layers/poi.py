@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..features import attr_entries, emit, grid_entry, mps_below, union_features
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
-from .util import names_map, nullif_empty, tag
+from .util import _only_latin, names_map, nullif_empty, tag
 
 BUFFER = LAYER_BUFFERS["poi"]
 
@@ -159,11 +159,6 @@ def _setup(df: DataFrame, form: str, agg_stop: F.Column | None = None) -> DataFr
         .when(raw.isin(*BRAND_OPERATOR_REF_SUBCLASSES) & unnamed, pl_name)
         .otherwise(F.lit(None))
     )
-    eff_tags = F.when(
-        fallback.isNotNull(),
-        F.map_concat(F.col("tags"), F.create_map(F.lit("name"), fallback)),
-    ).otherwise(F.col("tags"))
-
     subclass = (
         F.when(raw == "information", nullif_empty(F.col("information")))
         .when(raw == "place_of_worship", nullif_empty(F.col("religion")))
@@ -182,10 +177,26 @@ def _setup(df: DataFrame, form: str, agg_stop: F.Column | None = None) -> DataFr
     is_university = raw.isin(*UNIVERSITY_SUBCLASSES)
     minzoom = F.when(is_university, F.lit(10)).when(low_zoom, F.lit(12)).otherwise(F.lit(14))
 
-    # names: use the materialized map except for the rare ATM/parcel-locker
-    # fallback rows (inlining names_map(eff_tags) for every row was the
-    # layer's dominant cost — interpreted evaluation of the full i18n tree)
-    names = F.when(fallback.isNotNull(), names_map(eff_tags)).otherwise(F.col("names"))
+    # names: the materialized map, except ATM/parcel-locker fallback rows.
+    # Those rows have no name tags at all, so getNames(tags + {name: fb})
+    # reduces to this small closed form — inlining the full names_map tree
+    # here blew the 64 KB codegen limit and made the whole projection
+    # interpreted (the layer's dominant cost).
+    fb_latin = _only_latin(fallback)
+    fallback_names = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("name").alias("key"), fallback.alias("value")),
+                F.struct(F.lit("name_en").alias("key"), fallback.alias("value")),
+                F.struct(F.lit("name_de").alias("key"), fallback.alias("value")),
+                F.struct(F.lit("name:latin").alias("key"),
+                         F.when(fb_latin, fallback).alias("value")),
+                F.struct(F.lit("name_int").alias("key"), fallback.alias("value")),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    names = F.when(fallback.isNotNull(), fallback_names).otherwise(F.col("names"))
     attrs = F.map_concat(
         attr_entries(
             **{
