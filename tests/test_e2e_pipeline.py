@@ -81,14 +81,14 @@ def test_checkpoint_resume(spark, corpus_dir, tmp_path):
     cfg = Config(only_layers=("water",), max_zoom=6)
     t1 = build_tiles(spark, corpus_dir, cfg, checkpoint_dir=ckpt)
     n1 = t1.count()
-    m1 = json.load(open(os.path.join(ckpt, "rendered_features", "_MANIFEST.json")))
+    m1 = json.load(open(os.path.join(ckpt, "layer_water", "_MANIFEST.json")))
     t2 = build_tiles(spark, corpus_dir, cfg, checkpoint_dir=ckpt)
     n2 = t2.count()
-    m2 = json.load(open(os.path.join(ckpt, "rendered_features", "_MANIFEST.json")))
+    m2 = json.load(open(os.path.join(ckpt, "layer_water", "_MANIFEST.json")))
     assert n1 == n2
     assert m1["written_at"] == m2["written_at"]  # not rewritten → resumed
     # changed config → different fingerprint → recompute
     cfg2 = Config(only_layers=("water",), max_zoom=7)
     build_tiles(spark, corpus_dir, cfg2, checkpoint_dir=ckpt).count()
-    m3 = json.load(open(os.path.join(ckpt, "rendered_features", "_MANIFEST.json")))
+    m3 = json.load(open(os.path.join(ckpt, "layer_water", "_MANIFEST.json")))
     assert m3["fingerprint"] != m2["fingerprint"]
