@@ -1,0 +1,123 @@
+"""Direct tile post-process golden tests (reference AbstractLayerTest
+:207-258 pattern — call the layer post-processor on hand-built tile
+features and assert merge/no-merge)."""
+
+import pandas as pd
+import pytest
+
+from planetiler_openmaptiles_spark.geom import wkt
+from planetiler_openmaptiles_spark.tiling import postprocess
+
+
+def _pdf(rows):
+    return pd.DataFrame(
+        rows, columns=["elem_id", "kind", "geom_px", "attrs", "sort_key", "grid_cell", "grid_rank"]
+    )
+
+
+def test_merge_linestrings_connects_segments():
+    # two touching segments with identical attrs merge into one line
+    pdf = _pdf([
+        (1, "linestring", "LINESTRING (0 0, 10 0)", {"class": "river"}, 0, None, None),
+        (2, "linestring", "LINESTRING (10 0, 20 0)", {"class": "river"}, 0, None, None),
+    ])
+    out = postprocess.merge_line_strings(pdf, 0.0, 0.1, 4.0)
+    assert len(out) == 1
+    g = wkt.parse_wkt(out.iloc[0]["geom_px"])
+    assert g[0] == "LineString" and len(g[1]) == 2  # simplified collinear
+    assert g[1][0].tolist() == [0, 0] and g[1][-1].tolist() == [20, 0]
+
+
+def test_merge_linestrings_respects_attrs():
+    # different attrs → no merge
+    pdf = _pdf([
+        (1, "linestring", "LINESTRING (0 0, 10 0)", {"class": "river"}, 0, None, None),
+        (2, "linestring", "LINESTRING (10 0, 20 0)", {"class": "canal"}, 0, None, None),
+    ])
+    out = postprocess.merge_line_strings(pdf, 0.0, 0.1, 4.0)
+    assert len(out) == 2
+
+
+def test_merge_linestrings_min_length():
+    pdf = _pdf([
+        (1, "linestring", "LINESTRING (0 0, 5 0)", {"class": "river"}, 0, None, None),
+    ])
+    out = postprocess.merge_line_strings(pdf, 10.0, 0.1, 4.0)
+    assert len(out) == 0
+    out = postprocess.merge_line_strings(pdf, 4.0, 0.1, 4.0)
+    assert len(out) == 1
+
+
+def test_merge_linestrings_fence_key():
+    # __limit_merge fences prevent merging but are stripped from output
+    pdf = _pdf([
+        (1, "linestring", "LINESTRING (0 0, 10 0)", {"class": "x", "__limit_merge": "1"}, 0, None, None),
+        (2, "linestring", "LINESTRING (10 0, 20 0)", {"class": "x", "__limit_merge": "2"}, 0, None, None),
+    ])
+    out = postprocess.merge_line_strings(pdf, 0.0, 0.1, 4.0)
+    assert len(out) == 2
+    assert all("__limit_merge" not in a for a in out["attrs"])
+
+
+def test_merge_overlapping_polygons_unions():
+    a = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"
+    b = "POLYGON ((50 50, 150 50, 150 150, 50 150, 50 50))"
+    pdf = _pdf([
+        (1, "polygon", a, {"class": "wood"}, 0, None, None),
+        (2, "polygon", b, {"class": "wood"}, 0, None, None),
+    ])
+    out = postprocess.merge_overlapping_polygons(pdf, 0.0)
+    assert len(out) == 1
+    g = wkt.parse_wkt(out.iloc[0]["geom_px"])
+    assert g[0] == "Polygon"
+    from planetiler_openmaptiles_spark.geom import ops
+
+    area = ops.polygon_area([r for r in g[1]])
+    # union area ≈ 100² + 100² - 50² = 17500 (raster-grid tolerance)
+    assert abs(area - 17500) < 600
+
+
+def test_merge_overlapping_polygons_attr_groups():
+    a = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"
+    b = "POLYGON ((50 50, 150 50, 150 150, 50 150, 50 50))"
+    pdf = _pdf([
+        (1, "polygon", a, {"class": "wood"}, 0, None, None),
+        (2, "polygon", b, {"class": "grass"}, 0, None, None),
+    ])
+    out = postprocess.merge_overlapping_polygons(pdf, 0.0)
+    assert len(out) == 2
+
+
+def test_merge_nearby_polygons_bridges_gap():
+    # two squares 2px apart merge with min_dist 4, stay apart with 0.5
+    a = "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))"
+    b = "POLYGON ((42 0, 80 0, 80 40, 42 40, 42 0))"
+    rows = [
+        (1, "polygon", a, {}, 0, None, None),
+        (2, "polygon", b, {}, 0, None, None),
+    ]
+    merged = postprocess.merge_nearby_polygons(_pdf(rows), 0.0, 0.0, 4.0, 4.0)
+    assert len(wkt.parse_wkt(merged.iloc[0]["geom_px"])[1]) >= 1
+    assert len(merged) == 1 and wkt.parse_wkt(merged.iloc[0]["geom_px"])[0] == "Polygon"
+    apart = postprocess.merge_nearby_polygons(_pdf(rows), 0.0, 0.0, 0.5, 0.5)
+    g = wkt.parse_wkt(apart.iloc[0]["geom_px"])
+    assert len(apart) == 1 and g[0] == "MultiPolygon" and len(g[1]) == 2
+
+
+def test_merge_multi_point():
+    pdf = _pdf([
+        (1, "point", "POINT (10 10)", {"housenumber": "1"}, 0, None, None),
+        (2, "point", "POINT (20 20)", {"housenumber": "1"}, 0, None, None),
+        (3, "point", "POINT (30 30)", {"housenumber": "2"}, 0, None, None),
+    ])
+    out = postprocess.merge_multi_point(pdf)
+    assert len(out) == 2
+    kinds = sorted(wkt.parse_wkt(g)[0] for g in out["geom_px"])
+    assert kinds == ["MultiPoint", "Point"]
+
+
+def test_merge_min_area_filter():
+    small = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    pdf = _pdf([(1, "polygon", small, {}, 0, None, None)])
+    out = postprocess.merge_overlapping_polygons(pdf, 4.0)
+    assert len(out) == 0
