@@ -160,23 +160,30 @@ def ngram_jaccard(
 
 
 def simhash(text_col, bits: int = 64, shingle_n: int = 2):
-    """64-bit SimHash fingerprint — JVM-side: per bit, sign of the sum of
-    shingle-hash bit values. Uses aggregate over the shingle array."""
+    """64-bit SimHash fingerprint — JVM-side, single pass: one aggregate
+    whose accumulator is the array of 64 bit-vote counters (the original
+    one-aggregate-per-bit form scanned the shingle array 64×)."""
     sh = shingles(text_col, shingle_n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bit_exprs = []
-    for i in range(bits):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1),
-        )
-        bit_exprs.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bit_exprs):
-        out = out + F.shiftleft(b, i)
-    return out
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    powers = F.array(*[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(bits)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.when(F.bit_get(h, i) == 1, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
