@@ -337,7 +337,10 @@ def tile_cut(exploded: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {f.name: [] for f in TILE_FEATURE_SCHEMA.fields}
             for row in pdf.itertuples(index=False):
-                key = (row.doc_id, row.elem_id, row.layer, row.form)
+                # keyed on the WKT itself: same (doc_id, elem_id, layer, form)
+                # can carry different geometries (boundary vote groups) and a
+                # stale memo would clip against the wrong geometry
+                key = row.geom_world
                 if key != memo_key:
                     memo_key = key
                     memo_geom = wkt.parse_wkt(row.geom_world)

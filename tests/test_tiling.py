@@ -1,0 +1,158 @@
+"""Tile render (explode) stage tests — stage C clipping correctness.
+
+Covers the memo-staleness bug: multiple rendered features sharing
+(doc_id, elem_id, layer, form) but carrying DIFFERENT geometries (as
+boundary._bordering_with_vote emits) must each be clipped against their
+own geometry, not a stale memoized one.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from planetiler_openmaptiles_spark.tiling.explode import render_tiles
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("elem_id", T.LongType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("form", T.StringType()),
+        T.StructField("geom_wkt", T.StringType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "zattrs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("minzoom", T.IntegerType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("minzoom", T.IntegerType()),
+        T.StructField("maxzoom", T.IntegerType()),
+        T.StructField("buffer_px", T.DoubleType()),
+        T.StructField(
+            "buffer_overrides",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("zoom", T.IntegerType()),
+                        T.StructField("size", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("min_pixel_size", T.DoubleType()),
+        T.StructField(
+            "mps_overrides",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("below_zoom", T.IntegerType()),
+                        T.StructField("size", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("sort_key", T.IntegerType()),
+        T.StructField(
+            "grid",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("minzoom", T.IntegerType()),
+                        T.StructField("maxzoom", T.IntegerType()),
+                        T.StructField("size", T.DoubleType()),
+                        T.StructField("limit", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _feature_row(
+    geom_wkt,
+    doc_id="d1",
+    elem_id=1,
+    layer="boundary",
+    form="line",
+    minzoom=2,
+    maxzoom=2,
+):
+    return (
+        doc_id,
+        elem_id,
+        layer,
+        form,
+        geom_wkt,
+        {},
+        None,
+        minzoom,
+        maxzoom,
+        4.0,
+        None,
+        0.0,
+        None,
+        0,
+        None,
+    )
+
+
+def test_same_key_different_geoms_both_render(spark):
+    """Reproduces the ADVICE round-1 finding: two rows with identical
+    (doc_id, elem_id, layer, form) but far-apart geometries must both
+    emit tile rows (boundary vote groups emit such rows)."""
+    rows = [
+        _feature_row("LINESTRING (10 10, 10.5 10.5)"),
+        _feature_row("LINESTRING (-120 40, -119.5 40.5)"),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA).coalesce(1)
+    out = render_tiles(df, max_zoom=2).toPandas()
+    assert len(out) >= 2
+    # the two features live on opposite sides of the antimeridian-ish world:
+    # tile x must differ between them at z2
+    assert out["x"].nunique() >= 2
+
+
+def test_line_clip_across_tiles(spark):
+    """A long line crossing several z4 tiles emits one clipped piece per
+    tile it actually passes through, each within the buffered tile box."""
+    from planetiler_openmaptiles_spark.geom import wkt as wktmod
+
+    rows = [_feature_row("LINESTRING (0 40, 40 41)", minzoom=4, maxzoom=4)]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = render_tiles(df, max_zoom=4).toPandas()
+    assert len(out) >= 2
+    for g in out["geom_px"]:
+        geom = wktmod.parse_wkt(g)
+        assert geom is not None
+        coords = geom[1] if geom[0] == "LineString" else geom[1][0]
+        import numpy as np
+
+        c = np.asarray(coords)
+        assert c[:, 0].min() >= -4.0 - 1e-6 and c[:, 0].max() <= 260.0 + 1e-6
+
+
+def test_polygon_clip_across_tiles(spark):
+    """A polygon spanning multiple z4 tiles: every covered tile gets a
+    clipped polygon, and tiles fully inside get full coverage."""
+    rows = [
+        _feature_row(
+            "POLYGON ((0 10, 50 10, 50 45, 0 45, 0 10))",
+            layer="landcover",
+            form="polygon",
+            minzoom=4,
+            maxzoom=4,
+        )
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = render_tiles(df, max_zoom=4).toPandas()
+    # z4 world = 16 tiles across; lon 0..50 is > 2 tiles wide
+    assert out["x"].nunique() >= 2
+    assert (out["kind"] == "polygon").all()
