@@ -284,6 +284,59 @@ def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
     return coords[keep]
 
 
+def dp_thresholds(coords: np.ndarray) -> np.ndarray:
+    """Per-vertex Douglas-Peucker retention thresholds (squared distances).
+
+    thr2[v] = largest tol² for which DP(tol) still keeps vertex v, with
+    child thresholds clamped to their parent's so that
+    ``coords[thr2 > tol*tol]`` reproduces ``douglas_peucker(coords, tol)``
+    EXACTLY for every tol (same strict comparison, same tie behavior).
+    Endpoints get +inf. Computing this once per geometry turns the per-zoom
+    simplify in the tile render stage into a boolean filter.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(coords)
+    thr2 = np.full(n, np.inf)
+    if n <= 2:
+        return thr2
+    x = coords[:, 0]
+    y = coords[:, 1]
+    stack = [(0, n - 1, np.inf)]
+    while stack:
+        i, j, parent = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay = x[i], y[i]
+        dx, dy = x[j] - ax, y[j] - ay
+        px = x[i + 1 : j]
+        py = y[i + 1 : j]
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0:
+            ddx = px - ax
+            ddy = py - ay
+            d2 = ddx * ddx + ddy * ddy
+        else:
+            t = ((px - ax) * dx + (py - ay) * dy) / seg2
+            np.clip(t, 0.0, 1.0, out=t)
+            ddx = px - (ax + t * dx)
+            ddy = py - (ay + t * dy)
+            d2 = ddx * ddx + ddy * ddy
+        k = int(np.argmax(d2))
+        v = min(float(d2[k]), parent)
+        idx = i + 1 + k
+        thr2[idx] = v
+        stack.append((i, idx, v))
+        stack.append((idx, j, v))
+    return thr2
+
+
+def dp_filter(coords: np.ndarray, thr2: np.ndarray, tol: float) -> np.ndarray:
+    """Simplify using precomputed dp_thresholds (== douglas_peucker(coords, tol))."""
+    if tol <= 0:
+        return np.asarray(coords, dtype=np.float64)
+    return np.asarray(coords, dtype=np.float64)[thr2 > tol * tol]
+
+
 def simplify(geom, tol: float):
     if tol <= 0:
         return geom
@@ -303,6 +356,49 @@ def simplify(geom, tol: float):
     return geom
 
 
+def geom_dp_thresholds(geom):
+    """dp_thresholds per component, mirroring the geometry's structure."""
+    kind, data = geom
+    if kind in ("Point", "MultiPoint"):
+        return None
+    if kind == "LineString":
+        return dp_thresholds(data)
+    if kind in ("MultiLineString", "Polygon"):
+        return [dp_thresholds(np.asarray(c)) for c in data]
+    if kind == "MultiPolygon":
+        return [[dp_thresholds(np.asarray(r)) for r in rings] for rings in data]
+    return None
+
+
+def simplify_with_thresholds(geom, thrs, tol: float):
+    """simplify() via precomputed geom_dp_thresholds (identical output)."""
+    if tol <= 0 or thrs is None:
+        return geom
+    kind, data = geom
+    if kind == "LineString":
+        return ("LineString", dp_filter(data, thrs, tol))
+    if kind == "MultiLineString":
+        return ("MultiLineString", [dp_filter(l, t, tol) for l, t in zip(data, thrs)])
+    if kind == "Polygon":
+        rings = _filter_rings(data, thrs, tol)
+        return ("Polygon", rings) if rings else None
+    if kind == "MultiPolygon":
+        polys = [r for r in (_filter_rings(rs, ts, tol) for rs, ts in zip(data, thrs)) if r]
+        return ("MultiPolygon", polys) if polys else None
+    return geom
+
+
+def _filter_rings(rings, thrs, tol):
+    out = []
+    for i, (ring, t) in enumerate(zip(rings, thrs)):
+        s = dp_filter(ring, t, tol)
+        if len(s) >= 4:
+            out.append(s)
+        elif i == 0:
+            return []  # outer ring collapsed → drop polygon
+    return out
+
+
 def _simplify_rings(rings, tol):
     out = []
     for i, ring in enumerate(rings):
@@ -318,98 +414,124 @@ def _simplify_rings(rings, tol):
 
 
 def clip_ring_box(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray | None:
-    """Sutherland-Hodgman polygon clip against an axis box (exact, convex clip)."""
+    """Sutherland-Hodgman polygon clip against an axis box (exact, convex clip).
+
+    Fully vectorized per clip edge: emission counts per vertex (1 if inside,
+    +1 if the outgoing segment crosses the edge) are scattered into a
+    preallocated output via cumsum positions — no per-vertex Python loop.
+    """
     pts = np.asarray(ring, dtype=np.float64)
-    if len(pts) and np.allclose(pts[0], pts[-1]):
+    if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
         pts = pts[:-1]
+    # fast path: ring fully inside the box → untouched
+    x, y = pts[:, 0], pts[:, 1]
+    if (
+        len(pts) >= 3
+        and x.min() >= xmin
+        and x.max() <= xmax
+        and y.min() >= ymin
+        and y.max() <= ymax
+    ):
+        return np.vstack([pts, pts[:1]])
     for edge in range(4):
         if len(pts) < 3:
             return None
-        nxt = np.roll(pts, -1, axis=0)
+        x = pts[:, 0]
+        y = pts[:, 1]
         if edge == 0:
-            cur_in, nxt_in = pts[:, 0] >= xmin, nxt[:, 0] >= xmin
+            ins = x >= xmin
         elif edge == 1:
-            cur_in, nxt_in = pts[:, 0] <= xmax, nxt[:, 0] <= xmax
+            ins = x <= xmax
         elif edge == 2:
-            cur_in, nxt_in = pts[:, 1] >= ymin, nxt[:, 1] >= ymin
+            ins = y >= ymin
         else:
-            cur_in, nxt_in = pts[:, 1] <= ymax, nxt[:, 1] <= ymax
-        out = []
-        for i in range(len(pts)):
-            p, q = pts[i], nxt[i]
-            if cur_in[i]:
-                out.append(p)
-                if not nxt_in[i]:
-                    out.append(_isect_box_edge(p, q, edge, xmin, ymin, xmax, ymax))
-            elif nxt_in[i]:
-                out.append(_isect_box_edge(p, q, edge, xmin, ymin, xmax, ymax))
-        if not out:
+            ins = y <= ymax
+        if ins.all():
+            continue
+        nxt_in = np.concatenate([ins[1:], ins[:1]])
+        cross = ins != nxt_in
+        counts = ins.astype(np.intp) + cross
+        total = int(counts.sum())
+        if total == 0:
             return None
-        pts = np.array(out)
+        starts = np.cumsum(counts) - counts
+        out = np.empty((total, 2), dtype=np.float64)
+        out[starts[ins]] = pts[ins]
+        ci = np.nonzero(cross)[0]
+        if len(ci):
+            p = pts[ci]
+            q = pts[(ci + 1) % len(pts)]
+            if edge < 2:
+                val = xmin if edge == 0 else xmax
+                t = (val - p[:, 0]) / (q[:, 0] - p[:, 0])
+                ipts = np.column_stack(
+                    [np.full(len(ci), float(val)), p[:, 1] + t * (q[:, 1] - p[:, 1])]
+                )
+            else:
+                val = ymin if edge == 2 else ymax
+                t = (val - p[:, 1]) / (q[:, 1] - p[:, 1])
+                ipts = np.column_stack(
+                    [p[:, 0] + t * (q[:, 0] - p[:, 0]), np.full(len(ci), float(val))]
+                )
+            out[starts[ci] + ins[ci]] = ipts
+        pts = out
     if len(pts) < 3:
         return None
     return np.vstack([pts, pts[:1]])
 
 
-def _isect_box_edge(p, q, edge, xmin, ymin, xmax, ymax):
-    if edge == 0:
-        t = (xmin - p[0]) / (q[0] - p[0])
-        return np.array([xmin, p[1] + t * (q[1] - p[1])])
-    if edge == 1:
-        t = (xmax - p[0]) / (q[0] - p[0])
-        return np.array([xmax, p[1] + t * (q[1] - p[1])])
-    if edge == 2:
-        t = (ymin - p[1]) / (q[1] - p[1])
-        return np.array([p[0] + t * (q[0] - p[0]), ymin])
-    t = (ymax - p[1]) / (q[1] - p[1])
-    return np.array([p[0] + t * (q[0] - p[0]), ymax])
-
 
 def clip_line_box(coords: np.ndarray, xmin, ymin, xmax, ymax) -> list[np.ndarray]:
-    """Liang-Barsky per segment, re-joining consecutive kept pieces."""
+    """Liang-Barsky vectorized over all segments, re-joining consecutive
+    kept pieces. The only Python loop is over the resulting pieces."""
     coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 2:
+        return []
+    # fast path: fully inside
+    x, y = coords[:, 0], coords[:, 1]
+    if x.min() >= xmin and x.max() <= xmax and y.min() >= ymin and y.max() <= ymax:
+        return [coords]
+    p = coords[:-1]
+    q = coords[1:]
+    d = q - p
+    t0 = np.zeros(len(p))
+    t1 = np.ones(len(p))
+    reject = np.zeros(len(p), dtype=bool)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for pi, qi in (
+            (-d[:, 0], p[:, 0] - xmin),
+            (d[:, 0], xmax - p[:, 0]),
+            (-d[:, 1], p[:, 1] - ymin),
+            (d[:, 1], ymax - p[:, 1]),
+        ):
+            r = qi / pi
+            neg = pi < 0
+            pos = pi > 0
+            zero = pi == 0
+            reject |= zero & (qi < 0)
+            t0 = np.where(neg, np.maximum(t0, r), t0)
+            t1 = np.where(pos, np.minimum(t1, r), t1)
+    keep = ~reject & (t0 <= t1)
+    if not keep.any():
+        return []
+    ki = np.nonzero(keep)[0]
+    a = p[ki] + t0[ki, None] * d[ki]
+    b = p[ki] + t1[ki, None] * d[ki]
+    # a new piece starts where the previous segment was dropped or the
+    # clipped endpoints don't chain (segment exited and re-entered the box)
+    if len(ki) == 1:
+        starts = np.array([True])
+    else:
+        contig = ki[1:] == ki[:-1] + 1
+        chains = (np.abs(a[1:] - b[:-1]) <= 1e-12).all(axis=1)
+        starts = np.concatenate([[True], ~(contig & chains)])
     pieces: list[np.ndarray] = []
-    cur: list[np.ndarray] = []
-    for i in range(len(coords) - 1):
-        seg = _clip_seg(coords[i], coords[i + 1], xmin, ymin, xmax, ymax)
-        if seg is None:
-            if len(cur) >= 2:
-                pieces.append(np.array(cur))
-            cur = []
-            continue
-        a, b = seg
-        if cur and np.allclose(cur[-1], a, rtol=0, atol=1e-12):
-            cur.append(b)
-        else:
-            if len(cur) >= 2:
-                pieces.append(np.array(cur))
-            cur = [a, b]
-    if len(cur) >= 2:
-        pieces.append(np.array(cur))
+    bounds = np.nonzero(starts)[0].tolist() + [len(ki)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        # piece = a[s], b[s..e-1]
+        pieces.append(np.vstack([a[s : s + 1], b[s:e]]))
     return pieces
 
-
-def _clip_seg(p, q, xmin, ymin, xmax, ymax):
-    t0, t1 = 0.0, 1.0
-    dx, dy = q[0] - p[0], q[1] - p[1]
-    for pi, qi in ((-dx, p[0] - xmin), (dx, xmax - p[0]), (-dy, p[1] - ymin), (dy, ymax - p[1])):
-        if pi == 0:
-            if qi < 0:
-                return None
-            continue
-        r = qi / pi
-        if pi < 0:
-            if r > t1:
-                return None
-            t0 = max(t0, r)
-        else:
-            if r < t0:
-                return None
-            t1 = min(t1, r)
-    return (
-        np.array([p[0] + t0 * dx, p[1] + t0 * dy]),
-        np.array([p[0] + t1 * dx, p[1] + t1 * dy]),
-    )
 
 
 def clip_geom_box(geom, xmin, ymin, xmax, ymax):

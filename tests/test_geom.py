@@ -135,3 +135,33 @@ def test_intersection_area_argmax_ordering():
     assert a1 > a2 > 0
     assert a1 == pytest.approx(25.0, rel=0.05)
     assert a2 == pytest.approx(1.0, rel=0.3)
+
+
+def test_dp_thresholds_match_direct_dp():
+    """coords[thr2 > tol²] must equal douglas_peucker(coords, tol) for all
+    tolerances (the per-zoom simplify in tile render relies on this)."""
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(2, 120))
+        coords = np.cumsum(rng.normal(size=(n, 2)), axis=0)
+        if trial % 3 == 0:  # closed ring case
+            coords = np.vstack([coords, coords[:1]])
+        thr2 = ops.dp_thresholds(coords)
+        for tol in (0.01, 0.1, 0.5, 1.0, 3.0, 10.0):
+            direct = ops.douglas_peucker(coords, tol)
+            filt = ops.dp_filter(coords, thr2, tol)
+            np.testing.assert_array_equal(filt, direct)
+
+
+def test_clip_line_box_pieces():
+    # line exits and re-enters the box → two pieces
+    line = np.array([[-1, 1], [1, 1], [3, 1], [3, 5], [1, 5], [1, 3]], float)
+    pieces = ops.clip_line_box(line, 0, 0, 2, 4)
+    assert len(pieces) == 2
+    np.testing.assert_allclose(pieces[0], [[0, 1], [1, 1], [2, 1]])
+    np.testing.assert_allclose(pieces[1], [[1, 4], [1, 3]])
+    # fully inside
+    inside = np.array([[0.5, 0.5], [1.5, 1.5]])
+    assert len(ops.clip_line_box(inside, 0, 0, 2, 2)) == 1
+    # fully outside
+    assert ops.clip_line_box(np.array([[5.0, 5], [6, 6]]), 0, 0, 2, 2) == []
