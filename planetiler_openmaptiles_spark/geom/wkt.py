@@ -101,7 +101,13 @@ def _fmt(v: float) -> str:
 
 
 def _fmt_coords(arr: np.ndarray) -> str:
-    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in np.asarray(arr).reshape(-1, 2))
+    a = np.asarray(arr).reshape(-1, 2)
+    if len(a) > 4:
+        # vectorized C-printf path; %.10g matches Python's .10g exactly for
+        # float64 (both correctly rounded — parity-tested in test_geom)
+        parts = np.char.mod("%.10g", a)
+        return ", ".join(np.char.add(np.char.add(parts[:, 0], " "), parts[:, 1]).tolist())
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in a)
 
 
 def to_wkt(geom) -> str:

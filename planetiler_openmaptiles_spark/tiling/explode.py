@@ -302,7 +302,7 @@ def _emit_row(out, row, z, tx, ty, geom_px, grid_cell):
     out["doc_id"].append(row.doc_id)
     out["elem_id"].append(row.elem_id)
     out["kind"].append(row.kind)
-    out["geom_px"].append(wkt.to_wkt(geom_px))
+    out["geom_px"].append(geom_px if isinstance(geom_px, str) else wkt.to_wkt(geom_px))
     out["attrs"].append(_attrs_dict(row.attrs_z))
     out["sort_key"].append(row.sort_key)
     out["grid_cell"].append(grid_cell)
@@ -333,7 +333,7 @@ def tile_cut(exploded: DataFrame) -> DataFrame:
     """Stage C: per (feature, z) → tile rows with clipped px geometry."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo_key, memo_geom = None, None
+        memo_key, memo_geom, memo_thrs = None, None, None
         for pdf in batches:
             out = {f.name: [] for f in TILE_FEATURE_SCHEMA.fields}
             for row in pdf.itertuples(index=False):
@@ -344,6 +344,7 @@ def tile_cut(exploded: DataFrame) -> DataFrame:
                 if key != memo_key:
                     memo_key = key
                     memo_geom = wkt.parse_wkt(row.geom_world)
+                    memo_thrs = False  # computed lazily (skipped for points)
                 g = memo_geom
                 if g is None:
                     continue
@@ -355,16 +356,33 @@ def tile_cut(exploded: DataFrame) -> DataFrame:
                 if row.kind == "point":
                     _cut_points(out, row, g, z, n, scale, buf)
                     continue
+                if memo_thrs is False:
+                    # Douglas-Peucker retention thresholds once per feature:
+                    # the per-zoom simplify below becomes a boolean filter
+                    memo_thrs = ops.geom_dp_thresholds(g)
                 # simplify at this zoom's tolerance (world units)
                 tol_fn = LAYER_TOLERANCE.get(row.layer)
                 tol_px = tol_fn(z, row.attrs_z or {}) if tol_fn else DEFAULT_TOLERANCE_PX
-                gs = ops.simplify(g, tol_px / scale) if tol_px > 0 else g
+                gs = (
+                    ops.simplify_with_thresholds(g, memo_thrs, tol_px / scale)
+                    if tol_px > 0
+                    else g
+                )
                 if gs is None:
                     continue
-                x0 = max(0, int(np.floor((row.min_x - buf_world) * n)))
-                x1 = min(n - 1, int(np.floor((row.max_x + buf_world) * n)))
-                y0 = max(0, int(np.floor((row.min_y - buf_world) * n)))
-                y1 = min(n - 1, int(np.floor((row.max_y + buf_world) * n)))
+                fx0 = int(np.floor((row.min_x - buf_world) * n))
+                fx1 = int(np.floor((row.max_x + buf_world) * n))
+                fy0 = int(np.floor((row.min_y - buf_world) * n))
+                fy1 = int(np.floor((row.max_y + buf_world) * n))
+                if fx0 == fx1 and fy0 == fy1 and 0 <= fx0 < n and 0 <= fy0 < n:
+                    # buffered bbox entirely inside one tile → clip is a no-op
+                    # (simplified geometry's bbox ⊆ source bbox); rings from
+                    # the layer stages are closed, so output bytes match the
+                    # clip path's fully-inside fast path exactly
+                    _emit_row(out, row, z, fx0, fy0, _scale_to_tile(gs, fx0, fy0, n), None)
+                    continue
+                x0, x1 = max(0, fx0), min(n - 1, fx1)
+                y0, y1 = max(0, fy0), min(n - 1, fy1)
                 ntiles = (x1 - x0 + 1) * (y1 - y0 + 1)
                 if row.kind == "polygon" and ntiles > FILL_TILE_THRESHOLD:
                     _cut_polygon_fill(out, row, gs, z, n, scale, buf, x0, x1, y0, y1)
@@ -416,7 +434,7 @@ def _cut_polygon_fill(out, row, gs, z, n, scale, buf, x0, x1, y0, y1):
     boundary = (mask | edge_mask) & ~(interior & ~edge_mask)
     fill = interior & ~edge_mask
     fr, fc = np.nonzero(fill)
-    rect = _fill_rect(buf)
+    rect = wkt.to_wkt(_fill_rect(buf))  # serialize the canned rectangle once
     for r, c in zip(fr.tolist(), fc.tolist()):
         _emit_row(out, row, z, x0 + c, y0 + r, rect, None)
     br, bc = np.nonzero(boundary)

@@ -165,3 +165,45 @@ def test_clip_line_box_pieces():
     assert len(ops.clip_line_box(inside, 0, 0, 2, 2)) == 1
     # fully outside
     assert ops.clip_line_box(np.array([[5.0, 5], [6, 6]]), 0, 0, 2, 2) == []
+
+
+def test_simplify_with_thresholds_matches_simplify():
+    rng = np.random.default_rng(11)
+
+    def ring(n, r):
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        pts = np.column_stack([r * np.cos(th), r * np.sin(th)]) + rng.normal(0, 0.3, (n, 2))
+        return np.vstack([pts, pts[:1]])
+
+    geoms = [
+        ("LineString", np.cumsum(rng.normal(size=(40, 2)), axis=0)),
+        ("MultiLineString", [np.cumsum(rng.normal(size=(k, 2)), axis=0) for k in (5, 30, 2)]),
+        ("Polygon", [ring(30, 10.0), ring(8, 2.0)]),
+        ("MultiPolygon", [[ring(25, 8.0)], [ring(6, 0.4), ring(5, 0.1)]]),
+    ]
+    for g in geoms:
+        thrs = ops.geom_dp_thresholds(g)
+        for tol in (0.01, 0.2, 1.0, 5.0, 50.0):
+            a = ops.simplify(g, tol)
+            b = ops.simplify_with_thresholds(g, thrs, tol)
+            assert (a is None) == (b is None), (g[0], tol)
+            if a is not None:
+                from planetiler_openmaptiles_spark.geom import to_wkt
+
+                assert to_wkt(a) == to_wkt(b), (g[0], tol)
+
+
+def test_fmt_coords_vectorized_parity():
+    """np.char.mod %.10g must byte-match Python's .10g (to_wkt fast path)."""
+    from planetiler_openmaptiles_spark.geom.wkt import _fmt_coords
+
+    rng = np.random.default_rng(3)
+    arr = np.concatenate(
+        [
+            rng.uniform(-300, 4_300_000, (50, 2)),
+            rng.normal(0, 1e-9, (20, 2)),
+            np.array([[0.0, -0.0], [1e30, -1e-30], [0.1 + 0.2, 256.0]]),
+        ]
+    )
+    slow = ", ".join(f"{x:.10g} {y:.10g}" for x, y in arr)
+    assert _fmt_coords(arr) == slow
