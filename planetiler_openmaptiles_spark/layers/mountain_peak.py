@@ -93,18 +93,17 @@ def transform(ctx) -> DataFrame:
 
 
 def _post_process(zoom: int, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Stamp rank from grid order, drop points outside the 64px buffer
-    (MountainPeak.java:176-204)."""
+    """Stamp rank from the JVM label-grid order, drop points outside the 64px
+    buffer (MountainPeak.java:176-204). grid_rank is computed once in
+    ``grid_windows`` (ungrouped rows share one bucket, matching the
+    reference's group()==0 counter) — no in-pandas recount, so this
+    processor is a stateless per-row map (salt/partition safe)."""
     from ..geom import wkt as wktmod
 
-    counts: dict = {}
     keep_idx, new_attrs = [], []
+    ranks = pdf["grid_rank"]
     for i in range(len(pdf)):
         a = postprocess._as_dict(pdf["attrs"].iloc[i])
-        cell = pdf["grid_cell"].iloc[i] if "grid_cell" in pdf.columns else None
-        key = None if cell is None or pd.isna(cell) else int(cell)
-        gridrank = counts.get(key, 1)
-        counts[key] = gridrank + 1
         if pdf["kind"].iloc[i] == "point":
             g = wktmod.parse_wkt(pdf["geom_px"].iloc[i])
             if g is not None and g[0] == "Point":
@@ -112,7 +111,7 @@ def _post_process(zoom: int, pdf: pd.DataFrame) -> pd.DataFrame:
                 if not (-BUFFER <= x <= 256 + BUFFER and -BUFFER <= y <= 256 + BUFFER):
                     continue
         if "rank" not in a:
-            a["rank"] = str(gridrank)
+            a["rank"] = str(int(ranks.iloc[i]))
         keep_idx.append(i)
         new_attrs.append(a)
     out = pdf.iloc[keep_idx][["elem_id", "kind", "geom_px"]].copy()

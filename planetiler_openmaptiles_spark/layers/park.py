@@ -145,8 +145,17 @@ def _post_process(zoom: int, pdf: pd.DataFrame) -> pd.DataFrame:
     new_attrs = []
     for i in range(len(out)):
         a = postprocess._as_dict(out["attrs"].iloc[i])
+        # reference stamps rank ONLY for grouped points (hasGroup()) —
+        # grid_rank is now always set, so gate on grid_cell instead
+        cell = out["grid_cell"].iloc[i] if "grid_cell" in out.columns else None
         gr = out["grid_rank"].iloc[i] if "grid_rank" in out.columns else None
-        if out["kind"].iloc[i] == "point" and gr is not None and not pd.isna(gr):
+        if (
+            out["kind"].iloc[i] == "point"
+            and cell is not None
+            and not pd.isna(cell)
+            and gr is not None
+            and not pd.isna(gr)
+        ):
             a["rank"] = str(int(gr))
         new_attrs.append(a)
     out["attrs"] = new_attrs

@@ -275,17 +275,14 @@ def transform(ctx) -> DataFrame:
 
 
 def _post_process(zoom: int, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Stamp rank from label-grid order (Poi.java:328-338)."""
-    counts: dict = {}
+    """Stamp rank from the JVM label-grid order (Poi.java:328-338); grid_rank
+    comes from ``grid_windows`` — stateless per-row map, salt safe."""
+    ranks = pdf["grid_rank"]
     new_attrs = []
     for i in range(len(pdf)):
         a = postprocess._as_dict(pdf["attrs"].iloc[i])
-        cell = pdf["grid_cell"].iloc[i] if "grid_cell" in pdf.columns else None
-        key = None if cell is None or pd.isna(cell) else int(cell)
-        gridrank = counts.get(key, 1)
-        counts[key] = gridrank + 1
         if "rank" not in a:
-            a["rank"] = str(gridrank)
+            a["rank"] = str(int(ranks.iloc[i]))
         new_attrs.append(a)
     out = pdf[["elem_id", "kind", "geom_px"]].copy()
     out["attrs"] = new_attrs

@@ -58,18 +58,19 @@ def register_post_processor(layer: str, fn) -> None:
 
 
 def grid_windows(tile_feats: DataFrame) -> DataFrame:
-    """Label-grid rank + limit (A6/A7). Features without a grid cell pass
-    through with grid_rank null."""
+    """Label-grid rank + limit (A6/A7). EVERY row gets a grid_rank: features
+    without a grid cell share one per-(tile,layer) bucket (nulls group
+    together in the window partition), mirroring the reference's
+    ``groupCounts.getOrDefault(feature.group(), 1)`` where ungrouped
+    features all have group()==0 (Poi.java:328-338, MountainPeak.java:176-188,
+    Place.java:394-404). The limit filter still applies only to real cells."""
     w = Window.partitionBy("z", "x", "y", "layer", "grid_cell").orderBy(
         F.col("sort_key").asc(), F.col("elem_id").asc()
     )
-    df = tile_feats.withColumn(
-        "grid_rank",
-        F.when(F.col("grid_cell").isNotNull(), F.row_number().over(w)).otherwise(F.lit(None)),
-    )
+    df = tile_feats.withColumn("grid_rank", F.row_number().over(w))
     return df.filter(
         (F.col("grid_limit") <= 0)
-        | F.col("grid_rank").isNull()
+        | F.col("grid_cell").isNull()
         | (F.col("grid_rank") <= F.col("grid_limit"))
     )
 
@@ -303,6 +304,154 @@ def reduce_tiles(tile_feats: DataFrame) -> DataFrame:
     return tile_feats.groupBy("z", "x", "y", "layer").applyInPandas(dispatch, TILE_OUT_SCHEMA)
 
 
+# ------------------------------------------------- Catalyst merge routes
+#
+# The P4 merges (mergeMultiPolygon / mergeMultiPoint, FeatureMerge.java) and
+# the housenumber dedup (Housenumber.java:145-165) are pure attrs-keyed
+# concatenations — no geometry math. Expressed as Catalyst aggregations over
+# (z,x,y,layer,attrs) they (a) never parse geometry (WKT bodies are
+# concatenated as strings — %.10g formatting is parse/format idempotent, so
+# bytes match the parse+re-emit path exactly), and (b) shuffle on a key that
+# includes the attrs map, so a megacity z14 building tile spreads over its
+# attr groups instead of serializing in one Python task — the hot-tile
+# floor the reference flags at z13 (Building.java:82-85) disappears for the
+# z!=13 path. Salting beyond the attrs key is unnecessary: group output is
+# one row, and partial aggregation (collect_list map-side) bounds skew.
+
+def _ord():
+    return F.struct(F.col("sort_key").alias("sk"), F.col("elem_id").alias("eid"))
+
+
+def _body():
+    # WKT body from the first '(' to the end: "POLYGON ((a))" -> "((a))"
+    return F.expr("substring(geom_px, instr(geom_px, '('))")
+
+
+def _inner():
+    # body minus its outer parens: "(((a)), ((b)))" -> "((a)), ((b))"
+    return F.expr(
+        "substring(geom_px, instr(geom_px, '(') + 1, length(geom_px) - instr(geom_px, '(') - 1)"
+    )
+
+
+def _strip_private(attrs):
+    return F.map_filter(attrs, lambda k, _: ~k.startswith("_"))
+
+
+def _merge_groups_sql(
+    df: DataFrame, contrib, ncomp, single_fmt: tuple, multi_fmt: tuple, kind: str
+) -> DataFrame:
+    """Shared shape of the Catalyst P4 merges: group by (tile, layer, attrs),
+    concatenate per-row WKT fragments in (sort_key, elem_id) order, keep the
+    first row's elem_id/attrs, re-rank groups into the tile's seq order."""
+    rows = df.select(
+        "z", "x", "y", "layer",
+        F.array_sort(F.map_entries("attrs")).alias("akey"),
+        _ord().alias("ord"), contrib.alias("contrib"), ncomp.alias("ncomp"),
+        "elem_id", "attrs",
+    )
+    g = rows.groupBy("z", "x", "y", "layer", "akey").agg(
+        F.min("ord").alias("min_ord"),
+        F.sum("ncomp").alias("total"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "contrib"))),
+                lambda s: s["contrib"],
+            ),
+            ", ",
+        ).alias("joined"),
+        F.min_by(F.struct("elem_id", "attrs"), "ord").alias("first"),
+    )
+    seq_w = Window.partitionBy("z", "x", "y", "layer").orderBy("min_ord")
+    geom = F.when(
+        F.col("total") == 1, F.concat(F.lit(single_fmt[0]), F.col("joined"), F.lit(single_fmt[1]))
+    ).otherwise(F.concat(F.lit(multi_fmt[0]), F.col("joined"), F.lit(multi_fmt[1])))
+    return g.select(
+        "z", "x", "y", "layer",
+        (F.row_number().over(seq_w) - 1).cast("int").alias("seq"),
+        F.col("first.elem_id").alias("elem_id"),
+        F.lit(kind).alias("kind"),
+        geom.alias("geom_px"),
+        _strip_private(F.col("first.attrs")).alias("attrs"),
+    )
+
+
+def merge_multi_polygon_sql(df: DataFrame) -> DataFrame:
+    """Catalyst mergeMultiPolygon (P4): same output bytes as
+    ``merge_multi_polygon`` without a per-tile Python task."""
+    is_multi = F.col("geom_px").startswith("MULTIPOLYGON")
+    # a POLYGON body is one multipolygon component verbatim; a MULTIPOLYGON
+    # contributes its inner component list. Component boundaries in our WKT
+    # are exactly ")), ((" (rings join with "), (") so the count splits safely.
+    contrib = F.when(is_multi, _inner()).otherwise(_body())
+    ncomp = F.when(is_multi, F.size(F.split("geom_px", r"\)\), \(\("))).otherwise(F.lit(1))
+    # polygon contributions carry their own parens: single → "POLYGON ((r))"
+    return _merge_groups_sql(
+        df, contrib, ncomp, ("POLYGON ", ""), ("MULTIPOLYGON (", ")"), "polygon"
+    )
+
+
+def merge_multi_point_sql(df: DataFrame) -> DataFrame:
+    """Catalyst mergeMultiPoint (P4): POINT/MULTIPOINT coordinate lists are
+    flat, so contributions join directly."""
+    is_multi = F.col("geom_px").startswith("MULTIPOINT")
+    ncomp = F.when(is_multi, F.size(F.split(_inner(), ", "))).otherwise(F.lit(1))
+    df = df.filter(F.col("geom_px").startswith("POINT") | is_multi)
+    return _merge_groups_sql(
+        df, _inner(), ncomp, ("POINT (", ")"), ("MULTIPOINT (", ")"), "point"
+    )
+
+
+def housenumber_reduce_sql(df: DataFrame) -> DataFrame:
+    """Catalyst J12: per-(tile,_partition) keep the first unnamed row (else
+    first), strip private attrs, then mergeMultiPoint — the Spark form of
+    Housenumber.java:145-165 (nonHousenumberAttrs dedup + point merge)."""
+    named = F.element_at("attrs", "_has_name") == F.lit("true")
+    part = F.coalesce(F.element_at("attrs", "_partition"), F.lit(""))
+    w = Window.partitionBy("z", "x", "y", "layer", part).orderBy(
+        F.when(named, 1).otherwise(0).asc(), F.col("sort_key").asc(), F.col("elem_id").asc()
+    )
+    kept = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("attrs", _strip_private(F.col("attrs")))
+    )
+    return merge_multi_point_sql(kept)
+
+
+def identity_reduce_sql(df: DataFrame) -> DataFrame:
+    """Layers with no post-processor: pure Catalyst seq assignment."""
+    w = Window.partitionBy("z", "x", "y", "layer").orderBy(
+        F.col("sort_key").asc(), F.col("elem_id").asc()
+    )
+    return df.select(
+        "z", "x", "y", "layer",
+        (F.row_number().over(w) - 1).cast("int").alias("seq"),
+        "elem_id", "kind", "geom_px", "attrs",
+    )
+
+
 def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
-    """windows + per-layer reduce (the full tile reduction)."""
-    return reduce_tiles(grid_windows(tile_feats))
+    """windows + per-layer reduce (the full tile reduction).
+
+    Routing: layers whose post-process is a pure concatenation or identity
+    run as Catalyst aggregations (no per-tile Python task, no hot-tile
+    floor); only genuinely geometric reduces (line noding, raster unions,
+    rank+buffer filters) go through the pandas dispatch."""
+    tf = grid_windows(tile_feats)
+    mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
+    hn_pred = F.col("layer") == "housenumber"
+    pandas_layers = [l for l in POST_PROCESSORS if l != "housenumber"]
+    pandas_pred = F.col("layer").isin(pandas_layers) & ~mp_pred
+    ident_pred = ~F.col("layer").isin(list(POST_PROCESSORS.keys()) + ["housenumber"])
+    parts = [
+        reduce_tiles(tf.filter(pandas_pred)),
+        identity_reduce_sql(tf.filter(ident_pred)),
+        merge_multi_polygon_sql(tf.filter(mp_pred)),
+        housenumber_reduce_sql(tf.filter(hn_pred)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
