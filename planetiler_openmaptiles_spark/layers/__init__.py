@@ -14,6 +14,7 @@ engine config knobs; layer modules never touch SparkSession directly.
 from __future__ import annotations
 
 import importlib
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -72,11 +73,16 @@ class LayerContext:
     config: Config = field(default_factory=Config)
     _tables: dict = field(default_factory=dict)
     _shared: dict = field(default_factory=dict)
+    # layer transforms may run from concurrent driver threads (pipeline
+    # submits per-layer checkpoint stages in parallel) — guard the lazily
+    # built shared intermediates so builders run exactly once
+    _lock: threading.RLock = field(default_factory=threading.RLock)  # reentrant: builders call table()
 
     def table(self, name: str) -> DataFrame:
-        if name not in self._tables:
-            self._tables[name] = table_rows(self.features, name)
-        return self._tables[name]
+        with self._lock:
+            if name not in self._tables:
+                self._tables[name] = table_rows(self.features, name)
+            return self._tables[name]
 
     def natural_earth(self, *source_layers: str) -> DataFrame:
         """NE rows from the document stream (source dispatch — S3)."""
@@ -90,9 +96,10 @@ class LayerContext:
     def shared(self, key: str, builder):
         """Cross-layer shared intermediates (J9: transportation_name reuses
         transportation's route join — OpenMapTilesProfile.java:86-93)."""
-        if key not in self._shared:
-            self._shared[key] = builder()
-        return self._shared[key]
+        with self._lock:
+            if key not in self._shared:
+                self._shared[key] = builder()
+            return self._shared[key]
 
 
 def transform_all(ctx: LayerContext) -> list[DataFrame]:

@@ -154,21 +154,33 @@ def build_tiles(
         # grows superlinearly with plan size — the single 16-layer union plan
         # serialized to ~26 MB and its per-action optimization dominated wall
         # time (zero core-scaling). Sixteen small plans optimize fast, fail
-        # independently, and give per-layer resume + lineage.
+        # independently, and give per-layer resume + lineage. The stages are
+        # submitted from CONCURRENT driver threads (Spark schedules jobs from
+        # multiple threads fine) so per-stage driver analysis and the small
+        # write barriers overlap instead of serializing — on a real cluster
+        # this is the difference between 16 sequential barriers and ~3.
         ctx = make_context(spark, corpus_dir, config)
         from .features import FEATURE_COLUMNS
         import importlib
+        from concurrent.futures import ThreadPoolExecutor
 
-        layer_dfs = []
-        for name in config.active_layers():
-            mod = importlib.import_module(f".layers.{name}", __package__)
-            layer_dfs.append(
-                cp.stage(
-                    f"layer_{name}", fp,
-                    lambda m=mod: m.transform(ctx).select(*FEATURE_COLUMNS),
-                    spark, lineage=["documents"],
-                )
+        names = config.active_layers()
+        # import serially first: modules register post-processors at import
+        mods = [importlib.import_module(f".layers.{n}", __package__) for n in names]
+        # materialize the shared decode persist once before fan-out so
+        # concurrent stages hit the cache instead of racing to fill it
+        ctx.features.count()
+
+        def run_stage(name, mod):
+            return cp.stage(
+                f"layer_{name}", fp,
+                lambda: mod.transform(ctx).select(*FEATURE_COLUMNS),
+                spark, lineage=["documents"],
             )
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(run_stage, n, m) for n, m in zip(names, mods)]
+            layer_dfs = [f.result() for f in futs]
         rendered = union_features(layer_dfs)
     else:
 
