@@ -68,6 +68,25 @@ def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_documents(docs)
 
 
+AUX_ROOT = os.path.join(REPO, ".oracle_aux")
+
+
+def _write_aux(df: DataFrame, sf_dir: str, name: str) -> str:
+    """Checkpoint a Spark-computed intermediate (hash signatures, LSH
+    buckets) for the DuckDB oracle to read: DuckDB has no xxhash64, so the
+    oracle trusts the hash step but independently replays the join /
+    threshold / window logic — the part that can silently break — over
+    this parquet. Deterministic, rewritten on every query run; the sf0.01
+    copy is committed so the oracle works regardless of execution order."""
+    out = os.path.join(AUX_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _aux_path(name: str) -> str:
+    return os.path.join(AUX_ROOT, ORACLE_SF, name)
+
+
 # ----------------------------------------------------------- DuckDB helpers
 
 _DECODE_CTE = """
@@ -444,19 +463,34 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.array_min(win).alias("fingerprint")).orderBy("doc_id")
 
 
+NGRAM_MAX_DF = 100  # drop shingles shared by more than this many docs
+
+
 def _q_ngram_jaccard(spark, sf_dir):
+    """Jaccard over rare shingles: a shingle appearing in > NGRAM_MAX_DF
+    documents (boilerplate) is excluded from both the intersection and the
+    per-doc sizes — this bounds the exploded self-join at df² per shingle
+    instead of quadratic in the corpus (the round-1 scale hazard). The
+    DuckDB oracle applies the identical cap."""
+    from pyspark.sql import Window
     from planetiler_openmaptiles_spark.textops.dedup import shingles
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = docs.select("doc_id", shingles(F.col("text"), 8).alias("sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    wdf = Window.partitionBy("s")
+    ex = (
+        ex.withColumn("_df", F.count("*").over(wdf))
+        .filter(F.col("_df") <= NGRAM_MAX_DF)
+        .drop("_df")
+    )
     pairs = (
         ex.alias("a").join(ex.alias("b"), "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     j = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -484,24 +518,33 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
-    from planetiler_openmaptiles_spark.textops.dedup import minhash_lsh_pairs
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        minhash_bands, minhash_pairs_from_bands)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+    aux = _write_aux(minhash_bands(docs), sf_dir, "minhash_bands")
+    return minhash_pairs_from_bands(spark.read.parquet(aux)).orderBy("doc_a", "doc_b")
 
 
 def _q_simhash(spark, sf_dir):
-    from planetiler_openmaptiles_spark.textops.dedup import simhash_near_dups
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        simhash, simhash_pairs_from_sigs)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(docs).orderBy("doc_a", "doc_b")
+    sigs = docs.select("doc_id", simhash(F.col("text")).alias("sim"))
+    aux = _write_aux(sigs, sf_dir, "simhash_sigs")
+    return simhash_pairs_from_sigs(spark.read.parquet(aux)).orderBy("doc_a", "doc_b")
 
 
 def _q_ann_lsh(spark, sf_dir):
-    from planetiler_openmaptiles_spark.textops.similarity import lsh_topk
+    from planetiler_openmaptiles_spark.textops.similarity import lsh_bucket, lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    _write_aux(
+        emb.select("vec_id", lsh_bucket(F.col("embedding"), 64, 8).alias("bucket")),
+        sf_dir, "emb_buckets8",
     )
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
@@ -512,10 +555,15 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
-    from planetiler_openmaptiles_spark.textops.similarity import embedding_near_dups
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        embedding_near_dups, lsh_bucket)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    _write_aux(
+        emb.select("vec_id", lsh_bucket(F.col("embedding"), 64, 10).alias("bucket")),
+        sf_dir, "emb_buckets10",
     )
     return embedding_near_dups(emb, dim=64, threshold=0.9).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
@@ -774,12 +822,15 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id,
                       string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
                     FROM documents)),
-            ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            ex AS (SELECT doc_id, s FROM (
+                     SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+                   WHERE df <= {NGRAM_MAX_DF}),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-            sizes AS (SELECT doc_id, length(sh) AS n FROM sh)
+            sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
             SELECT doc_a, doc_b,
                    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
             FROM pairs JOIN sizes na ON doc_a = na.doc_id
@@ -801,9 +852,75 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
         """,
-        # minhash_lsh / simhash_near_dups / ann_lsh_topk / embedding_near_dups /
-        # geo_tiles_water: xxhash64 / custom LSH planes / raster geometry are
-        # not DuckDB-expressible → rows-only checks.
+        # For the hash-based LSH ops DuckDB lacks xxhash64 / our hyperplane
+        # constants, so the Spark queries checkpoint their signature /
+        # bucket intermediates (see _write_aux) and the oracles replay the
+        # capped bucket joins, windows, and thresholds — the logic that can
+        # silently break — independently over those parquet files.
+        "minhash_lsh": f"""
+            WITH banded0 AS (SELECT doc_id, band, bucket
+                             FROM read_parquet('{_aux_path("minhash_bands")}/*.parquet')),
+            banded AS (SELECT doc_id, band, bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+                FROM banded0) WHERE rn <= 200)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY doc_a, doc_b
+        """,
+        "simhash_near_dups": f"""
+            WITH sigs AS (SELECT doc_id, sim
+                          FROM read_parquet('{_aux_path("simhash_sigs")}/*.parquet')),
+            blocks AS (SELECT doc_id, sim, t.tbl, (sim >> (t.tbl * 16)) & 65535 AS block
+                       FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS tbl) t),
+            capped AS (SELECT doc_id, sim, tbl, block FROM (
+                SELECT *, row_number() OVER (PARTITION BY tbl, block ORDER BY doc_id) AS rn
+                FROM blocks) WHERE rn <= 200),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             a.sim AS sim_a, b.sim AS sim_b
+                      FROM capped a JOIN capped b
+                        ON a.tbl = b.tbl AND a.block = b.block AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+            FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            bk AS (SELECT vec_id, bucket
+                   FROM read_parquet('{_aux_path("emb_buckets8")}/*.parquet')),
+            eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+            probes AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+                       FROM eb WHERE vec_id < 5),
+            scored AS (
+              SELECT probe_id, eb.vec_id,
+                     round(list_dot_product(eb.v, pv) /
+                           greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+              FROM eb JOIN probes ON eb.bucket = probes.pbucket)
+            SELECT probe_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
+        """,
+        "embedding_near_dups": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            bk AS (SELECT vec_id, bucket
+                   FROM read_parquet('{_aux_path("emb_buckets10")}/*.parquet')),
+            eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+            capped AS (SELECT vec_id, v, bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+                FROM eb) WHERE rn <= 1000),
+            pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                             list_dot_product(a.v, b.v) /
+                             greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12) AS c
+                      FROM capped a JOIN capped b
+                        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
+            WHERE c >= 0.9 ORDER BY id_a, id_b
+        """,
+        # geo_tiles_water: raster fill-path geometry is not DuckDB-expressible
+        # → rows-only check.
     }
 
 

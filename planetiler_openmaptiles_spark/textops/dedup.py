@@ -28,28 +28,36 @@ def normalize_text(col):
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: returns
-    (content_hash, n_docs, doc_ids) for groups with n_docs > 1."""
-    h = F.xxhash64(normalize_text(F.col(text_col)))
+    (content_hash, n_docs, doc_ids) for groups with n_docs > 1.
+
+    Groups on (hash, normalized text): the 64-bit hash drives the shuffle
+    key; the text column disambiguates hash collisions at negligible cost
+    (a collision would otherwise silently merge distinct documents)."""
+    norm = normalize_text(F.col(text_col))
     return (
-        docs.withColumn("content_hash", h)
-        .groupBy("content_hash")
+        docs.withColumn("content_hash", F.xxhash64(norm))
+        .withColumn("_norm", norm)
+        .groupBy("content_hash", "_norm")
         .agg(
             F.count("*").alias("n_docs"),
             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
+        .drop("_norm")
     )
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep one representative (lowest doc_id) per content hash."""
-    h = F.xxhash64(normalize_text(F.col(text_col)))
-    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
+    """Keep one representative (lowest doc_id) per normalized content
+    (hash partitions the shuffle; text breaks hash-collision ties)."""
+    norm = normalize_text(F.col(text_col))
+    w = Window.partitionBy("content_hash", "_norm").orderBy(F.col("doc_id").asc())
     return (
-        docs.withColumn("content_hash", h)
+        docs.withColumn("content_hash", F.xxhash64(norm))
+        .withColumn("_norm", norm)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_norm")
     )
 
 
@@ -88,16 +96,16 @@ def minhash_signature(text_col, num_hashes: int = 64, shingle_n: int = 5):
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
-    max_bucket: int = 200,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH:
-    (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    """(doc_id, band, bucket) rows — the banded-signature half of MinHash
+    LSH, exposed separately so the bucket-join half can be oracle-replayed
+    over a checkpointed copy of this table."""
     rows_per_band = num_hashes // bands
     sig = docs.select("doc_id", minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"))
     band_cols = F.explode(
@@ -117,9 +125,13 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    banded = sig.select("doc_id", band_cols.alias("bb")).select(
+    return sig.select("doc_id", band_cols.alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
+
+
+def minhash_pairs_from_bands(banded: DataFrame, max_bucket: int = 200) -> DataFrame:
+    """Bucket-join half of MinHash LSH over a (doc_id, band, bucket) table."""
     # cap pathological buckets (boilerplate skew guard)
     wb = Window.partitionBy("band", "bucket").orderBy("doc_id")
     banded = banded.withColumn("_rn", F.row_number().over(wb)).filter(
@@ -127,13 +139,27 @@ def minhash_lsh_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
     )
-    return pairs
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH:
+    (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    return minhash_pairs_from_bands(
+        minhash_bands(docs, text_col, num_hashes, bands, shingle_n), max_bucket
+    )
 
 
 def ngram_jaccard(
@@ -186,22 +212,65 @@ def simhash(text_col, bits: int = 64, shingle_n: int = 2):
     )
 
 
-def simhash_near_dups(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
-    """Near-dup candidates: same SimHash prefix bucket, hamming distance <= 3.
-    (At planet scale the standard approach rotates the prefix over 4 tables;
-    one table here keeps the oracle simple.)"""
-    sh = docs.select("doc_id", simhash(F.col(text_col)).alias("sim"))
-    bucket = F.shiftright(F.col("sim"), 64 - prefix_bits)
-    sh = sh.withColumn("bucket", bucket)
-    a, b = sh.alias("a"), sh.alias("b")
-    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
-    return (
-        a.join(b, "bucket")
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_bits: int = 16,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup pairs: hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation is the Manku/Jain/Sarma multi-table rotation: the
+    64-bit fingerprint splits into 64/block_bits blocks; by pigeonhole any
+    pair within hamming <= (blocks-1) shares at least one block exactly, so
+    a self-join per (block index, block value) finds every qualifying pair
+    (no recall loss, unlike a single prefix table). Buckets are capped at
+    `max_bucket` docs (boilerplate skew guard, same policy as MinHash LSH);
+    pairs found in several tables dedupe before the hamming refine."""
+    return simhash_pairs_from_sigs(
+        docs.select("doc_id", simhash(F.col(text_col)).alias("sim")),
+        block_bits, max_hamming, max_bucket,
+    )
+
+
+def simhash_pairs_from_sigs(
+    sh: DataFrame,
+    block_bits: int = 16,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Block-join + hamming refine over a (doc_id, sim) signature table
+    (split out so the join logic can be oracle-replayed in DuckDB)."""
+    nblocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("sim"), t * block_bits).bitwiseAND(F.lit(mask))
+            for t in range(nblocks)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "sim", F.posexplode(blocks).alias("tbl", "block")
+    )
+    wb = Window.partitionBy("tbl", "block").orderBy("doc_id")
+    banded = banded.withColumn("_rn", F.row_number().over(wb)).filter(
+        F.col("_rn") <= max_bucket
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["tbl", "block"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
         )
-        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

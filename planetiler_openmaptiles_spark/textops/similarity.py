@@ -111,13 +111,21 @@ def embedding_near_dups(
     num_planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join + exact
-    cosine refinement: (id_a, id_b, cosine >= threshold)."""
+    cosine refinement: (id_a, id_b, cosine >= threshold). Buckets are
+    capped at `max_bucket` vectors before the self-join (same boilerplate
+    skew guard as the text LSH paths) — a degenerate hot bucket is bounded
+    at max_bucket² comparisons instead of quadratic in the corpus."""
     e = embeddings.select(
         F.col(id_col), F.col(vec_col),
         lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
     )
+    wb = Window.partitionBy("_bucket").orderBy(F.col(id_col).asc())
+    e = e.withColumn("_rn", F.row_number().over(wb)).filter(
+        F.col("_rn") <= max_bucket
+    ).drop("_rn")
     a = e.alias("a")
     b = e.alias("b")
     sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))

@@ -100,3 +100,50 @@ def test_multimodal_plumbing(spark):
         decode_images(media, strict=True).collect()
     plan = frame_sample_plan(media, every_n_seconds=1.0).collect()
     assert [r["frame_ts"] for r in plan] == [0.0, 1.0, 2.0]
+
+
+def test_lsh_caps_bound_boilerplate_blowup(spark):
+    """A corpus of near-identical boilerplate docs must not produce a
+    quadratic pair explosion: every LSH path caps its buckets (minhash /
+    simhash max_bucket=200; ngram query df<=100 drops shared shingles)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from planetiler_openmaptiles_spark.textops import dedup
+
+    n = 1000
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "text": ["lorem ipsum dolor sit amet consectetur adipiscing elit "
+                     "sed do eiusmod tempor incididunt ut labore" for _ in range(n)],
+        })
+    )
+    mh = dedup.minhash_lsh_pairs(docs).count()
+    # 200-cap => at most C(200,2) pairs per (band,bucket); all docs identical
+    # => one bucket per band, 16 bands, same 199*200/2 pair set
+    assert mh <= 200 * 199 // 2
+    sh = dedup.simhash_near_dups(docs).count()
+    assert sh <= 200 * 199 // 2
+
+
+def test_simhash_block_rotation_recall(spark):
+    """Pairs within hamming<=3 are found even when they differ in the top
+    prefix bits (the round-1 single-prefix-table form missed these)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from planetiler_openmaptiles_spark.textops.dedup import simhash_pairs_from_sigs
+
+    # craft signatures: differ only in bit 63 (top block) -> hamming 1;
+    # a single top-16-bit prefix table would bucket them apart
+    def s64(v):  # two's-complement into signed int64
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b", "c"],
+                      "sim": [s64(0x0123456789ABCDEF),
+                              s64(0x0123456789ABCDEF ^ (1 << 63)),
+                              s64(0x7FFFFFFFFFFFFFFF)]})
+    ).select("doc_id", F.col("sim").cast("long").alias("sim"))
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs_from_sigs(sigs).collect()}
+    assert got.get(("a", "b")) == 1
+    assert ("a", "c") not in got  # far pair stays out
