@@ -65,13 +65,25 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(text_col, n: int = 5):
-    """Array of word n-gram shingle strings (JVM: split + transform)."""
+    """Array of word n-gram shingle strings, JVM-side.
+
+    Built as a zip_with chain over shifted copies of the words array rather
+    than ``transform(sequence(...), i -> slice(words, i+1, n))``: lambda
+    bodies re-evaluate captured expressions PER ELEMENT, so the transform
+    form re-ran the normalize+split once per shingle (quadratic in document
+    length — measured 5-10x slower). zip_with evaluates its collection
+    arguments once. Output is byte-identical (first-occurrence-distinct,
+    index order)."""
     words = F.split(normalize_text(text_col), " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), k - 1)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    )
+    # acc[i] = words[i] .. words[i+j] joined by " "; entries past L-j null
+    acc = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.size(words))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    k = F.size(words) - (n - 1)
+    return F.when(
+        F.size(words) < n, F.array(F.array_join(words, " "))
+    ).otherwise(F.array_distinct(F.slice(acc, 1, k)))
 
 
 # --------------------------------------------------------------- minhash LSH
@@ -87,13 +99,23 @@ def _mh_seeds(k: int) -> list[int]:
 
 def minhash_signature(text_col, num_hashes: int = 64, shingle_n: int = 5):
     """Array<long> MinHash signature — JVM-side: per hash i,
-    min over shingles of xxhash64(shingle, seed_i)."""
+    min over shingles of xxhash64(shingle, seed_i).
+
+    Single pass over the shingle array: one transform computes all k hashes
+    per shingle, one aggregate folds the element-wise min. (The per-seed
+    ``array_min(transform(sh, ...))`` form evaluated the whole shingle
+    construction k times per row.)"""
     sh = shingles(text_col, shingle_n)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed).cast("int"))))
-        for seed in (s % (1 << 31) for s in _mh_seeds(num_hashes))
-    ]
-    return F.array(*sigs)
+    seeds = [s % (1 << 31) for s in _mh_seeds(num_hashes)]
+    per_shingle = F.transform(
+        sh, lambda s: F.array(*[F.xxhash64(s, F.lit(seed).cast("int")) for seed in seeds])
+    )
+    max_long = F.lit((1 << 63) - 1).cast("long")
+    return F.aggregate(
+        per_shingle,
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
 
 
 def minhash_bands(
