@@ -204,6 +204,151 @@ def write_tiles(tiles: DataFrame, out_dir: str) -> dict:
     return {"path": os.path.join(out_dir, "tiles")}
 
 
+def encode_mvt_blobs(tiles: DataFrame) -> DataFrame:
+    """(z,x,y,gzipped MVT blob) rows: per-tile protobuf encoding runs on the
+    executors (applyInPandas over the tile group); only the finished blobs
+    reach the sink. Layer order inside a tile follows the reference schema
+    order (OpenMapTilesSchema.createInstances), features keep their seq."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geom import wkt as wktmod
+    from .layers import LAYER_MODULES
+    from .tiling import mvt
+
+    order = {n: i for i, n in enumerate(LAYER_MODULES)}
+    schema = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("tile_data", T.BinaryType()),
+        ]
+    )
+
+    def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.assign(_lo=[order.get(l, 99) for l in pdf["layer"]])
+        pdf = pdf.sort_values(["_lo", "seq"], kind="mergesort")
+        layers: dict = {}
+        for row in pdf.itertuples(index=False):
+            g = wktmod.parse_wkt(row.geom_px)
+            if g is None:
+                continue
+            attrs = dict(row.attrs) if row.attrs is not None else {}
+            layers.setdefault(row.layer, []).append((row.elem_id, row.kind, g, attrs))
+        blob = mvt.gzip_tile(mvt.encode_tile(layers))
+        return pd.DataFrame(
+            {"z": [z], "x": [x], "y": [y], "tile_data": [blob]}
+        ).astype({"z": "int32", "x": "int32", "y": "int32"})
+
+    return tiles.groupBy("z", "x", "y").applyInPandas(enc, schema)
+
+
+def vector_layers_json(tiles: DataFrame) -> list:
+    """TileJSON vector_layers derived from the observed tile features (the
+    reference's Mbtiles metadata builder aggregates the same way)."""
+    rows = (
+        tiles.select("layer", "z", F.explode_outer("attrs").alias("k", "v"))
+        .groupBy("layer", "k")
+        .agg(
+            F.min("z").alias("minzoom"),
+            F.max("z").alias("maxzoom"),
+            F.min(F.col("v").cast("double").isNotNull()).alias("all_num"),
+            F.min(F.col("v").isin("true", "false")).alias("all_bool"),
+        )
+        .collect()
+    )
+    layers: dict = {}
+    for r in rows:
+        ent = layers.setdefault(r["layer"], {"id": r["layer"], "fields": {},
+                                             "minzoom": 99, "maxzoom": -1})
+        ent["minzoom"] = min(ent["minzoom"], r["minzoom"])
+        ent["maxzoom"] = max(ent["maxzoom"], r["maxzoom"])
+        if r["k"] is not None:
+            ent["fields"][r["k"]] = (
+                "Boolean" if r["all_bool"] else "Number" if r["all_num"] else "String"
+            )
+    return [layers[k] for k in sorted(layers)]
+
+
+def write_mbtiles(
+    tiles: DataFrame,
+    path: str,
+    name: str = "OpenMapTiles",
+    max_zoom: int = 14,
+) -> dict:
+    """S5: real mbtiles sink — gzipped MVT blobs in a sqlite archive with
+    the metadata table the reference writes (OpenMapTilesTest.java:79-102:
+    name/format/minzoom/maxzoom/type/bounds/center/description/attribution
+    + TileJSON vector_layers). Encoding is distributed; the driver only
+    streams finished blobs into sqlite (planetiler's own writer is equally
+    single-threaded at the archive)."""
+    import sqlite3
+
+    from .geom import mercator
+
+    blobs = encode_mvt_blobs(tiles)
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE metadata (name text, value text)")
+    cur.execute(
+        "CREATE TABLE tiles (zoom_level integer, tile_column integer,"
+        " tile_row integer, tile_data blob)"
+    )
+    cur.execute(
+        "CREATE UNIQUE INDEX tile_index ON tiles (zoom_level, tile_column, tile_row)"
+    )
+    n_tiles = 0
+    zmin, zmax = 99, -1
+    xymin = {}
+    xymax = {}
+    for row in blobs.toLocalIterator():
+        z, x, y = row["z"], row["x"], row["y"]
+        tms_row = (1 << z) - 1 - y  # mbtiles stores TMS (flipped y)
+        cur.execute(
+            "INSERT INTO tiles VALUES (?, ?, ?, ?)", (z, x, tms_row, row["tile_data"])
+        )
+        n_tiles += 1
+        zmin, zmax = min(zmin, z), max(zmax, z)
+        ax, ay = xymin.get(z, (1 << z, 1 << z))
+        bx, by = xymax.get(z, (-1, -1))
+        xymin[z] = (min(ax, x), min(ay, y))
+        xymax[z] = (max(bx, x), max(by, y))
+    # bounds from the deepest zoom's covered tile range
+    if zmax >= 0:
+        n = 1 << zmax
+        (x0, y0), (x1, y1) = xymin[zmax], xymax[zmax]
+        w, n_lat = mercator.world_to_lonlat(x0 / n, y0 / n)
+        e, s_lat = mercator.world_to_lonlat((x1 + 1) / n, (y1 + 1) / n)
+        bounds = f"{w:.5f},{s_lat:.5f},{e:.5f},{n_lat:.5f}"
+        center = f"{(w + e) / 2:.5f},{(s_lat + n_lat) / 2:.5f},{zmax}"
+    else:
+        bounds, center = "-180,-85.05113,180,85.05113", "0,0,0"
+    meta = {
+        "name": name,
+        "format": "pbf",
+        "type": "baselayer",
+        "minzoom": str(zmin if zmin <= zmax else 0),
+        "maxzoom": str(zmax if zmax >= 0 else max_zoom),
+        "bounds": bounds,
+        "center": center,
+        "description": f"{name} built with a PySpark-native engine; schema "
+                       "from https://openmaptiles.org",
+        "attribution": '<a href="https://www.openmaptiles.org/" target="_blank">'
+                       "&copy; OpenMapTiles</a> "
+                       '<a href="https://www.openstreetmap.org/copyright" '
+                       'target="_blank">&copy; OpenStreetMap contributors</a>',
+        "json": json.dumps({"vector_layers": vector_layers_json(tiles)}),
+    }
+    cur.executemany("INSERT INTO metadata VALUES (?, ?)", sorted(meta.items()))
+    con.commit()
+    con.close()
+    return {"path": path, "tiles": n_tiles, "minzoom": zmin, "maxzoom": zmax}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True)
@@ -213,6 +358,8 @@ def main(argv=None):
     ap.add_argument("--only-layers", default="")
     ap.add_argument("--exclude-layers", default="")
     ap.add_argument("--check-invariant", action="store_true")
+    ap.add_argument("--mbtiles", default=None,
+                    help="also write a gzipped-MVT mbtiles archive here")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -231,12 +378,14 @@ def main(argv=None):
     n_feats = tiles.count()
     n_tiles = tiles.select("z", "x", "y").distinct().count()
     write_tiles(tiles, args.out)
+    mb = write_mbtiles(tiles, args.mbtiles, max_zoom=args.max_zoom) if args.mbtiles else None
     wall = time.time() - t0
     report = {
         "tile_features": n_feats,
         "tiles": n_tiles,
         "wall_s": round(wall, 2),
         "tiles_per_sec": round(n_tiles / wall, 2),
+        **({"mbtiles": mb} if mb else {}),
     }
     with open(os.path.join(args.out, "build_report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -187,7 +187,13 @@ def _to_world(geom):
 
 def zoom_explode(prepared: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
     """Stage B: explode zoom, resolve z-dependent specs, pixel-gate (JVM)."""
-    df = prepared.withColumn(
+    # a feature whose minzoom exceeds the build's max zoom renders nowhere —
+    # without this filter F.sequence(minzoom, max_zoom) would run BACKWARDS
+    # (Spark sequences descend when start > stop) and leak tiles beyond the
+    # requested max zoom
+    df = prepared.filter(
+        F.greatest(F.lit(0), F.col("minzoom")) <= F.least(F.lit(max_zoom), F.col("maxzoom"))
+    ).withColumn(
         "z",
         F.explode(
             F.sequence(

@@ -33,12 +33,16 @@ def test_span_invariant(spark, corpus_dir):
 
 def test_all_layers_present(tiles):
     layers = {r["layer"] for r in tiles.select("layer").distinct().collect()}
+    # building (minzoom 13) and housenumber (minzoom 14) correctly have no
+    # features in a z0-12 build (reference semantics: a feature whose
+    # minzoom exceeds the build max zoom renders nowhere)
     expected = {"water", "waterway", "landcover", "landuse", "mountain_peak", "park",
-                "boundary", "transportation", "building", "place", "housenumber",
+                "boundary", "transportation", "place",
                 "poi", "aerodrome_label", "aeroway", "transportation_name"}
     missing = expected - layers
     # water_name needs named lakes near centerlines; allow its absence only
     assert not missing, f"missing layers: {missing}"
+    assert "building" not in layers and "housenumber" not in layers
 
 
 def test_counts_stable(tiles, corpus_dir):

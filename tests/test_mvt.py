@@ -1,0 +1,141 @@
+"""MVT encoder/decoder + mbtiles sink (S5 parity).
+
+Reference: tiles are gzipped MVT protobufs at extent 4096 with the metadata
+table asserted in OpenMapTilesTest.java:79-102; geometry validity per the
+public vector-tile spec v2 (exterior rings positive area in y-down space).
+"""
+
+import gzip
+import json
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from planetiler_openmaptiles_spark.tiling import mvt
+
+
+def test_varint_zigzag_roundtrip():
+    for v in (0, 1, 127, 128, 300, 2**31, 2**63 - 1):
+        buf = mvt._uvarint(v)
+        got, pos = mvt._read_uvarint(buf, 0)
+        assert got == v and pos == len(buf)
+    for v in (0, -1, 1, -64, 63, -(2**31), 2**31):
+        assert mvt._unzigzag(mvt._zigzag(v)) == v
+
+
+def test_point_feature_roundtrip():
+    layers = {
+        "place": [(7, "point", ("Point", np.array([10.3, 200.7])),
+                   {"name": "Nice", "rank": "3", "capital": "true"})]
+    }
+    dec = mvt.decode_tile(mvt.encode_tile(layers))
+    f = dec["place"]["features"][0]
+    assert f["id"] == 7 and f["type"] == mvt.GEOM_POINT
+    # 10.3*16=164.8 -> 165 ; 200.7*16=3211.2 -> 3211
+    np.testing.assert_array_equal(f["paths"][0], [[165, 3211]])
+    # typed value promotion: int-looking and boolean strings
+    assert f["attrs"] == {"name": "Nice", "rank": 3, "capital": True}
+
+
+def test_multilinestring_and_quantize_collapse():
+    # second line collapses to a single grid point -> dropped
+    lines = ("MultiLineString", [
+        np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]]),
+        np.array([[5.0, 5.0], [5.01, 5.01]]),
+    ])
+    layers = {"transportation": [(1, "linestring", lines, {})]}
+    f = mvt.decode_tile(mvt.encode_tile(layers))["transportation"]["features"][0]
+    assert f["type"] == mvt.GEOM_LINE
+    assert len(f["paths"]) == 1
+    np.testing.assert_array_equal(f["paths"][0], [[0, 0], [160, 0], [160, 160]])
+
+
+def test_polygon_orientation_and_hole():
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], float)
+    hole = np.array([[20, 20], [40, 20], [40, 40], [20, 40], [20, 20]], float)
+    layers = {"building": [(2, "polygon", ("Polygon", [outer, hole]), {"render_height": "5"})]}
+    f = mvt.decode_tile(mvt.encode_tile(layers))["building"]["features"][0]
+    assert f["type"] == mvt.GEOM_POLY
+    paths = f["paths"]
+    assert len(paths) == 2
+    # spec v2: exterior positive area, interior negative (y-down shoelace)
+    assert mvt._ring_area2(paths[0]) > 0
+    assert mvt._ring_area2(paths[1]) < 0
+    assert f["attrs"]["render_height"] == 5
+
+
+def test_degenerate_outer_ring_drops_feature():
+    tiny = np.array([[0, 0], [0.01, 0], [0.01, 0.01], [0, 0]], float)
+    layers = {"building": [(1, "polygon", ("Polygon", [tiny]), {})]}
+    dec = mvt.decode_tile(mvt.encode_tile(layers))
+    assert dec["building"]["features"] == []
+
+
+def test_negative_and_buffer_coords():
+    # buffer coordinates outside [0,256) are legal in MVT (negative deltas)
+    line = np.array([[-4.0, -4.0], [260.0, 260.0]])
+    layers = {"boundary": [(1, "linestring", ("LineString", line), {})]}
+    f = mvt.decode_tile(mvt.encode_tile(layers))["boundary"]["features"][0]
+    np.testing.assert_array_equal(f["paths"][0], [[-64, -64], [4160, 4160]])
+
+
+def test_gzip_deterministic():
+    layers = {"water": [(1, "point", ("Point", np.array([1.0, 2.0])), {})]}
+    a = mvt.gzip_tile(mvt.encode_tile(layers))
+    b = mvt.gzip_tile(mvt.encode_tile(layers))
+    assert a == b and a[:2] == b"\x1f\x8b"
+    assert gzip.decompress(a) == mvt.encode_tile(layers)
+
+
+def test_mbtiles_sink_end_to_end(spark, tmp_path):
+    """Full S5: build water tiles from the corpus, write mbtiles, assert the
+    reference's metadata fields and that every stored blob decodes."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles, write_mbtiles
+
+    corpus = entry._corpus_dir("/root/testdata/sf0.001")
+    tiles = build_tiles(spark, corpus, Config(only_layers=("water", "place"), max_zoom=6))
+    path = str(tmp_path / "out.mbtiles")
+    report = write_mbtiles(tiles, path, max_zoom=6)
+    assert report["tiles"] > 0
+
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["name"] == "OpenMapTiles"
+    assert meta["format"] == "pbf"
+    assert meta["type"] == "baselayer"
+    assert int(meta["minzoom"]) <= int(meta["maxzoom"]) == 6
+    assert "openmaptiles.org" in meta["description"]
+    assert "www.openstreetmap.org/copyright" in meta["attribution"]
+    w, s, e, n = [float(v) for v in meta["bounds"].split(",")]
+    assert -180 <= w < e <= 180 and -86 <= s < n <= 86
+    vl = json.loads(meta["json"])["vector_layers"]
+    ids = {l["id"] for l in vl}
+    assert "water" in ids and "place" in ids
+    water = next(l for l in vl if l["id"] == "water")
+    assert water["fields"].get("class") == "String"
+
+    rows = con.execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+    ).fetchall()
+    assert len(rows) == report["tiles"]
+    n_feats = 0
+    for z, x, tms_row, blob in rows:
+        y = (1 << z) - 1 - tms_row  # undo TMS flip
+        assert 0 <= x < (1 << z) and 0 <= y < (1 << z)
+        dec = mvt.decode_tile(bytes(blob))
+        for lname, layer in dec.items():
+            assert layer["extent"] == 4096
+            for f in layer["features"]:
+                n_feats += len(f["paths"])
+                # spec: polygons' first ring positive
+                if f["type"] == mvt.GEOM_POLY and f["paths"]:
+                    assert mvt._ring_area2(f["paths"][0]) > 0
+    assert n_feats > 0
+    con.close()
