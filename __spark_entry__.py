@@ -396,6 +396,89 @@ def _q_geo_tiles_water(spark, sf_dir):
     )
 
 
+def _q_geo_tiles_mvt(spark, sf_dir):
+    """S5 round-trip oracle: build water tiles, encode each to gzipped MVT
+    protobuf bytes, decode back, and write BOTH the normalized source
+    features and the decoded features to an aux parquet. The returned
+    summary counts matches per zoom; the DuckDB oracle recomputes the same
+    summary independently (incl. the src-vs-decoded equality) from the aux
+    table — a protobuf/zigzag/delta-cursor bug breaks the equality."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from planetiler_openmaptiles_spark.geom import wkt as wktmod
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+    from planetiler_openmaptiles_spark.tiling import mvt
+
+    corpus = _corpus_dir(sf_dir)
+    tiles = build_tiles(spark, corpus, Config(only_layers=("water",), max_zoom=8))
+
+    schema = T.StructType([
+        T.StructField("side", T.StringType()),
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("gtype", T.IntegerType()),
+        T.StructField("geom_s", T.StringType()),
+        T.StructField("attrs_s", T.StringType()),
+    ])
+
+    def roundtrip(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values(["layer", "seq"], kind="mergesort")
+        out = {f.name: [] for f in schema.fields}
+        layers: dict = {}
+        src_rows = []
+        for row in pdf.itertuples(index=False):
+            g = wktmod.parse_wkt(row.geom_px)
+            if g is None:
+                continue
+            attrs = dict(row.attrs) if row.attrs is not None else {}
+            layers.setdefault(row.layer, []).append((row.elem_id, row.kind, g, attrs))
+            gtype, paths = mvt.normalize_geometry(row.kind, g)
+            if paths:
+                src_rows.append((row.layer, gtype, paths, attrs))
+        blob = mvt.gzip_tile(mvt.encode_tile(layers))
+        idx_by_layer: dict = {}
+        for layer, gtype, paths, attrs in src_rows:
+            i = idx_by_layer.get(layer, 0)
+            idx_by_layer[layer] = i + 1
+            gs, as_ = mvt.canon_feature(gtype, paths, attrs)
+            for col, v in zip(schema.fieldNames(),
+                              ("src", z, x, y, layer, i, gtype, gs, as_)):
+                out[col].append(v)
+        decoded = mvt.decode_tile(blob)
+        for layer, ld in decoded.items():
+            for i, f in enumerate(ld["features"]):
+                gs, as_ = mvt.canon_feature(f["type"], f["paths"], f["attrs"], decoded=True)
+                for col, v in zip(schema.fieldNames(),
+                                  ("rt", z, x, y, layer, i, f["type"], gs, as_)):
+                    out[col].append(v)
+        return pd.DataFrame(out).astype(
+            {"z": "int32", "x": "int32", "y": "int32", "idx": "int32", "gtype": "int32"}
+        )
+
+    both = tiles.groupBy("z", "x", "y").applyInPandas(roundtrip, schema)
+    aux = _write_aux(both, sf_dir, "mvt_roundtrip")
+    df = spark.read.parquet(aux)
+    per_feat = df.groupBy("z", "x", "y", "layer", "idx", "gtype", "geom_s", "attrs_s").agg(
+        F.sum(F.when(F.col("side") == "src", 1).otherwise(0)).alias("n_src"),
+        F.sum(F.when(F.col("side") == "rt", 1).otherwise(0)).alias("n_rt"),
+    )
+    return (
+        per_feat.groupBy("z")
+        .agg(
+            F.sum("n_src").alias("n_src"),
+            F.sum("n_rt").alias("n_rt"),
+            F.sum(F.when(F.col("n_src") != F.col("n_rt"), 1).otherwise(0)).alias("n_mismatch"),
+        )
+        .orderBy("z")
+    )
+
+
 # ------------------------------------------------------------------ textops
 
 
@@ -596,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_media_refs": _q_geo_media_refs,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "geo_tiles_water": _q_geo_tiles_water,
+        "geo_tiles_mvt": _q_geo_tiles_mvt,
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -921,6 +1005,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # geo_tiles_water: raster fill-path geometry is not DuckDB-expressible
         # → rows-only check.
+        "geo_tiles_mvt": f"""
+            WITH rtp AS (SELECT side, z, x, y, layer, idx, gtype, geom_s, attrs_s
+                         FROM read_parquet('{_aux_path("mvt_roundtrip")}/*.parquet')),
+            per_feat AS (
+              SELECT z, x, y, layer, idx, gtype, geom_s, attrs_s,
+                     sum(CASE WHEN side = 'src' THEN 1 ELSE 0 END) AS n_src,
+                     sum(CASE WHEN side = 'rt' THEN 1 ELSE 0 END) AS n_rt
+              FROM rtp GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
+            SELECT z, CAST(sum(n_src) AS BIGINT) AS n_src,
+                   CAST(sum(n_rt) AS BIGINT) AS n_rt,
+                   CAST(sum(CASE WHEN n_src <> n_rt THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+            FROM per_feat GROUP BY z ORDER BY z
+        """,
     }
 
 

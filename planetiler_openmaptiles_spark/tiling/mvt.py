@@ -186,36 +186,30 @@ def _ring_area2(q: np.ndarray) -> int:
     return int(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
-def encode_geometry(kind: str, geom, out_type: list) -> list[int]:
-    """geom = parsed WKT tuple in tile px coords; returns command stream.
-    Drops quantization-degenerate parts; returns [] if nothing survives."""
-    cmds: list[int] = []
-    cursor = [0, 0]
+def normalize_geometry(kind: str, geom):
+    """The geometric half of encoding: quantize + dedupe + orient + drop
+    degenerates. Returns (gtype, paths) where paths is exactly what a
+    decoder recovers from the command stream (points: one 1-pt path each;
+    polygons: rings without the closing point). Shared by the encoder and
+    the round-trip oracle so the oracle isolates the BYTE machinery."""
     if kind == "point":
         pts = geom[1].reshape(1, 2) if geom[0] == "Point" else np.asarray(geom[1])
         q = quantize(pts)
-        out_type.append(GEOM_POINT)
-        stream = [_cmd(1, len(q))]
-        for x, y in q:
-            stream += [_zigzag(int(x) - cursor[0]), _zigzag(int(y) - cursor[1])]
-            cursor[0], cursor[1] = int(x), int(y)
-        return stream
+        return GEOM_POINT, [q[i : i + 1] for i in range(len(q))]
     if kind == "linestring":
         lines = [geom[1]] if geom[0] == "LineString" else list(geom[1])
-        out_type.append(GEOM_LINE)
+        paths = []
         for line in lines:
             q = _dedupe_consecutive(quantize(line))
-            if len(q) < 2:
-                continue
-            cmds += _encode_path(q, cursor, close=False)
-        return cmds
+            if len(q) >= 2:
+                paths.append(q)
+        return GEOM_LINE, paths
     # polygon: exterior ring positive area, holes negative (spec v2);
     # flip rings that quantize to the wrong orientation
     polys = [geom[1]] if geom[0] == "Polygon" else list(geom[1])
-    out_type.append(GEOM_POLY)
+    paths = []
     for rings in polys:
-        ring_cmds: list[int] = []
-        outer_ok = False
+        poly_paths = []
         for i, ring in enumerate(rings):
             q = quantize(ring)
             if len(q) > 1 and (q[0] == q[-1]).all():
@@ -225,21 +219,41 @@ def encode_geometry(kind: str, geom, out_type: list) -> list[int]:
                 q = q[:-1]
             if len(q) < 3:
                 if i == 0:
+                    poly_paths = []
                     break  # degenerate outer ring: drop the whole polygon
                 continue
             a2 = _ring_area2(np.vstack([q, q[:1]]))
             if a2 == 0:
                 if i == 0:
+                    poly_paths = []
                     break
                 continue
             want_positive = i == 0
             if (a2 > 0) != want_positive:
                 q = q[::-1]
-            if i == 0:
-                outer_ok = True
-            ring_cmds += _encode_path(q, cursor, close=True)
-        if outer_ok:
-            cmds += ring_cmds
+            poly_paths.append(q)
+        paths += poly_paths
+    return GEOM_POLY, paths
+
+
+def encode_geometry(kind: str, geom, out_type: list) -> list[int]:
+    """geom = parsed WKT tuple in tile px coords; returns command stream.
+    Drops quantization-degenerate parts; returns [] if nothing survives."""
+    gtype, paths = normalize_geometry(kind, geom)
+    out_type.append(gtype)
+    if not paths:
+        return []
+    cursor = [0, 0]
+    if gtype == GEOM_POINT:
+        stream = [_cmd(1, len(paths))]
+        for p in paths:
+            x, y = int(p[0, 0]), int(p[0, 1])
+            stream += [_zigzag(x - cursor[0]), _zigzag(y - cursor[1])]
+            cursor[0], cursor[1] = x, y
+        return stream
+    cmds: list[int] = []
+    for q in paths:
+        cmds += _encode_path(q, cursor, close=gtype == GEOM_POLY)
     return cmds
 
 
@@ -266,6 +280,39 @@ def _decode_geometry(stream: list[int], gtype: int):
         elif cid == 7:  # ClosePath
             cur.append(list(cur[0]))
     return [np.array(p, dtype=np.int64) for p in paths]
+
+
+def promote_value(v):
+    """The python-typed value encode_value would emit (for canonical
+    attr comparison in the round-trip oracle)."""
+    if isinstance(v, bool) or v in ("true", "false"):
+        return v if isinstance(v, bool) else v == "true"
+    if isinstance(v, (int, float)):
+        return v
+    s = str(v)
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    if s.replace(".", "", 1).lstrip("-").isdigit():
+        return float(s)
+    return s
+
+
+def canon_feature(gtype: int, paths, attrs: dict, decoded: bool = False) -> tuple:
+    """(geom_string, attrs_json) canonical form. For decoded polygons the
+    ClosePath-appended closing vertex is stripped so bytes-through parity
+    compares equal path lists."""
+    import json as _json
+
+    pp = []
+    for p in paths:
+        q = np.asarray(p)
+        if decoded and gtype == GEOM_POLY and len(q) > 1 and (q[0] == q[-1]).all():
+            q = q[:-1]
+        pp.append(",".join(f"{int(x)} {int(y)}" for x, y in q))
+    a = {k: promote_value(v) for k, v in (attrs or {}).items() if v is not None}
+    return ";".join(pp), _json.dumps(a, sort_keys=True)
 
 
 # -------------------------------------------------------------- tile enc
