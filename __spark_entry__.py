@@ -856,9 +856,39 @@ def oracle_sql() -> dict[str, str]:
         "geo_media_refs": decode + """
             SELECT doc_id, n_media FROM feat2 WHERE n_media > 0 ORDER BY doc_id
         """,
+        # Independent re-encode: DuckDB rebuilds each document's canonical
+        # (src, sorted tags, geom chunks) span sequence from its own decode
+        # of the raw spans and compares it to the offset-ordered original
+        # (rel/media spans are checked by the Spark side's full-sequence
+        # equality; the rebuildable subset here catches ordering/chunking/
+        # tag-sort decode bugs without trusting the engine).
         "geo_span_roundtrip": f"""
-            SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_violations
-            FROM read_parquet('{path}')
+            WITH d AS (
+              SELECT doc_id, spans,
+                split_part(list_filter(spans, s -> s.kind='src')[1].text, '|', 1) AS source,
+                split_part(list_filter(spans, s -> s.kind='src')[1].text, '|', 2) AS source_layer,
+                split_part(list_filter(spans, s -> s.kind='src')[1].text, '|', 3) AS elem_id_s,
+                list_aggregate(list_transform(list_filter(spans, s -> s.kind='geom'), s -> s.text),
+                               'string_agg', '') AS geom_wkt
+              FROM read_parquet('{path}')),
+            cmp AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    list_sort(list_transform(spans, s -> {{'o': s."offset", 'k': s.kind, 't': s.text}})),
+                    x -> {{'k': x.k, 't': x.t}}),
+                  e -> e.k IN ('src','tag','geom')) AS orig_seq,
+                [{{'k': 'src', 't': source || '|' || source_layer || '|' || elem_id_s}}]
+                || list_transform(
+                     list_sort(list_transform(list_filter(spans, s -> s.kind='tag'), s -> s.text)),
+                     t -> {{'k': 'tag', 't': t}})
+                || list_transform(
+                     generate_series(0, greatest(CAST(ceil(length(geom_wkt)/2000.0) AS INT), 1) - 1),
+                     i -> {{'k': 'geom', 't': substring(geom_wkt, i*2000+1, 2000)}}) AS rebuilt
+              FROM d)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN orig_seq <> rebuilt THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM cmp
         """,
         "dedup_exact_groups": """
             SELECT min(doc_id) AS rep_doc, count(*) AS n_docs

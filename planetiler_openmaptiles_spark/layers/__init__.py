@@ -58,6 +58,7 @@ class Config:
     transportation_name_size_for_shield: bool = False
     transportation_name_limit_merge: bool = False
     transportation_name_minor_refs: bool = False
+    transliterate: bool = True  # name:latin fallback (reference default on)
     max_zoom: int = 14
 
     def active_layers(self) -> list[str]:

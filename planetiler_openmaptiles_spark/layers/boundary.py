@@ -255,26 +255,57 @@ def _to_world(g):
 
 def _bordering_with_vote(ctx, bordering: DataFrame) -> DataFrame:
     """J8: polygonize regions, merge boundary segments, vote left/right."""
-    # region polygons: all member ways of each admin-2 region, polygonized.
+    # Region polygons: all member ways of each admin-2 region, polygonized
+    # PER REGION ON THE EXECUTORS (groupBy rel_id → applyInPandas); the
+    # driver collects only the finished polygons (pickled, exact float64)
+    # and broadcasts them. Member-way geometries never pass through the
+    # driver — at planet scale the old region_ways.collect() pulled every
+    # admin-2 way through driver memory.
     region_ways = bordering.select(
         F.explode(F.col("_region_iso")).alias("ri"), F.col("geom_wkt")
     ).select(F.col("ri.rel_id").alias("rel_id"), F.col("ri.iso").alias("iso"), "geom_wkt")
-    rows = region_ways.collect()  # tiny dimension (countries)
-    lines_by_region: dict[int, list] = {}
-    iso_by_region: dict[int, str] = {}
-    for r in rows:
-        g = wktmod.parse_wkt(r["geom_wkt"])
-        g = _to_world(g) if g is not None else None
-        if g is None:
-            continue
-        ls = [np.asarray(g[1])] if g[0] == "LineString" else [np.asarray(l) for l in g[1]]
-        lines_by_region.setdefault(r["rel_id"], []).extend(ls)
-        iso_by_region[r["rel_id"]] = r["iso"]
+
+    poly_schema = T.StructType(
+        [
+            T.StructField("rel_id", T.LongType()),
+            T.StructField("iso", T.StringType()),
+            T.StructField("poly", T.BinaryType()),
+        ]
+    )
+
+    def polygonize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        lines = []
+        for w in pdf["geom_wkt"]:
+            g = wktmod.parse_wkt(w)
+            g = _to_world(g) if g is not None else None
+            if g is None:
+                continue
+            if g[0] == "LineString":
+                lines.append(np.asarray(g[1]))
+            else:
+                lines.extend(np.asarray(l) for l in g[1])
+        poly = ops.polygonize_lines(lines, quantum=1e-9) if lines else None
+        if poly is None:
+            return pd.DataFrame({"rel_id": [], "iso": [], "poly": []}).astype(
+                {"rel_id": "int64"}
+            )
+        return pd.DataFrame(
+            {
+                "rel_id": [int(key[0])],
+                "iso": [pdf["iso"].iloc[0]],
+                "poly": [pickle.dumps(poly, protocol=4)],
+            }
+        )
+
+    import pickle
+
     region_polys = {}
-    for rid, lines in lines_by_region.items():
-        poly = ops.polygonize_lines(lines, quantum=1e-9)
-        if poly is not None:
-            region_polys[rid] = poly
+    iso_by_region = {}
+    for r in region_ways.groupBy("rel_id").applyInPandas(polygonize, poly_schema).collect():
+        region_polys[r["rel_id"]] = pickle.loads(r["poly"])
+        iso_by_region[r["rel_id"]] = r["iso"]
 
     spark = ctx.spark
     bc_polys = spark.sparkContext.broadcast(region_polys)

@@ -71,9 +71,16 @@ def _only_latin(c: Column) -> Column:
     return c.isNotNull() & (c != "") & c.rlike(_LATIN_ONLY)
 
 
-def names_map(tags: Column | None = None, translations: bool = True) -> Column:
+def names_map(
+    tags: Column | None = None, translations: bool = True, transliterate: bool = True
+) -> Column:
     """map<string,string> of name, name_en, name_de, name:latin,
-    name:nonlatin, name_int (+ passthrough name:xx translations)."""
+    name:nonlatin, name_int (+ passthrough name:xx translations).
+
+    When no latin-script alias exists and `transliterate` is on (the
+    reference's default — OmtLanguageUtils.java:90-93 →
+    Translations.transliterate), name:latin falls back to a best-effort
+    transliteration of name (layers/translit.py)."""
     tags = F.col("tags") if tags is None else tags
     name = nullif_empty(F.element_at(tags, "name"))
     int_name = nullif_empty(F.element_at(tags, "int_name"))
@@ -96,6 +103,10 @@ def names_map(tags: Column | None = None, translations: bool = True) -> Column:
         1,
     )
     latin = F.when(_only_latin(name), name).otherwise(first_latin)
+    if transliterate:
+        from .translit import transliterate as _translit
+
+        latin = F.coalesce(latin, F.when(name.isNotNull(), _translit(name)))
     non_latin_raw = F.regexp_replace(
         name, "[\\u0020-\\u024F\\u1E00-\\u1EFF\\u2C60-\\u2C7F\\uA720-\\uA7FF]", ""
     )

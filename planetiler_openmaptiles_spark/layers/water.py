@@ -161,15 +161,13 @@ def _ne_lakes_with_ids(ctx) -> DataFrame:
     name_matched_ids = name_pairs.select("osm_id").distinct()
 
     # path 2: cell-cover candidates for everything not name-matched
-    cover = spatial.cover_cells_udf(LAKE_JOIN_CELL_ZOOM)
-    osm_cells = (
-        osm.join(name_matched_ids, "osm_id", "left_anti")
-        .withColumn("cell", F.explode(cover(F.col("osm_wkt"))))
+    # (per-geometry coarsened covers — a continent-sized polygon coarsens
+    # its level instead of truncating, so no candidate is silently lost)
+    cell_pairs = spatial.cover_join(
+        osm.join(name_matched_ids, "osm_id", "left_anti"),
+        ne.select("ne_table", "ne_id", "ne_wkt"),
+        "osm_wkt", "ne_wkt", zoom=LAKE_JOIN_CELL_ZOOM, broadcast_b=True,
     )
-    ne_cells = ne.select("ne_table", "ne_id", "ne_wkt").withColumn(
-        "cell", F.explode(cover(F.col("ne_wkt")))
-    )
-    cell_pairs = osm_cells.join(F.broadcast(ne_cells), "cell").drop("cell").distinct()
 
     pairs = name_pairs.select("ne_table", "ne_id", "ne_wkt", "osm_id", "osm_wkt").unionByName(
         cell_pairs.select("ne_table", "ne_id", "ne_wkt", "osm_id", "osm_wkt")

@@ -113,7 +113,10 @@ def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = N
     # is the collapse barrier that makes this a real materialization.
     from .layers.util import names_map
 
-    feats = feats.withColumn("names", names_map()).persist()
+    cfg = config or Config()
+    feats = feats.withColumn(
+        "names", names_map(transliterate=cfg.transliterate)
+    ).persist()
     return LayerContext(
         spark=spark,
         features=feats,

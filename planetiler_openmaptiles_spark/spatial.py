@@ -88,35 +88,82 @@ def with_geom_stats(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
     return df.withColumn("_s", s).select("*", "_s.*").drop("_s")
 
 
-def cover_cells_udf(zoom: int = CELL_ZOOM, cap: int = 4096):
-    """WKT → array of covering cells (bbox cover — candidate generation)."""
+_COVER_TYPE = T.ArrayType(
+    T.StructType([T.StructField("cell", T.LongType()), T.StructField("own", T.BooleanType())])
+)
 
-    @pandas_udf(T.ArrayType(T.LongType()))
+
+def _bbox_range(x0, y0, x1, y1, z):
+    n = 1 << z
+    tx0, tx1 = max(0, int(x0 * n)), min(n - 1, int(x1 * n))
+    ty0, ty1 = max(0, int(y0 * n)), min(n - 1, int(y1 * n))
+    return tx0, ty0, tx1, ty1
+
+
+def cover_cells_udf(zoom: int = CELL_ZOOM, cap: int = 4096):
+    """WKT → array of (cell, own) covering cells for candidate generation.
+
+    NO TRUNCATION: a geometry whose bbox cover at `zoom` exceeds `cap`
+    coarsens to the finest level whose cover fits (bbox spans are known up
+    front), so exact refinement always sees every overlapping pair — the
+    old cap silently dropped cells of continent-scale polygons (false
+    negatives). Cross-level matching: each geometry also emits its ancestor
+    cells at every coarser level with own=false; join on cell and keep
+    pairs where EITHER side is `own` (ancestor↔ancestor pairs at coarse
+    levels carry no information and would degenerate to a cross join)."""
+
+    @pandas_udf(_COVER_TYPE)
     def cover(wkts: pd.Series) -> pd.Series:
         out = []
-        n = 1 << zoom
         for w in wkts:
             g = _parse_world(w)
             if g is None:
                 out.append([])
                 continue
             x0, y0, x1, y1 = ops.bbox(g)
-            tx0, tx1 = max(0, int(x0 * n)), min(n - 1, int(x1 * n))
-            ty0, ty1 = max(0, int(y0 * n)), min(n - 1, int(y1 * n))
+            z = zoom
+            while z > 0:
+                tx0, ty0, tx1, ty1 = _bbox_range(x0, y0, x1, y1, z)
+                if (tx1 - tx0 + 1) * (ty1 - ty0 + 1) <= cap:
+                    break
+                z -= 1
             cells = []
-            count = 0
+            tx0, ty0, tx1, ty1 = _bbox_range(x0, y0, x1, y1, z)
             for tx in range(tx0, tx1 + 1):
                 for ty in range(ty0, ty1 + 1):
-                    cells.append((zoom << 58) | (tx << 29) | ty)
-                    count += 1
-                    if count >= cap:
-                        break
-                if count >= cap:
-                    break
+                    cells.append(((z << 58) | (tx << 29) | ty, True))
+            for lvl in range(z - 1, -1, -1):
+                tx0, ty0, tx1, ty1 = _bbox_range(x0, y0, x1, y1, lvl)
+                for tx in range(tx0, tx1 + 1):
+                    for ty in range(ty0, ty1 + 1):
+                        cells.append(((lvl << 58) | (tx << 29) | ty, False))
             out.append(cells)
         return pd.Series(out)
 
     return cover
+
+
+def cover_join(a: DataFrame, b: DataFrame, a_wkt: str, b_wkt: str,
+               zoom: int = CELL_ZOOM, cap: int = 4096,
+               broadcast_b: bool = False) -> DataFrame:
+    """Candidate pairs of a×b whose bbox covers share a cell (either side's
+    own-level cells; see cover_cells_udf). Result = a's columns × b's
+    columns, distinct."""
+    cover = cover_cells_udf(zoom, cap)
+    ac = a.withColumn("_cc", F.explode(cover(F.col(a_wkt)))).select(
+        "*", F.col("_cc.cell").alias("_cell"), F.col("_cc.own").alias("_own_a")
+    ).drop("_cc")
+    bc = b.withColumn("_cc", F.explode(cover(F.col(b_wkt)))).select(
+        "*", F.col("_cc.cell").alias("_cell"), F.col("_cc.own").alias("_own_b")
+    ).drop("_cc")
+    if broadcast_b:
+        bc = F.broadcast(bc)
+    return (
+        ac.join(bc, "_cell")
+        .filter(F.col("_own_a") | F.col("_own_b"))
+        .drop("_cell", "_own_a", "_own_b")
+        .distinct()
+    )
 
 
 @pandas_udf(T.DoubleType())

@@ -207,3 +207,28 @@ def test_fmt_coords_vectorized_parity():
     )
     slow = ", ".join(f"{x:.10g} {y:.10g}" for x, y in arr)
     assert _fmt_coords(arr) == slow
+
+
+def test_cover_cells_coarsen_no_truncation(spark):
+    """A continent-scale polygon must coarsen its cover level, not truncate:
+    its own-level cells still meet a tiny far-corner lake's ancestors
+    (the round-1 cap dropped those candidates silently)."""
+    from pyspark.sql import functions as F
+    from planetiler_openmaptiles_spark import spatial
+
+    big = spark.createDataFrame(
+        [("big", "POLYGON ((-179 -80, 179 -80, 179 80, -179 80, -179 -80))")],
+        "id_a string, wa string")
+    small = spark.createDataFrame(
+        [("small", "POLYGON ((170.0 70.0, 170.2 70.0, 170.2 70.2, 170.0 70.2, 170.0 70.0))"),
+         ("outside", "POLYGON ((0 0, 0.1 0, 0.1 0.1, 0 0.1, 0 0))")],
+        "id_b string, wb string")
+    pairs = spatial.cover_join(big, small, "wa", "wb", zoom=9, cap=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()}
+    # bbox covers the world -> both small polys are candidates
+    assert ("big", "small") in got and ("big", "outside") in got
+    # two small far-apart polys never pair with each other
+    pairs2 = spatial.cover_join(small, small.withColumnRenamed("id_b", "id_c")
+                                .withColumnRenamed("wb", "wc"), "wb", "wc", zoom=9, cap=64)
+    got2 = {(r["id_b"], r["id_c"]) for r in pairs2.select("id_b", "id_c").collect()}
+    assert ("small", "outside") not in got2 and ("small", "small") in got2
