@@ -60,6 +60,10 @@ class Config:
     transportation_name_minor_refs: bool = False
     transliterate: bool = True  # name:latin fallback (reference default on)
     max_zoom: int = 14
+    # extra custom layers (reference addons/ExtraLayers.java:12-19): import
+    # paths of modules exposing LAYER_NAME + transform(ctx) and optionally
+    # registering a tile post-processor at import
+    addons: tuple = ()
 
     def active_layers(self) -> list[str]:
         names = [l for l in LAYER_MODULES if not self.only_layers or l in self.only_layers]
@@ -103,11 +107,28 @@ class LayerContext:
             return self._shared[key]
 
 
+def load_addon_modules(config: Config) -> list:
+    """Import the configured addon layer modules (absolute import paths).
+    Each must expose ``LAYER_NAME: str`` and ``transform(ctx) -> DataFrame``;
+    importing may register a post-processor, exactly like built-in layers."""
+    mods = []
+    for path in config.addons:
+        mod = importlib.import_module(path)
+        if not hasattr(mod, "LAYER_NAME") or not hasattr(mod, "transform"):
+            raise ValueError(f"addon {path!r} must define LAYER_NAME and transform(ctx)")
+        mods.append(mod)
+    return mods
+
+
 def transform_all(ctx: LayerContext) -> list[DataFrame]:
     """Run every active layer's transform; returns rendered-feature DFs."""
     out = []
     for name in ctx.config.active_layers():
         mod = importlib.import_module(f".{name}", __package__)
+        df = mod.transform(ctx)
+        if df is not None:
+            out.append(df)
+    for mod in load_addon_modules(ctx.config):
         df = mod.transform(ctx)
         if df is not None:
             out.append(df)

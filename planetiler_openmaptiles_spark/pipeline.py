@@ -170,6 +170,11 @@ def build_tiles(
         names = config.active_layers()
         # import serially first: modules register post-processors at import
         mods = [importlib.import_module(f".layers.{n}", __package__) for n in names]
+        from .layers import load_addon_modules
+
+        for mod in load_addon_modules(config):
+            names.append(f"addon_{mod.LAYER_NAME}")
+            mods.append(mod)
         # materialize the shared decode persist once before fan-out so
         # concurrent stages hit the cache instead of racing to fill it
         ctx.features.count()
