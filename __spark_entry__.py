@@ -383,16 +383,63 @@ def _q_geo_span_roundtrip(spark, sf_dir):
 
 
 def _q_geo_tiles_water(spark, sf_dir):
-    """Rows-only: real tile pipeline (water) z0-8 over the corpus."""
+    """Real tile pipeline (water) z0-8 over the corpus, cross-engine
+    checked: the pre-reduce tile rows (z,x,y,doc_id) checkpoint to aux and
+    DuckDB independently recomputes each source document's buffered
+    mercator tile range FROM ITS RAW WKT (regex coordinate extraction +
+    its own lon/lat→world→tile math) and counts engine tiles outside it —
+    a wrong mercator conversion or tile-index floor shows as
+    n_outside > 0 in the oracle only, breaking the hash."""
     from planetiler_openmaptiles_spark.layers import Config
-    from planetiler_openmaptiles_spark.pipeline import build_tiles
+    from planetiler_openmaptiles_spark.pipeline import build_tiles, make_context, rendered_features
+    from planetiler_openmaptiles_spark.tiling.explode import render_tiles
+    from planetiler_openmaptiles_spark.tiling.postprocess import finalize_tiles
 
     corpus = _corpus_dir(sf_dir)
-    tiles = build_tiles(spark, corpus, Config(only_layers=("water",), max_zoom=8))
+    cfg = Config(only_layers=("water",), max_zoom=8)
+    ctx = make_context(spark, corpus, cfg)
+    pre = render_tiles(rendered_features(ctx), 8)
+    aux = _write_aux(pre.select("z", "x", "y", "doc_id"), sf_dir, "water_tiles_pre")
+    tiles = finalize_tiles(pre)
+    aux_fin = _write_aux(tiles.select("z", "x", "y", "layer"), sf_dir, "water_tiles_final")
+    summary = spark.read.parquet(aux_fin).groupBy("z", "layer").agg(
+        F.count("*").alias("n_features"), F.countDistinct("x", "y").alias("n_tiles")
+    )
+    # engine-side containment recheck over the SAME aux (mirrors the oracle
+    # computation; independence comes from DuckDB's own coordinate math)
+    pre2 = spark.read.parquet(aux)
+    docs = _decoded(spark, sf_dir).select("doc_id", "geom_wkt").dropDuplicates(["doc_id"])
+    nums = F.expr(
+        r"transform(split(trim(regexp_replace(geom_wkt, '[A-Za-z(),]+', ' ')), '\\s+'), v -> cast(v AS double))"
+    )
+    lons = F.filter(F.transform(nums, lambda v, i: F.when(i % 2 == 0, v)), lambda v: v.isNotNull())
+    lats = F.filter(F.transform(nums, lambda v, i: F.when(i % 2 == 1, v)), lambda v: v.isNotNull())
+    wx = lambda lon: (lon + 180.0) / 360.0
+    import math as _m
+
+    def wy(lat):
+        clamped = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), lat))
+        siny = F.sin(F.radians(clamped))
+        return 0.5 - F.log((1 + siny) / (1 - siny)) / (4 * _m.pi)
+
+    bbox = docs.select(
+        "doc_id",
+        wx(F.array_min(lons)).alias("x0"), wx(F.array_max(lons)).alias("x1"),
+        wy(F.array_min(lats)).alias("y1b"), wy(F.array_max(lats)).alias("y0b"),
+    )
+    j = pre2.join(bbox, "doc_id")
+    n = F.pow(F.lit(2.0), F.col("z").cast("double"))
+    buf = 4.0 / 256.0 / n
+    fx0 = F.greatest(F.lit(0), F.floor((F.col("x0") - buf) * n))
+    fx1 = F.least(n - 1, F.floor((F.col("x1") + buf) * n))
+    fy0 = F.greatest(F.lit(0), F.floor((F.col("y0b") - buf) * n))
+    fy1 = F.least(n - 1, F.floor((F.col("y1b") + buf) * n))
+    outside = j.filter(
+        (F.col("x") < fx0) | (F.col("x") > fx1) | (F.col("y") < fy0) | (F.col("y") > fy1)
+    )
+    n_out = outside.count()
     return (
-        tiles.groupBy("z", "layer").agg(F.count("*").alias("n_features"),
-                                        F.countDistinct("x", "y").alias("n_tiles"))
-        .orderBy("z", "layer")
+        summary.withColumn("n_outside_bbox", F.lit(n_out).cast("long")).orderBy("z", "layer")
     )
 
 
@@ -1033,8 +1080,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
             WHERE c >= 0.9 ORDER BY id_a, id_b
         """,
-        # geo_tiles_water: raster fill-path geometry is not DuckDB-expressible
-        # → rows-only check.
+        # geo_tiles_water: counts replay over the engine's finalized rows
+        # (merge semantics aren't SQL-expressible) + an INDEPENDENT
+        # containment check: DuckDB parses every water document's raw WKT
+        # coordinates itself, runs its own lon/lat→world→tile math, and
+        # requires every engine tile to fall inside the buffered bbox range.
+        "geo_tiles_water": decode + f"""
+            , pre AS (SELECT z, x, y, doc_id
+                      FROM read_parquet('{_aux_path("water_tiles_pre")}/*.parquet')),
+            fin AS (SELECT z, x, y, layer
+                    FROM read_parquet('{_aux_path("water_tiles_final")}/*.parquet')),
+            nums AS (
+              SELECT doc_id,
+                list_transform(string_split_regex(trim(
+                    regexp_replace(geom_wkt, '[A-Za-z(),]+', ' ', 'g')), '\\s+'),
+                  v -> CAST(v AS DOUBLE)) AS ns
+              FROM feat2 WHERE doc_id IN (SELECT DISTINCT doc_id FROM pre)),
+            latlon AS (
+              SELECT doc_id,
+                list_min([ns[i] FOR i IN generate_series(1, length(ns), 2)]) AS lon0,
+                list_max([ns[i] FOR i IN generate_series(1, length(ns), 2)]) AS lon1,
+                greatest(-85.05112878, least(85.05112878,
+                  list_min([ns[i] FOR i IN generate_series(2, length(ns), 2)]))) AS lat0,
+                greatest(-85.05112878, least(85.05112878,
+                  list_max([ns[i] FOR i IN generate_series(2, length(ns), 2)]))) AS lat1
+              FROM nums),
+            bbox AS (
+              SELECT doc_id,
+                (lon0 + 180.0)/360.0 AS x0, (lon1 + 180.0)/360.0 AS x1,
+                0.5 - ln((1.0 + sin(radians(lat1)))/(1.0 - sin(radians(lat1))))/(4*pi()) AS y0,
+                0.5 - ln((1.0 + sin(radians(lat0)))/(1.0 - sin(radians(lat0))))/(4*pi()) AS y1
+              FROM latlon),
+            outside AS (
+              SELECT count(*) AS n_out FROM pre JOIN bbox USING (doc_id)
+              WHERE x < greatest(0, floor((x0 - 4.0/256.0/(1<<z)) * (1<<z)))
+                 OR x > least((1<<z) - 1, floor((x1 + 4.0/256.0/(1<<z)) * (1<<z)))
+                 OR y < greatest(0, floor((y0 - 4.0/256.0/(1<<z)) * (1<<z)))
+                 OR y > least((1<<z) - 1, floor((y1 + 4.0/256.0/(1<<z)) * (1<<z))))
+            SELECT z, layer, count(*) AS n_features,
+                   count(DISTINCT (x, y)) AS n_tiles,
+                   (SELECT CAST(n_out AS BIGINT) FROM outside) AS n_outside_bbox
+            FROM fin GROUP BY z, layer ORDER BY z, layer
+        """,
         "geo_tiles_mvt": f"""
             WITH rtp AS (SELECT side, z, x, y, layer, idx, gtype, geom_s, attrs_s
                          FROM read_parquet('{_aux_path("mvt_roundtrip")}/*.parquet')),
