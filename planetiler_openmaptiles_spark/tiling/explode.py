@@ -129,8 +129,6 @@ def prepare_geoms(features: DataFrame) -> DataFrame:
                 # setMinPixelSize semantics — a pointOnSurface label is
                 # gated by its source polygon's size, WaterName.java:246-257)
                 src_kind = wkt.geom_kind(src)
-                if src_kind == gk and gk != "polygon" and gk != "linestring":
-                    size = 0.0
                 if src_kind == "polygon":
                     sw = _to_world(src) if form != "polygon" else g
                     size = float(np.sqrt(max(ops.geom_area(sw), 0.0)))
