@@ -61,11 +61,20 @@ def _docs_path(sf_dir: str) -> str:
     return os.path.join(_corpus_dir(sf_dir), "documents.parquet")
 
 
+_DECODED_CACHE: dict = {}
+
+
 def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded span projection, persisted once per (session, corpus): the
+    regex span decode is the shared prefix of every geo_* driver query, so
+    re-running it per query was pure waste."""
     from planetiler_openmaptiles_spark.spans import decode_documents
 
-    docs = spark.read.parquet(_docs_path(sf_dir))
-    return decode_documents(docs)
+    key = (id(spark), sf_dir)
+    if key not in _DECODED_CACHE:
+        docs = spark.read.parquet(_docs_path(sf_dir))
+        _DECODED_CACHE[key] = decode_documents(docs).persist()
+    return _DECODED_CACHE[key]
 
 
 AUX_ROOT = os.path.join(REPO, ".oracle_aux")

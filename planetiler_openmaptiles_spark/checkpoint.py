@@ -47,6 +47,14 @@ class CheckpointManager:
                 return json.load(f)
         return None
 
+    def has(self, name: str, fingerprint: str) -> bool:
+        """True if a stage checkpoint exists for this fingerprint (the
+        resume path for `stage` would read it back without building)."""
+        if not self.enabled:
+            return False
+        m = self.manifest(name)
+        return m is not None and m.get("fingerprint") == fingerprint
+
     def stage(
         self,
         name: str,

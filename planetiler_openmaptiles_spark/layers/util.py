@@ -106,7 +106,13 @@ def names_map(
     if transliterate:
         from .translit import transliterate as _translit
 
-        latin = F.coalesce(latin, F.when(name.isNotNull(), _translit(name)))
+        # the UDF argument is nulled unless the name actually needs
+        # transliteration — Spark evaluates extracted python UDFs for every
+        # row, so passing null keeps the Arrow pass near-free on
+        # latin-majority corpora
+        latin = F.coalesce(
+            latin, _translit(F.when(~_only_latin(name), name))
+        )
     non_latin_raw = F.regexp_replace(
         name, "[\\u0020-\\u024F\\u1E00-\\u1EFF\\u2C60-\\u2C7F\\uA720-\\uA7FF]", ""
     )

@@ -162,7 +162,6 @@ def build_tiles(
         # multiple threads fine) so per-stage driver analysis and the small
         # write barriers overlap instead of serializing — on a real cluster
         # this is the difference between 16 sequential barriers and ~3.
-        ctx = make_context(spark, corpus_dir, config)
         from .features import FEATURE_COLUMNS
         import importlib
         from concurrent.futures import ThreadPoolExecutor
@@ -175,9 +174,17 @@ def build_tiles(
         for mod in load_addon_modules(config):
             names.append(f"addon_{mod.LAYER_NAME}")
             mods.append(mod)
-        # materialize the shared decode persist once before fan-out so
-        # concurrent stages hit the cache instead of racing to fill it
-        ctx.features.count()
+        # build the decode context ONLY if some layer stage must actually
+        # run — a fully-resumed build must not pay the corpus decode
+        # (materializing the persist on the resume path costs the whole
+        # decode scan for nothing)
+        if all(cp.has(f"layer_{n}", fp) for n in names):
+            ctx = None
+        else:
+            ctx = make_context(spark, corpus_dir, config)
+            # materialize the shared decode persist once before fan-out so
+            # concurrent stages hit the cache instead of racing to fill it
+            ctx.features.count()
 
         def run_stage(name, mod):
             return cp.stage(

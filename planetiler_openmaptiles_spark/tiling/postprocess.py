@@ -202,15 +202,24 @@ def _merge_polygons(pdf, min_area_px2, min_hole_px2, buffer_dist_px, clip_buffer
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
         out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
-        merged = raster.union_polygons(
-            groups[k],
-            x0,
-            x0,
-            extent,
-            1.0,  # px per "tile pixel" — geometry already in px coords
-            buffer_dist_px=buffer_dist_px,
-            min_hole_area_px2=min_hole_px2,
-        )
+        if len(groups[k]) == 1 and buffer_dist_px == 0 and min_hole_px2 == 0:
+            # singleton group, no buffering: JTS union of one geometry is
+            # itself (reference FeatureMerge semantics) — pass the exact
+            # coordinates through and only apply the min-area filter. This
+            # is also the hot path: water/landuse tiles are dominated by
+            # distinct-attr singleton groups, and re-rasterizing each one
+            # made a single ocean-adjacent tile a 90 s straggler task.
+            merged = groups[k]
+        else:
+            merged = raster.union_polygons(
+                groups[k],
+                x0,
+                x0,
+                extent,
+                1.0,  # px per "tile pixel" — geometry already in px coords
+                buffer_dist_px=buffer_dist_px,
+                min_hole_area_px2=min_hole_px2,
+            )
         kept = [rings for rings in merged if ops.polygon_area(rings) >= min_area_px2]
         if not kept:
             continue

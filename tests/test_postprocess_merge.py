@@ -121,3 +121,50 @@ def test_merge_min_area_filter():
     pdf = _pdf([(1, "polygon", small, {}, 0, None, None)])
     out = postprocess.merge_overlapping_polygons(pdf, 4.0)
     assert len(out) == 0
+
+
+def test_catalyst_p4_matches_pandas_kernels(spark):
+    """merge_multi_polygon_sql / housenumber_reduce_sql must reproduce the
+    pandas kernels' bytes exactly (same grouping, order, WKT assembly)."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+    from planetiler_openmaptiles_spark.tiling import postprocess as pp
+
+    rows = []
+    # two attr-groups in one tile, incl. a MULTIPOLYGON input row and a
+    # single-member group; private _key participates in grouping
+    rows.append((13, 1, 2, "building", 1, "polygon",
+                 "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+                 {"render_height": "5", "_f": "a"}, 3, None, 0))
+    rows.append((13, 1, 2, "building", 2, "polygon",
+                 "MULTIPOLYGON (((20 0, 30 0, 30 10, 20 10, 20 0)), ((40 0, 50 0, 50 10, 40 10, 40 0)))",
+                 {"render_height": "5", "_f": "a"}, 1, None, 0))
+    rows.append((13, 1, 2, "building", 3, "polygon",
+                 "POLYGON ((60 0, 70 0, 70 10, 60 10, 60 0))",
+                 {"render_height": "9"}, 2, None, 0))
+    schema = T.StructType([
+        T.StructField("z", T.IntegerType()), T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()), T.StructField("layer", T.StringType()),
+        T.StructField("elem_id", T.LongType()), T.StructField("kind", T.StringType()),
+        T.StructField("geom_px", T.StringType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("sort_key", T.IntegerType()),
+        T.StructField("grid_cell", T.LongType()),
+        T.StructField("grid_limit", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = {tuple(r) for r in pp.merge_multi_polygon_sql(df)
+           .select("seq", "elem_id", "kind", "geom_px", F.to_json(F.array_sort(F.map_entries("attrs"))))
+           .collect()}
+    pdf = pd.DataFrame([{
+        "elem_id": r[4], "kind": r[5], "geom_px": r[6], "attrs": r[7], "sort_key": r[8],
+    } for r in rows]).sort_values(["sort_key", "elem_id"]).reset_index(drop=True)
+    want_rows = pp.merge_multi_polygon(pdf)
+    import json
+    want = {
+        (i, int(r.elem_id), r.kind, r.geom_px,
+         json.dumps([{"key": k, "value": v} for k, v in sorted(r.attrs.items())],
+                    separators=(",", ":")))
+        for i, r in enumerate(want_rows.itertuples(index=False))
+    }
+    assert got == want
