@@ -693,6 +693,26 @@ def _q_ann_lsh(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        ivf_assign, ivf_topk, train_ivf_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    cents = train_ivf_centroids(emb, dim=64, k=16)
+    _write_aux(
+        emb.select("vec_id", ivf_assign(F.col("embedding"), cents).alias("cl")),
+        sf_dir, "emb_ivf_clusters",
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ivf_topk(emb, probes, cents, k=10).select(
+        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.similarity import (
         embedding_near_dups, lsh_bucket)
@@ -748,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
     }.items()}
 
@@ -1067,6 +1088,24 @@ def oracle_sql() -> dict[str, str]:
                      round(list_dot_product(eb.v, pv) /
                            greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
               FROM eb JOIN probes ON eb.bucket = probes.pbucket)
+            SELECT probe_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            cl AS (SELECT vec_id, cl
+                   FROM read_parquet('{_aux_path("emb_ivf_clusters")}/*.parquet')),
+            ec AS (SELECT e.vec_id, v, cl FROM e JOIN cl USING (vec_id)),
+            probes AS (SELECT vec_id AS probe_id, v AS pv, cl AS pcl
+                       FROM ec WHERE vec_id < 5),
+            scored AS (
+              SELECT probe_id, ec.vec_id,
+                     round(list_dot_product(ec.v, pv) /
+                           greatest(sqrt(list_dot_product(ec.v, ec.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+              FROM ec JOIN probes ON ec.cl = probes.pcl)
             SELECT probe_id, vec_id, cosine, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY probe_id
                         ORDER BY cosine DESC, vec_id ASC) AS rank

@@ -50,6 +50,80 @@ def brute_force_topk(
     )
 
 
+# ------------------------------------------------------------------- IVF
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse quantizer: Lloyd's k-means on a fixed sample
+    (lowest ids — reproducible), driver-side numpy. The centroid table is
+    tiny (k×dim) and broadcasts; at 100 TB you train on a sampled subset
+    exactly like this and ship centroids to every executor."""
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:k].copy()  # deterministic init: first k sampled vectors
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def ivf_assign(vec_col, centroids: list):
+    """Cluster id = argmax cosine vs the broadcast centroid constants —
+    pure JVM arithmetic (no UDF)."""
+    sims = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(v) for v in c]))
+            / F.greatest(_norm(vec_col), F.lit(1e-12))
+            for c in centroids
+        ]
+    )
+    # first index of the max similarity (deterministic tie-break)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    centroids: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: candidates share the probe's
+    coarse cluster — an equi-join on the cluster id, so each probe scans
+    ~1/k of the table."""
+    e = embeddings.withColumn("_cl", ivf_assign(F.col(vec_col), centroids))
+    p = probes.withColumn("_cl", ivf_assign(F.col(probe_vec_col), centroids))
+    j = e.join(F.broadcast(p), "_cl")
+    sim = cosine(F.col(vec_col), F.col(probe_vec_col))
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        j.select(F.col(probe_id_col), F.col(id_col), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ------------------------------------------------- random-hyperplane LSH
 
 
