@@ -17,8 +17,12 @@ import numpy as np
 
 
 def ring_signed_area(ring: np.ndarray) -> float:
+    # shoelace via slicing + explicit wrap term: np.roll allocated two
+    # copies per call and dominated hot merge kernels at ~100k tiny rings
     x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    s = np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])
+    s += x[-1] * y[0] - x[0] * y[-1]
+    return 0.5 * float(s)
 
 
 def polygon_area(rings) -> float:
