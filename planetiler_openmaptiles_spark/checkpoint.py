@@ -29,6 +29,20 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_row_count(data_dir: str) -> int:
+    """Row count from parquet footers (driver-side metadata read) — the
+    manifest count must not cost a full table re-scan per stage. The Iceberg
+    deployment gets this from snapshot summary metrics for free."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, names in os.walk(data_dir):
+        for name in names:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
 class CheckpointManager:
     def __init__(self, root: str, enabled: bool = True):
         self.root = root
@@ -87,7 +101,7 @@ class CheckpointManager:
         data_dir = os.path.join(d, "data")
         writer.parquet(data_dir)
         out = spark.read.parquet(data_dir)
-        rows = out.count()
+        rows = _parquet_row_count(data_dir)
         manifest = {
             "name": name,
             "fingerprint": fingerprint,

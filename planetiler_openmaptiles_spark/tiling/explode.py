@@ -476,15 +476,202 @@ def _mark_segment(mask, ax, ay, bx, by, cols, rows_n):
             mask[np.clip(ys + dy, 0, rows_n - 1), np.clip(xs + dx, 0, cols - 1)] = True
 
 
+# -------------------------------------------------------------- fused stage
+
+
+class _ZRow:
+    """Per-(feature, z) view handed to the emit/cut helpers (same attribute
+    surface as the staged pipeline's exploded row)."""
+
+    __slots__ = (
+        "layer", "doc_id", "elem_id", "kind", "attrs_z", "sort_key",
+        "grid_limit_z", "grid_size_z", "buffer_z", "z",
+    )
+
+    def __init__(self, layer, doc_id, elem_id, kind, sort_key):
+        self.layer = layer
+        self.doc_id = doc_id
+        self.elem_id = elem_id
+        self.kind = kind
+        self.sort_key = sort_key
+
+
+def _entry_get(e, k):
+    # Arrow hands struct elements over as dicts; Rows expose [] too
+    return e[k]
+
+
+def render_tiles_fused(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+    """features → per-tile features in ONE mapInPandas pass.
+
+    Semantics identical to tile_cut(zoom_explode(prepare_geoms(df))) — the
+    staged pipeline kept for unit-level parity tests — but the zoom loop runs
+    in-process per feature, so:
+
+      * geometry crosses the JVM↔Python Arrow boundary ONCE per feature
+        (the staged form shipped the world-WKT out of stage A and back into
+        stage C duplicated per zoom — ~7× the geometry bytes at z0-14);
+      * the geometry is parsed once and its Douglas-Peucker retention
+        thresholds computed once per feature, then reused across zooms;
+      * zoom-gated attrs resolve incrementally (sorted entries applied as z
+        advances) instead of per-row array filtering.
+
+    Python-side byte traffic is the scaling limiter on wide nodes (measured:
+    this host's per-core throughput drops ~26% when 32 memory-bound workers
+    run vs 8), so halving Arrow bytes buys both wall time and N→4N scaling
+    efficiency. At 100 TB the win compounds: the explode amplification never
+    hits the exchange."""
+    cols = [
+        "doc_id", "elem_id", "layer", "form", "geom_wkt", "attrs", "zattrs",
+        "minzoom", "maxzoom", "buffer_px", "buffer_overrides",
+        "min_pixel_size", "mps_overrides", "sort_key", "grid",
+    ]
+    src_df = features.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in TILE_FEATURE_SCHEMA.fields}
+            it = zip(*(pdf[c].tolist() for c in cols))
+            for (doc_id, elem_id, layer, form, geom_wkt, attrs, zattrs,
+                 minzoom, maxzoom, buffer_px, buf_ov, mps, mps_ov,
+                 sort_key, grid) in it:
+                z0 = 0 if minzoom is None else max(0, int(minzoom))
+                z1 = max_zoom if maxzoom is None else min(max_zoom, int(maxzoom))
+                if z0 > z1:
+                    continue
+                try:
+                    src = wkt.parse_wkt(geom_wkt)
+                    g = _resolve_form(src, form) if src is not None else None
+                except (ValueError, IndexError):
+                    g = None
+                if g is None:
+                    continue
+                g = _to_world(g)
+                x0w, y0w, x1w, y1w = ops.bbox(g)
+                gk = wkt.geom_kind(g)
+                src_kind = wkt.geom_kind(src)
+                # pixel gates measure the SOURCE geometry (planetiler
+                # setMinPixelSize semantics, WaterName.java:246-257)
+                if src_kind == "polygon":
+                    sw = _to_world(src) if form != "polygon" else g
+                    size_world = float(np.sqrt(max(ops.geom_area(sw), 0.0)))
+                elif src_kind == "linestring":
+                    sw = _to_world(src) if form != "line" else g
+                    size_world = float(ops.geom_length(sw))
+                else:
+                    size_world = 0.0
+                attrs = _attrs_dict(attrs)
+                if attrs.get("_numpoints") == "__computed__":
+                    attrs = dict(attrs)
+                    attrs["_numpoints"] = str(len(ops._all_coords(g)))
+                # zoom-gated attrs: base overwritten by entries with
+                # minzoom <= z, applied in (minzoom, array order) — the
+                # LAST_WIN map_concat of the staged form
+                zs = sorted(
+                    (_entry_get(e, "minzoom"), i, _entry_get(e, "key"), _entry_get(e, "value"))
+                    for i, e in enumerate(zattrs if zattrs is not None else [])
+                    if _entry_get(e, "minzoom") is not None
+                )
+                mps_sorted = sorted(
+                    ((_entry_get(o, "below_zoom"), _entry_get(o, "size"))
+                     for o in (mps_ov if mps_ov is not None else [])
+                     if _entry_get(o, "below_zoom") is not None),
+                )
+                buf_map = {
+                    _entry_get(o, "zoom"): _entry_get(o, "size")
+                    for o in (buf_ov if buf_ov is not None else [])
+                }
+                grid_list = [
+                    (_entry_get(gr, "minzoom"), _entry_get(gr, "maxzoom"),
+                     _entry_get(gr, "size"), _entry_get(gr, "limit"))
+                    for gr in (grid if grid is not None else [])
+                ]
+                tol_fn = LAYER_TOLERANCE.get(layer)
+                row = _ZRow(layer, doc_id, elem_id, gk, sort_key)
+                cur_attrs = attrs
+                ptr = 0
+                thrs = False
+                for z in range(z0, z1 + 1):
+                    if ptr < len(zs) and zs[ptr][0] <= z:
+                        cur_attrs = dict(cur_attrs)
+                        while ptr < len(zs) and zs[ptr][0] <= z:
+                            cur_attrs[zs[ptr][2]] = zs[ptr][3]
+                            ptr += 1
+                    mps_z = mps
+                    for bz, sz in mps_sorted:
+                        if z <= bz:
+                            mps_z = sz
+                            break
+                    n = 1 << z
+                    scale = n * TILE_EXTENT  # px per world unit
+                    if src_kind != "point" and z != max_zoom:
+                        # the pixel gate (skipped at max zoom: overzooming)
+                        if mps_z is None or not (size_world * scale >= mps_z):
+                            continue
+                    gsz = glim = None
+                    for gmn, gmx, gsize, glimit in grid_list:
+                        if gmn is not None and gmx is not None and gmn <= z <= gmx:
+                            gsz, glim = gsize, glimit
+                            break
+                    row.attrs_z = cur_attrs
+                    row.grid_size_z = gsz
+                    row.grid_limit_z = glim if glim is not None else 0
+                    buf = buf_map.get(z, buffer_px)
+                    row.buffer_z = buf
+                    buf = float(buf)
+                    buf_world = buf / scale
+                    row.z = z
+                    if gk == "point":
+                        _cut_points(out, row, g, z, n, scale, buf)
+                        continue
+                    if thrs is False:
+                        thrs = ops.geom_dp_thresholds(g)
+                    tol_px = tol_fn(z, cur_attrs) if tol_fn else DEFAULT_TOLERANCE_PX
+                    gs = (
+                        ops.simplify_with_thresholds(g, thrs, tol_px / scale)
+                        if tol_px > 0
+                        else g
+                    )
+                    if gs is None:
+                        continue
+                    fx0 = int(np.floor((x0w - buf_world) * n))
+                    fx1 = int(np.floor((x1w + buf_world) * n))
+                    fy0 = int(np.floor((y0w - buf_world) * n))
+                    fy1 = int(np.floor((y1w + buf_world) * n))
+                    if fx0 == fx1 and fy0 == fy1 and 0 <= fx0 < n and 0 <= fy0 < n:
+                        _emit_row(out, row, z, fx0, fy0, _scale_to_tile(gs, fx0, fy0, n), None)
+                        continue
+                    tx0, tx1 = max(0, fx0), min(n - 1, fx1)
+                    ty0, ty1 = max(0, fy0), min(n - 1, fy1)
+                    ntiles = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+                    if gk == "polygon" and ntiles > FILL_TILE_THRESHOLD:
+                        _cut_polygon_fill(out, row, gs, z, n, scale, buf, tx0, tx1, ty0, ty1)
+                        continue
+                    for tx in range(tx0, tx1 + 1):
+                        for ty in range(ty0, ty1 + 1):
+                            bx0 = (tx * TILE_EXTENT - buf) / scale
+                            bx1 = ((tx + 1) * TILE_EXTENT + buf) / scale
+                            by0 = (ty * TILE_EXTENT - buf) / scale
+                            by1 = ((ty + 1) * TILE_EXTENT + buf) / scale
+                            c = ops.clip_geom_box(gs, bx0, by0, bx1, by1)
+                            if c is None:
+                                continue
+                            _emit_row(out, row, z, tx, ty, _scale_to_tile(c, tx, ty, n), None)
+            if out["z"]:  # empty frames infer float64 cols Arrow can't map-cast
+                yield pd.DataFrame(out)
+
+    return src_df.mapInPandas(run, schema=TILE_FEATURE_SCHEMA)
+
+
 # -------------------------------------------------------------- full stage
 
 
-def render_tiles(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
-    """features → per-tile features (stages A+B+C), before tile reduction.
-
-    No shuffle between the explode and the cut: stage C task boundaries are
-    the upstream splits. (An explicit rebalance shuffle was measured at 1M
-    docs and cost more than the skew it removed — the exploded rows carry
-    wide WKT strings, and the per-split cost variance is absorbed by having
-    ~4x more splits than cores.)"""
+def render_tiles_staged(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+    """Staged A/B/C form (kept as the parity reference for the fused path;
+    see test_tiling fused-vs-staged equivalence)."""
     return tile_cut(zoom_explode(prepare_geoms(features), max_zoom))
+
+
+def render_tiles(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+    """features → per-tile features, before tile reduction (fused pass)."""
+    return render_tiles_fused(features, max_zoom)

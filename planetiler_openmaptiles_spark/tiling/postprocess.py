@@ -429,6 +429,74 @@ def housenumber_reduce_sql(df: DataFrame) -> DataFrame:
     return merge_multi_point_sql(kept)
 
 
+def _stamp_if_absent(attrs, rank_str):
+    """attrs + {'rank': rank_str} unless the feature already carries one."""
+    return F.when(F.map_contains_key(attrs, "rank"), attrs).otherwise(
+        F.map_concat(attrs, F.create_map(F.lit("rank"), rank_str))
+    )
+
+
+# predicate: (layer, z) combinations whose post-processor is a stateless
+# per-row map (rank stamp from the JVM grid_rank / private-attr strip) —
+# these run as ONE Catalyst branch instead of per-tile Python tasks. The
+# pandas processors for the same layers remain the semantics reference
+# (poi/place/mountain_peak docstrings) and still serve the other zooms.
+def stamped_sql_pred():
+    l, z = F.col("layer"), F.col("z")
+    return (
+        l.isin("poi", "place", "mountain_peak")
+        | ((l == "park") & (z > 4))
+        | ((l == "waterway") & ((z < 6) | (z > 11)))
+        | ((l == "landcover") & ((z < 7) | (z > 13)))
+    )
+
+
+def stamped_reduce_sql(df: DataFrame) -> DataFrame:
+    """Catalyst form of the stateless layer post-processors:
+
+    * poi      — rank := grid_rank when absent (Poi.java:328-338)
+    * place    — rank := 10 + grid_rank when absent (Place.java:394-404)
+    * mountain_peak — rank := grid_rank when absent; drop points outside the
+      64px output buffer (MountainPeak.java:176-204)
+    * park z>4 — rank := grid_rank for grid-cell points (overwrite,
+      Park.java:166-180)
+    * waterway z<6|z>11 — strip private attrs (no merge at these zooms)
+    * landcover z<7|z>13 — strip the _numpoints bookkeeping attr
+
+    One shuffle (the seq window), zero Python tasks."""
+    l, z = F.col("layer"), F.col("z")
+    attrs = F.col("attrs")
+    rank_abs = F.col("grid_rank").cast("string")
+    is_pt = F.col("kind") == "point"
+    new_attrs = (
+        F.when(l == "poi", _stamp_if_absent(attrs, rank_abs))
+        .when(l == "place", _stamp_if_absent(attrs, (F.col("grid_rank") + 10).cast("string")))
+        .when(l == "mountain_peak", _stamp_if_absent(attrs, rank_abs))
+        .when(
+            l == "park",
+            F.when(
+                is_pt & F.col("grid_cell").isNotNull(),
+                # LAST_WIN map dedup (session conf) → overwrite semantics
+                F.map_concat(attrs, F.create_map(F.lit("rank"), rank_abs)),
+            ).otherwise(attrs),
+        )
+        .when(l == "waterway", _strip_private(attrs))
+        .when(l == "landcover", F.map_filter(attrs, lambda k, _: k != F.lit("_numpoints")))
+        .otherwise(attrs)
+    )
+    num = r"([-+0-9.eE]+)"
+    px = F.regexp_extract("geom_px", rf"^POINT \({num} {num}\)", 1).cast("double")
+    py = F.regexp_extract("geom_px", rf"^POINT \({num} {num}\)", 2).cast("double")
+    peak_buf = 64.0  # LAYER_BUFFERS["mountain_peak"]
+    peak_keep = (
+        (l != "mountain_peak")
+        | ~is_pt
+        | (px.between(-peak_buf, TILE_EXTENT + peak_buf)
+           & py.between(-peak_buf, TILE_EXTENT + peak_buf))
+    )
+    return identity_reduce_sql(df.withColumn("attrs", new_attrs).filter(peak_keep))
+
+
 def identity_reduce_sql(df: DataFrame) -> DataFrame:
     """Layers with no post-processor: pure Catalyst seq assignment."""
     w = Window.partitionBy("z", "x", "y", "layer").orderBy(
@@ -451,14 +519,18 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     tf = grid_windows(tile_feats)
     mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
     hn_pred = F.col("layer") == "housenumber"
+    sql_pred = stamped_sql_pred()
     pandas_layers = [l for l in POST_PROCESSORS if l != "housenumber"]
-    pandas_pred = F.col("layer").isin(pandas_layers) & ~mp_pred
-    ident_pred = ~F.col("layer").isin(list(POST_PROCESSORS.keys()) + ["housenumber"])
+    pandas_pred = F.col("layer").isin(pandas_layers) & ~mp_pred & ~sql_pred
+    ident_pred = (
+        ~F.col("layer").isin(list(POST_PROCESSORS.keys()) + ["housenumber"]) & ~sql_pred
+    )
     parts = [
         reduce_tiles(tf.filter(pandas_pred)),
         identity_reduce_sql(tf.filter(ident_pred)),
         merge_multi_polygon_sql(tf.filter(mp_pred)),
         housenumber_reduce_sql(tf.filter(hn_pred)),
+        stamped_reduce_sql(tf.filter(sql_pred)),
     ]
     out = parts[0]
     for p in parts[1:]:

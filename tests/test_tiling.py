@@ -156,3 +156,73 @@ def test_polygon_clip_across_tiles(spark):
     # z4 world = 16 tiles across; lon 0..50 is > 2 tiles wide
     assert out["x"].nunique() >= 2
     assert (out["kind"] == "polygon").all()
+
+
+def test_fused_matches_staged(spark):
+    """The fused one-pass render must emit the same rows as the staged
+    A/B/C reference pipeline (same keys/attrs/grid; coordinates equal up
+    to the staged form's world-WKT %.10g round-trip, ~1e-3 px)."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.geom import wkt as wktmod
+    from planetiler_openmaptiles_spark.tiling.explode import (
+        render_tiles_fused,
+        render_tiles_staged,
+    )
+
+    rows = [
+        _feature_row("LINESTRING (0 40, 40 41)", minzoom=3, maxzoom=6),
+        _feature_row(
+            "POLYGON ((0 10, 50 10, 50 45, 0 45, 0 10))",
+            elem_id=2, layer="landcover", form="polygon", minzoom=0, maxzoom=5,
+        ),
+        _feature_row("POINT (7.42 43.73)", elem_id=3, layer="poi", form="point",
+                     minzoom=10, maxzoom=14),
+        # zoom-gated attrs + mps gate interplay
+        (
+            "d2", 4, "transportation", "line", "LINESTRING (7.40 43.72, 7.41 43.73)",
+            {"class": "primary"},
+            [{"key": "brunnel", "minzoom": 12, "value": "bridge"}],
+            6, 14, 4.0, None, 8.0,
+            [{"below_zoom": 11, "size": 50.0}],
+            5, None,
+        ),
+        # label grid
+        (
+            "d3", 5, "place", "point", "POINT (7.43 43.75)",
+            {"class": "city"}, None, 4, 14, 64.0, None, 0.0, None,
+            7, [{"minzoom": 8, "maxzoom": 12, "size": 128.0, "limit": 2}],
+        ),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA).coalesce(2)
+    staged = render_tiles_staged(df, max_zoom=14).toPandas()
+    fused = render_tiles_fused(df, max_zoom=14).toPandas()
+
+    def index(pdf):
+        out = {}
+        for r in pdf.itertuples(index=False):
+            key = (r.z, r.x, r.y, r.layer, r.doc_id, r.elem_id, r.kind, r.sort_key,
+                   tuple(sorted((r.attrs or {}).items())),
+                   None if r.grid_cell is None or (isinstance(r.grid_cell, float) and np.isnan(r.grid_cell)) else int(r.grid_cell),
+                   r.grid_limit)
+            out.setdefault(key, []).append(r.geom_px)
+        return out
+
+    a, b = index(staged), index(fused)
+    assert set(a) == set(b)
+
+    def flat(g):
+        k, d = wktmod.parse_wkt(g)
+        if k == "Point":
+            return np.asarray(d).reshape(-1)
+        if k in ("LineString", "MultiPoint"):
+            return np.asarray(d).reshape(-1)
+        if k in ("MultiLineString", "Polygon"):
+            return np.concatenate([np.asarray(c).reshape(-1) for c in d])
+        return np.concatenate([np.asarray(r).reshape(-1) for rings in d for r in rings])
+
+    for key in a:
+        for ga, gb in zip(sorted(a[key]), sorted(b[key])):
+            fa, fb = flat(ga), flat(gb)
+            assert len(fa) == len(fb), key
+            assert np.allclose(fa, fb, atol=2e-3), key
