@@ -224,9 +224,35 @@ def union_polygons(
     a square window [x0, x0+extent]² where `px` = world units per tile pixel.
 
     Returns list of polygons (list of rings, world units)."""
-    n = int(round(extent / px)) * grid_per_px
+    return union_polygons_rect(
+        polys, x0, y0, extent, extent, px,
+        buffer_dist_px=buffer_dist_px,
+        min_hole_area_px2=min_hole_area_px2,
+        simplify_px=simplify_px,
+        grid_per_px=grid_per_px,
+    )
+
+
+def union_polygons_rect(
+    polys: list[list[np.ndarray]],
+    x0: float,
+    y0: float,
+    w: float,
+    h: float,
+    px: float,
+    buffer_dist_px: float = 0.0,
+    min_hole_area_px2: float = 0.0,
+    simplify_px: float = 0.25,
+    grid_per_px: int = GRID_PER_PX,
+):
+    """Rectangular-window form of ``union_polygons``: the per-tile merges
+    rasterize each connected component over its own bbox (snapped to the
+    tile's sub-pixel lattice) instead of the whole tile window, so the grid
+    cost scales with the component, not the tile."""
     cell = px / grid_per_px
-    mask = rasterize(polys, x0, y0, cell, (n, n))
+    ncols = max(int(round(w / cell)), 1)
+    nrows = max(int(round(h / cell)), 1)
+    mask = rasterize(polys, x0, y0, cell, (nrows, ncols))
     if not mask.any():
         return []
     r = int(round(buffer_dist_px * grid_per_px))

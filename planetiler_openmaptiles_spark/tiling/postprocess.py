@@ -202,30 +202,113 @@ def _merge_polygons(pdf, min_area_px2, min_hole_px2, buffer_dist_px, clip_buffer
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
         out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
-        if len(groups[k]) == 1 and buffer_dist_px == 0 and min_hole_px2 == 0:
-            # singleton group, no buffering: JTS union of one geometry is
-            # itself (reference FeatureMerge semantics) — pass the exact
-            # coordinates through and only apply the min-area filter. This
-            # is also the hot path: water/landuse tiles are dominated by
-            # distinct-attr singleton groups, and re-rasterizing each one
-            # made a single ocean-adjacent tile a 90 s straggler task.
-            merged = groups[k]
-        else:
-            merged = raster.union_polygons(
-                groups[k],
-                x0,
-                x0,
-                extent,
-                1.0,  # px per "tile pixel" — geometry already in px coords
-                buffer_dist_px=buffer_dist_px,
-                min_hole_area_px2=min_hole_px2,
-            )
+        merged = _union_by_components(
+            groups[k], x0, extent, buffer_dist_px, min_hole_px2
+        )
         kept = [rings for rings in merged if ops.polygon_area(rings) >= min_area_px2]
         if not kept:
             continue
         geom = ("Polygon", kept[0]) if len(kept) == 1 else ("MultiPolygon", kept)
         rows.append((elem_id, "polygon", wkt.to_wkt(geom), out_attrs))
     return pd.DataFrame(rows, columns=["elem_id", "kind", "geom_px", "attrs"])
+
+
+def _ring_convex(ring) -> bool:
+    """Closed ring convexity: all edge cross products share a sign (zeros —
+    collinear runs — allowed)."""
+    c = np.asarray(ring)
+    if len(c) < 4:
+        return True
+    e = np.diff(c, axis=0)  # closed ring: last edge wraps to the start
+    e = np.vstack([e, e[:1]])
+    cross = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _union_by_components(polys, wx0, extent, buffer_dist_px, min_hole_px2):
+    """Union a same-attrs polygon group via bbox connected components.
+
+    JTS semantics (FeatureMerge.mergeOverlappingPolygons unions only what
+    actually intersects): members whose inflated bboxes touch nothing pass
+    through with EXACT coordinates; each multi-member cluster rasterizes
+    over its own bbox — snapped to the tile's global sub-pixel lattice so a
+    cluster's traced rings are identical to the full-window raster's — not
+    the whole tile window. A megacity z13 building tile is thousands of
+    small clusters, not one 1056² grid per attr group."""
+    if len(polys) == 1 and buffer_dist_px == 0 and min_hole_px2 == 0:
+        # union of one geometry is itself (the round-1 singleton fast path)
+        return polys
+    cell = 1.0 / raster.GRID_PER_PX
+    # grouping slack: dilated masks can touch when bbox gap <= 2*buffer;
+    # +2 cells covers raster snap. Conservative over-grouping is harmless
+    # (the raster union keeps disjoint masks disjoint).
+    margin = buffer_dist_px + 2 * cell
+    boxes = np.empty((len(polys), 4))
+    for i, rings in enumerate(polys):
+        allc = np.concatenate([np.asarray(r) for r in rings])
+        boxes[i] = (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
+    parent = list(range(len(polys)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    # sweep on min_x to avoid the all-pairs check on big groups
+    order_ix = np.argsort(boxes[:, 0], kind="stable")
+    active: list[int] = []
+    for ii in order_ix.tolist():
+        x_lo = boxes[ii, 0] - margin
+        active = [jj for jj in active if boxes[jj, 2] + margin >= x_lo]
+        for jj in active:
+            if (
+                boxes[ii, 1] - margin <= boxes[jj, 3] + margin
+                and boxes[ii, 3] + margin >= boxes[jj, 1] - margin
+            ):
+                ra, rb = find(ii), find(jj)
+                if ra != rb:
+                    parent[rb] = ra
+        active.append(ii)
+    comps: dict[int, list[int]] = {}
+    for i in range(len(polys)):
+        comps.setdefault(find(i), []).append(i)
+    out = []
+    for root in sorted(comps, key=lambda r: min(comps[r])):
+        idxs = comps[root]
+        members = [polys[i] for i in idxs]
+        if len(idxs) == 1:
+            rings = members[0]
+            if buffer_dist_px == 0 and min_hole_px2 == 0:
+                out.extend(members)
+                continue
+            if len(rings) == 1 and _ring_convex(rings[0]):
+                # buffer(+r).buffer(-r) (morphological closing) is identity
+                # on a convex hole-free polygon — pass exact coords through
+                # (JTS would, too); z13 building tiles are mostly these
+                out.extend(members)
+                continue
+        bx = boxes[idxs]
+        # sub-window: component bbox + dilation headroom, snapped to the
+        # lattice anchored at the tile window origin, clamped to the window
+        m = buffer_dist_px + 2 * cell
+        sx0 = wx0 + np.floor((bx[:, 0].min() - m - wx0) / cell) * cell
+        sy0 = wx0 + np.floor((bx[:, 1].min() - m - wx0) / cell) * cell
+        sx1 = wx0 + np.ceil((bx[:, 2].max() + m - wx0) / cell) * cell
+        sy1 = wx0 + np.ceil((bx[:, 3].max() + m - wx0) / cell) * cell
+        sx0, sy0 = max(sx0, wx0), max(sy0, wx0)
+        sx1, sy1 = min(sx1, wx0 + extent), min(sy1, wx0 + extent)
+        if sx1 <= sx0 or sy1 <= sy0:
+            continue  # entirely outside the tile window
+        out.extend(
+            raster.union_polygons_rect(
+                members, sx0, sy0, sx1 - sx0, sy1 - sy0,
+                1.0,  # px per "tile pixel" — geometry already in px coords
+                buffer_dist_px=buffer_dist_px,
+                min_hole_area_px2=min_hole_px2,
+            )
+        )
+    return out
 
 
 def merge_multi_point(pdf: pd.DataFrame) -> pd.DataFrame:
