@@ -462,7 +462,7 @@ def _q_geo_tiles_mvt(spark, sf_dir):
     import pandas as pd
     from pyspark.sql import types as T
 
-    from planetiler_openmaptiles_spark.geom import wkt as wktmod
+    from planetiler_openmaptiles_spark.geom import packed
     from planetiler_openmaptiles_spark.layers import Config
     from planetiler_openmaptiles_spark.pipeline import build_tiles
     from planetiler_openmaptiles_spark.tiling import mvt
@@ -489,7 +489,7 @@ def _q_geo_tiles_mvt(spark, sf_dir):
         layers: dict = {}
         src_rows = []
         for row in pdf.itertuples(index=False):
-            g = wktmod.parse_wkt(row.geom_px)
+            g = packed.to_geom(row.geom_px, row.kind)
             if g is None:
                 continue
             attrs = dict(row.attrs) if row.attrs is not None else {}

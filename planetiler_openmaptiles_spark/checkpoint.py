@@ -91,9 +91,12 @@ class CheckpointManager:
         df = build()
         # keep file-level parallelism for the next stage: a small checkpoint
         # written as 1-4 files would collapse downstream mapInPandas to
-        # 1-4 tasks regardless of cluster size
+        # 1-4 tasks regardless of cluster size. Only repartition when the
+        # plan is actually narrow — a full exchange of an already-wide
+        # stage (the render output) doubles its bytes through memory for
+        # nothing, and parquet splits restore read parallelism anyway.
         target = max(spark.sparkContext.defaultParallelism, 16)
-        if not partition_by:
+        if not partition_by and df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -305,33 +305,64 @@ def dp_thresholds(coords: np.ndarray) -> np.ndarray:
         return thr2
     x = coords[:, 0]
     y = coords[:, 1]
+    xl = x.tolist()
+    yl = y.tolist()
+    out = thr2.tolist()
     stack = [(0, n - 1, np.inf)]
     while stack:
         i, j, parent = stack.pop()
         if j <= i + 1:
             continue
-        ax, ay = x[i], y[i]
-        dx, dy = x[j] - ax, y[j] - ay
-        px = x[i + 1 : j]
-        py = y[i + 1 : j]
+        ax = xl[i]
+        ay = yl[i]
+        dx = xl[j] - ax
+        dy = yl[j] - ay
         seg2 = dx * dx + dy * dy
-        if seg2 == 0:
-            ddx = px - ax
-            ddy = py - ay
-            d2 = ddx * ddx + ddy * ddy
+        if j - i <= 17:
+            # scalar path on Python floats: the typical ring here is 3-8
+            # vertices, where numpy slice/argmax overhead dominates the
+            # arithmetic ~10:1 (profiled: #2 cost of the render stage)
+            best = -1.0
+            k = i + 1
+            for m in range(i + 1, j):
+                px = xl[m] - ax
+                py = yl[m] - ay
+                if seg2 > 0.0:
+                    t = (px * dx + py * dy) / seg2
+                    if t < 0.0:
+                        t = 0.0
+                    elif t > 1.0:
+                        t = 1.0
+                    ddx = px - t * dx
+                    ddy = py - t * dy
+                else:
+                    ddx = px
+                    ddy = py
+                d2 = ddx * ddx + ddy * ddy
+                if d2 > best:
+                    best = d2
+                    k = m
+            v = best if best < parent else parent
         else:
-            t = ((px - ax) * dx + (py - ay) * dy) / seg2
-            np.clip(t, 0.0, 1.0, out=t)
-            ddx = px - (ax + t * dx)
-            ddy = py - (ay + t * dy)
-            d2 = ddx * ddx + ddy * ddy
-        k = int(np.argmax(d2))
-        v = min(float(d2[k]), parent)
-        idx = i + 1 + k
-        thr2[idx] = v
-        stack.append((i, idx, v))
-        stack.append((idx, j, v))
-    return thr2
+            px = x[i + 1 : j]
+            py = y[i + 1 : j]
+            if seg2 == 0:
+                ddx = px - ax
+                ddy = py - ay
+                d2 = ddx * ddx + ddy * ddy
+            else:
+                t = ((px - ax) * dx + (py - ay) * dy) / seg2
+                np.clip(t, 0.0, 1.0, out=t)
+                ddx = px - (ax + t * dx)
+                ddy = py - (ay + t * dy)
+                d2 = ddx * ddx + ddy * ddy
+            kk = int(np.argmax(d2))
+            v = min(float(d2[kk]), parent)
+            k = i + 1 + kk
+        out[k] = v
+        stack.append((i, k, v))
+        stack.append((k, j, v))
+    return np.asarray(out)
 
 
 def dp_filter(coords: np.ndarray, thr2: np.ndarray, tol: float) -> np.ndarray:

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from .. import spatial
 from ..features import attr_entries, emit, grid_entry, union_features
+from ..geom import packed
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
 from .util import names_col, names_map, names_zattrs_col, nullif_empty, parse_meters, tag
@@ -98,16 +99,14 @@ def _post_process(zoom: int, pdf: pd.DataFrame) -> pd.DataFrame:
     ``grid_windows`` (ungrouped rows share one bucket, matching the
     reference's group()==0 counter) — no in-pandas recount, so this
     processor is a stateless per-row map (salt/partition safe)."""
-    from ..geom import wkt as wktmod
-
     keep_idx, new_attrs = [], []
     ranks = pdf["grid_rank"]
     for i in range(len(pdf)):
         a = postprocess._as_dict(pdf["attrs"].iloc[i])
         if pdf["kind"].iloc[i] == "point":
-            g = wktmod.parse_wkt(pdf["geom_px"].iloc[i])
-            if g is not None and g[0] == "Point":
-                x, y = g[1]
+            pts = packed.points_of(pdf["geom_px"].iloc[i])
+            if len(pts) == 1:
+                x, y = float(pts[0, 0]), float(pts[0, 1])
                 if not (-BUFFER <= x <= 256 + BUFFER and -BUFFER <= y <= 256 + BUFFER):
                     continue
         if "rank" not in a:

@@ -214,8 +214,21 @@ def build_tiles(
 
 def write_tiles(tiles: DataFrame, out_dir: str) -> dict:
     """Write the tile table partitioned by zoom (the mbtiles-sink analog,
-    S5) and a small metadata JSON."""
-    tiles.write.mode("overwrite").partitionBy("z").parquet(os.path.join(out_dir, "tiles"))
+    S5) and a small metadata JSON.
+
+    The writer repartitions on a static (z, x-slice) bucket first so each
+    task emits exactly one zoom directory: without it, every one of the
+    shuffle's N tasks opens a writer per zoom it sees (N×15 small files at
+    z0-14 — file-handle churn locally, a small-file explosion on object
+    storage at 100 TB). Deep zooms get 16 x-slices each since that's where
+    the rows are; a static map avoids repartitionByRange's extra sampling
+    pass over the full finalize plan."""
+    z = F.col("z")
+    bucket = F.when(z < 12, z).otherwise(
+        (z - 12) * 16 + F.pmod(F.col("x"), F.lit(16)) + 12
+    )
+    out = tiles.repartition(60, bucket.alias("_zbucket"))
+    out.write.mode("overwrite").partitionBy("z").parquet(os.path.join(out_dir, "tiles"))
     return {"path": os.path.join(out_dir, "tiles")}
 
 
@@ -227,7 +240,7 @@ def encode_mvt_blobs(tiles: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from .geom import wkt as wktmod
+    from .geom import packed
     from .layers import LAYER_MODULES
     from .tiling import mvt
 
@@ -247,7 +260,7 @@ def encode_mvt_blobs(tiles: DataFrame) -> DataFrame:
         pdf = pdf.sort_values(["_lo", "seq"], kind="mergesort")
         layers: dict = {}
         for row in pdf.itertuples(index=False):
-            g = wktmod.parse_wkt(row.geom_px)
+            g = packed.to_geom(row.geom_px, row.kind)
             if g is None:
                 continue
             attrs = dict(row.attrs) if row.attrs is not None else {}
@@ -389,11 +402,21 @@ def main(argv=None):
     t0 = time.time()
     tiles = build_tiles(spark, args.corpus, config, args.checkpoints,
                         check_invariant=args.check_invariant)
-    tiles = tiles.cache()
-    n_feats = tiles.count()
-    n_tiles = tiles.select("z", "x", "y").distinct().count()
-    write_tiles(tiles, args.out)
-    mb = write_mbtiles(tiles, args.mbtiles, max_zoom=args.max_zoom) if args.mbtiles else None
+    # ONE action: the finalize plan streams straight into the sink. The
+    # report counts come from parquet footers (free) and a column-pruned
+    # read-back — not from extra cache+count+distinct passes over the full
+    # finalize output (at 100 TB those are three scans of the biggest table).
+    written = write_tiles(tiles, args.out)
+    from .checkpoint import _parquet_row_count
+
+    n_feats = _parquet_row_count(written["path"])
+    tiles_back = spark.read.parquet(written["path"])
+    n_tiles = tiles_back.select("z", "x", "y").distinct().count()
+    mb = (
+        write_mbtiles(tiles_back, args.mbtiles, max_zoom=args.max_zoom)
+        if args.mbtiles
+        else None
+    )
     wall = time.time() - t0
     report = {
         "tile_features": n_feats,

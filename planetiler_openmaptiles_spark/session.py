@@ -52,6 +52,14 @@ def get_spark(
         # getLong/getDouble semantics), element_at out-of-bounds → null
         .config("spark.sql.ansi.enabled", "false")
     )
+    evdir = os.environ.get("SPARK_EVENTLOG_DIR")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evdir}")
+            .config("spark.eventLog.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

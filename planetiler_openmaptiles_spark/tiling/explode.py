@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..geom import mercator, ops, wkt
+from ..geom import mercator, ops, packed, wkt
 from ..features import TILE_EXTENT
 
 MAX_ZOOM = 14
@@ -269,11 +269,20 @@ TILE_FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType()),
         T.StructField("elem_id", T.LongType()),
         T.StructField("kind", T.StringType()),
-        T.StructField("geom_px", T.StringType()),
+        # packed geometry (geom/packed.py): one flat binary blob per row.
+        # Arrow moves it as a single memcpy and the JVM shuffles/sorts it
+        # as one variable-length field — no WKT text on the render→reduce
+        # path (the round-1 bandwidth hot spot).
+        T.StructField("geom_px", T.BinaryType()),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
         T.StructField("sort_key", T.IntegerType()),
         T.StructField("grid_cell", T.LongType()),
         T.StructField("grid_limit", T.IntegerType()),
+        # point rows carry their tile-local coordinate as plain doubles so
+        # pure-Catalyst post-processors (mountain_peak's 64px buffer drop)
+        # never have to reinterpret the blob JVM-side
+        T.StructField("pt_x", T.DoubleType()),
+        T.StructField("pt_y", T.DoubleType()),
     ]
 )
 
@@ -298,7 +307,7 @@ def _attrs_dict(a):
     return dict(a)  # Arrow may hand maps over as arrays of (k, v) tuples
 
 
-def _emit_row(out, row, z, tx, ty, geom_px, grid_cell):
+def _emit_row(out, row, z, tx, ty, geom_px, grid_cell, ptx=None, pty=None):
     out["z"].append(z)
     out["x"].append(tx)
     out["y"].append(ty)
@@ -306,11 +315,15 @@ def _emit_row(out, row, z, tx, ty, geom_px, grid_cell):
     out["doc_id"].append(row.doc_id)
     out["elem_id"].append(row.elem_id)
     out["kind"].append(row.kind)
-    out["geom_px"].append(geom_px if isinstance(geom_px, str) else wkt.to_wkt(geom_px))
+    out["geom_px"].append(
+        geom_px if isinstance(geom_px, bytes) else packed.pack(geom_px)
+    )
     out["attrs"].append(_attrs_dict(row.attrs_z))
     out["sort_key"].append(row.sort_key)
     out["grid_cell"].append(grid_cell)
     out["grid_limit"].append(row.grid_limit_z)
+    out["pt_x"].append(ptx)
+    out["pt_y"].append(pty)
 
 
 _FILL_GEOM = None
@@ -419,8 +432,9 @@ def _cut_points(out, row, g, z, n, scale, buf):
         ty0, ty1 = int((gy - buf) // TILE_EXTENT), int((gy + buf) // TILE_EXTENT)
         for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
             for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
-                local = ("Point", np.array([gx - tx * TILE_EXTENT, gy - ty * TILE_EXTENT]))
-                _emit_row(out, row, z, tx, ty, local, cell)
+                lx, ly = gx - tx * TILE_EXTENT, gy - ty * TILE_EXTENT
+                local = np.array([lx, ly]).tobytes()
+                _emit_row(out, row, z, tx, ty, local, cell, lx, ly)
 
 
 def _cut_polygon_fill(out, row, gs, z, n, scale, buf, x0, x1, y0, y1):
@@ -438,7 +452,7 @@ def _cut_polygon_fill(out, row, gs, z, n, scale, buf, x0, x1, y0, y1):
     boundary = (mask | edge_mask) & ~(interior & ~edge_mask)
     fill = interior & ~edge_mask
     fr, fc = np.nonzero(fill)
-    rect = wkt.to_wkt(_fill_rect(buf))  # serialize the canned rectangle once
+    rect = packed.pack(_fill_rect(buf))  # pack the canned rectangle once
     for r, c in zip(fr.tolist(), fc.tolist()):
         _emit_row(out, row, z, x0 + c, y0 + r, rect, None)
     br, bc = np.nonzero(boundary)

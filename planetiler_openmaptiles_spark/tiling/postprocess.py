@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..features import TILE_EXTENT
-from ..geom import ops, raster, wkt
+from ..geom import ops, packed, raster, wkt
 
 TILE_OUT_SCHEMA = T.StructType(
     [
@@ -40,7 +40,8 @@ TILE_OUT_SCHEMA = T.StructType(
         T.StructField("seq", T.IntegerType()),
         T.StructField("elem_id", T.LongType()),
         T.StructField("kind", T.StringType()),
-        T.StructField("geom_px", T.StringType()),
+        # packed geometry (geom/packed.py): one flat binary blob per row
+        T.StructField("geom_px", T.BinaryType()),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
     ]
 )
@@ -93,28 +94,6 @@ def _as_dict(attrs) -> dict:
 
 
 
-def _parse_lines(geoms) -> list[np.ndarray]:
-    out = []
-    for g in geoms:
-        if g is None:
-            continue
-        if g[0] == "LineString":
-            out.append(np.asarray(g[1]))
-        elif g[0] == "MultiLineString":
-            out.extend(np.asarray(l) for l in g[1])
-    return out
-
-
-def _parse_polys(geoms) -> list[list[np.ndarray]]:
-    out = []
-    for g in geoms:
-        if g is None:
-            continue
-        if g[0] == "Polygon":
-            out.append([np.asarray(r) for r in g[1]])
-        elif g[0] == "MultiPolygon":
-            out.extend([np.asarray(r) for r in rings] for rings in g[1])
-    return out
 
 
 def merge_line_strings(
@@ -141,8 +120,7 @@ def merge_line_strings(
             groups[k] = []
             order[k] = i
             meta[k] = (row.elem_id, attrs)
-        g = wkt.parse_wkt(row.geom_px)
-        groups[k].extend(_parse_lines([g]))
+        groups[k].extend(packed.lines_of(row.geom_px))
     rows = []
     lo, hi = -buffer_px, TILE_EXTENT + buffer_px
     for k in sorted(groups, key=lambda k: order[k]):
@@ -161,8 +139,7 @@ def merge_line_strings(
                     kept.append(piece)
         if not kept:
             continue
-        geom = ("LineString", kept[0]) if len(kept) == 1 else ("MultiLineString", kept)
-        rows.append((elem_id, "linestring", wkt.to_wkt(geom), out_attrs))
+        rows.append((elem_id, "linestring", packed.from_lines(kept), out_attrs))
     return pd.DataFrame(rows, columns=["elem_id", "kind", "geom_px", "attrs"])
 
 
@@ -193,7 +170,7 @@ def _merge_polygons(pdf, min_area_px2, min_hole_px2, buffer_dist_px, clip_buffer
         k = _attrs_key(attrs)
         if k not in groups:
             groups[k], order[k], meta[k] = [], i, (row.elem_id, attrs)
-        groups[k].extend(_parse_polys([wkt.parse_wkt(row.geom_px)]))
+        groups[k].extend(packed.polys_of(row.geom_px))
     rows = []
     # window covers tile + the largest layer buffer we use for polygons
     pad = max(clip_buffer_px, 4.0)
@@ -208,8 +185,7 @@ def _merge_polygons(pdf, min_area_px2, min_hole_px2, buffer_dist_px, clip_buffer
         kept = [rings for rings in merged if ops.polygon_area(rings) >= min_area_px2]
         if not kept:
             continue
-        geom = ("Polygon", kept[0]) if len(kept) == 1 else ("MultiPolygon", kept)
-        rows.append((elem_id, "polygon", wkt.to_wkt(geom), out_attrs))
+        rows.append((elem_id, "polygon", packed.from_polys(kept), out_attrs))
     return pd.DataFrame(rows, columns=["elem_id", "kind", "geom_px", "attrs"])
 
 
@@ -326,18 +302,13 @@ def merge_multi_point(pdf: pd.DataFrame) -> pd.DataFrame:
         k = _attrs_key(attrs)
         if k not in groups:
             groups[k], order[k], meta[k] = [], i, (row.elem_id, attrs)
-        g = wkt.parse_wkt(row.geom_px)
-        if g[0] == "Point":
-            groups[k].append(g[1])
-        elif g[0] == "MultiPoint":
-            groups[k].extend(np.asarray(g[1]))
+        groups[k].append(packed.points_of(row.geom_px))
     rows = []
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
         out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
-        pts = np.array(groups[k])
-        geom = ("Point", pts[0]) if len(pts) == 1 else ("MultiPoint", pts)
-        rows.append((elem_id, "point", wkt.to_wkt(geom), out_attrs))
+        pts = np.concatenate(groups[k])
+        rows.append((elem_id, "point", packed.from_points(pts), out_attrs))
     return pd.DataFrame(rows, columns=["elem_id", "kind", "geom_px", "attrs"])
 
 
@@ -353,14 +324,12 @@ def merge_multi_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
         k = _attrs_key(attrs)
         if k not in groups:
             groups[k], order[k], meta[k] = [], i, (row.elem_id, attrs)
-        groups[k].extend(_parse_polys([wkt.parse_wkt(row.geom_px)]))
+        groups[k].extend(packed.polys_of(row.geom_px))
     rows = []
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
         out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
-        polys = groups[k]
-        geom = ("Polygon", polys[0]) if len(polys) == 1 else ("MultiPolygon", polys)
-        rows.append((elem_id, "polygon", wkt.to_wkt(geom), out_attrs))
+        rows.append((elem_id, "polygon", packed.from_polys(groups[k]), out_attrs))
     return pd.DataFrame(rows, columns=["elem_id", "kind", "geom_px", "attrs"])
 
 
@@ -404,96 +373,73 @@ def reduce_tiles(tile_feats: DataFrame) -> DataFrame:
 # The P4 merges (mergeMultiPolygon / mergeMultiPoint, FeatureMerge.java) and
 # the housenumber dedup (Housenumber.java:145-165) are pure attrs-keyed
 # concatenations — no geometry math. Expressed as Catalyst aggregations over
-# (z,x,y,layer,attrs) they (a) never parse geometry (WKT bodies are
-# concatenated as strings — %.10g formatting is parse/format idempotent, so
-# bytes match the parse+re-emit path exactly), and (b) shuffle on a key that
-# includes the attrs map, so a megacity z14 building tile spreads over its
-# attr groups instead of serializing in one Python task — the hot-tile
-# floor the reference flags at z13 (Building.java:82-85) disappears for the
-# z!=13 path. Salting beyond the attrs key is unnecessary: group output is
-# one row, and partial aggregation (collect_list map-side) bounds skew.
+# (z,x,y,layer,attrs) they (a) never touch geometry coordinates (packed
+# parts arrays concatenate with ``flatten``, exact float64 passthrough),
+# and (b) shuffle on a key that includes the attrs map, so a megacity z14
+# building tile spreads over its attr groups instead of serializing in one
+# Python task — the hot-tile floor the reference flags at z13
+# (Building.java:82-85) disappears for the z!=13 path. Salting beyond the
+# attrs key is unnecessary: group output is one row, and partial
+# aggregation (collect_list map-side) bounds skew.
 
 def _ord():
     return F.struct(F.col("sort_key").alias("sk"), F.col("elem_id").alias("eid"))
-
-
-def _body():
-    # WKT body from the first '(' to the end: "POLYGON ((a))" -> "((a))"
-    return F.expr("substring(geom_px, instr(geom_px, '('))")
-
-
-def _inner():
-    # body minus its outer parens: "(((a)), ((b)))" -> "((a)), ((b))"
-    return F.expr(
-        "substring(geom_px, instr(geom_px, '(') + 1, length(geom_px) - instr(geom_px, '(') - 1)"
-    )
 
 
 def _strip_private(attrs):
     return F.map_filter(attrs, lambda k, _: ~k.startswith("_"))
 
 
-def _merge_groups_sql(
-    df: DataFrame, contrib, ncomp, single_fmt: tuple, multi_fmt: tuple, kind: str
-) -> DataFrame:
+def _merge_groups_sql(df: DataFrame, geom_builder, kind: str) -> DataFrame:
     """Shared shape of the Catalyst P4 merges: group by (tile, layer, attrs),
-    concatenate per-row WKT fragments in (sort_key, elem_id) order, keep the
-    first row's elem_id/attrs, re-rank groups into the tile's seq order."""
+    collect per-row packed geometries in (sort_key, elem_id) order, combine
+    them with `geom_builder` (an expression over the ordered array of parts
+    arrays), keep the first row's elem_id/attrs, re-rank groups into the
+    tile's seq order."""
     rows = df.select(
         "z", "x", "y", "layer",
         F.array_sort(F.map_entries("attrs")).alias("akey"),
-        _ord().alias("ord"), contrib.alias("contrib"), ncomp.alias("ncomp"),
+        _ord().alias("ord"), F.col("geom_px").alias("contrib"),
         "elem_id", "attrs",
     )
     g = rows.groupBy("z", "x", "y", "layer", "akey").agg(
         F.min("ord").alias("min_ord"),
-        F.sum("ncomp").alias("total"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ord", "contrib"))),
-                lambda s: s["contrib"],
-            ),
-            ", ",
-        ).alias("joined"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "contrib"))),
+            lambda s: s["contrib"],
+        ).alias("ordered"),
         F.min_by(F.struct("elem_id", "attrs"), "ord").alias("first"),
     )
     seq_w = Window.partitionBy("z", "x", "y", "layer").orderBy("min_ord")
-    geom = F.when(
-        F.col("total") == 1, F.concat(F.lit(single_fmt[0]), F.col("joined"), F.lit(single_fmt[1]))
-    ).otherwise(F.concat(F.lit(multi_fmt[0]), F.col("joined"), F.lit(multi_fmt[1])))
     return g.select(
         "z", "x", "y", "layer",
         (F.row_number().over(seq_w) - 1).cast("int").alias("seq"),
         F.col("first.elem_id").alias("elem_id"),
         F.lit(kind).alias("kind"),
-        geom.alias("geom_px"),
+        geom_builder(F.col("ordered")).alias("geom_px"),
         _strip_private(F.col("first.attrs")).alias("attrs"),
     )
 
 
+def _concat_blobs(ordered):
+    """Binary concat of the sort-ordered packed blobs: the packed format is
+    a headerless part stream (geom/packed.py), so byte concatenation IS the
+    geometric append — the whole merge stays inside Catalyst."""
+    return F.aggregate(ordered, F.lit(b""), lambda acc, b: F.concat(acc, b))
+
+
 def merge_multi_polygon_sql(df: DataFrame) -> DataFrame:
-    """Catalyst mergeMultiPolygon (P4): same output bytes as
-    ``merge_multi_polygon`` without a per-tile Python task."""
-    is_multi = F.col("geom_px").startswith("MULTIPOLYGON")
-    # a POLYGON body is one multipolygon component verbatim; a MULTIPOLYGON
-    # contributes its inner component list. Component boundaries in our WKT
-    # are exactly ")), ((" (rings join with "), (") so the count splits safely.
-    contrib = F.when(is_multi, _inner()).otherwise(_body())
-    ncomp = F.when(is_multi, F.size(F.split("geom_px", r"\)\), \(\("))).otherwise(F.lit(1))
-    # polygon contributions carry their own parens: single → "POLYGON ((r))"
-    return _merge_groups_sql(
-        df, contrib, ncomp, ("POLYGON ", ""), ("MULTIPOLYGON (", ")"), "polygon"
-    )
+    """Catalyst mergeMultiPolygon (P4): same output values as
+    ``merge_multi_polygon`` without a per-tile Python task — polygon parts
+    append in row order exactly like the pandas kernel."""
+    return _merge_groups_sql(df, _concat_blobs, "polygon")
 
 
 def merge_multi_point_sql(df: DataFrame) -> DataFrame:
-    """Catalyst mergeMultiPoint (P4): POINT/MULTIPOINT coordinate lists are
-    flat, so contributions join directly."""
-    is_multi = F.col("geom_px").startswith("MULTIPOINT")
-    ncomp = F.when(is_multi, F.size(F.split(_inner(), ", "))).otherwise(F.lit(1))
-    df = df.filter(F.col("geom_px").startswith("POINT") | is_multi)
+    """Catalyst mergeMultiPoint (P4): point blobs are raw coordinate
+    pairs, so the combined geometry is the ordered byte concat."""
     return _merge_groups_sql(
-        df, _inner(), ncomp, ("POINT (", ")"), ("MULTIPOINT (", ")"), "point"
+        df.filter(F.col("kind") == "point"), _concat_blobs, "point"
     )
 
 
@@ -570,9 +516,7 @@ def stamped_reduce_sql(df: DataFrame) -> DataFrame:
         .when(l == "landcover", F.map_filter(attrs, lambda k, _: k != F.lit("_numpoints")))
         .otherwise(attrs)
     )
-    num = r"([-+0-9.eE]+)"
-    px = F.regexp_extract("geom_px", rf"^POINT \({num} {num}\)", 1).cast("double")
-    py = F.regexp_extract("geom_px", rf"^POINT \({num} {num}\)", 2).cast("double")
+    px, py = F.col("pt_x"), F.col("pt_y")
     peak_buf = 64.0  # LAYER_BUFFERS["mountain_peak"]
     peak_keep = (
         (l != "mountain_peak")

@@ -65,13 +65,13 @@ def test_counts_stable(tiles, corpus_dir):
 
 
 def test_geometry_validity(tiles):
-    """Every tile geometry parses and stays within tile+buffer bounds."""
-    from planetiler_openmaptiles_spark.geom import ops, wkt
+    """Every tile geometry decodes and stays within tile+buffer bounds."""
+    from planetiler_openmaptiles_spark.geom import ops, packed
 
-    rows = tiles.filter("z = 10").select("layer", "geom_px").collect()
+    rows = tiles.filter("z = 10").select("layer", "kind", "geom_px").collect()
     assert rows
     for r in rows:
-        g = wkt.parse_wkt(r["geom_px"])
+        g = packed.to_geom(r["geom_px"], r["kind"])
         assert g is not None
         x0, y0, x1, y1 = ops.bbox(g)
         assert -300 <= x0 <= x1 <= 556, (r["layer"], x0, x1)

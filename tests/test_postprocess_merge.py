@@ -5,14 +5,24 @@ features and assert merge/no-merge)."""
 import pandas as pd
 import pytest
 
-from planetiler_openmaptiles_spark.geom import wkt
+from planetiler_openmaptiles_spark.geom import packed, wkt
 from planetiler_openmaptiles_spark.tiling import postprocess
 
 
 def _pdf(rows):
+    rows = [
+        (eid, kind, packed.wkt_parts(geom)[0] if isinstance(geom, str) else geom,
+         attrs, sk, gc, gr)
+        for (eid, kind, geom, attrs, sk, gc, gr) in rows
+    ]
     return pd.DataFrame(
         rows, columns=["elem_id", "kind", "geom_px", "attrs", "sort_key", "grid_cell", "grid_rank"]
     )
+
+
+def _g(row):
+    """Output row's packed parts -> geometry tuple (WKT-equivalent view)."""
+    return packed.to_geom(row["geom_px"], row["kind"])
 
 
 def test_merge_linestrings_connects_segments():
@@ -23,7 +33,7 @@ def test_merge_linestrings_connects_segments():
     ])
     out = postprocess.merge_line_strings(pdf, 0.0, 0.1, 4.0)
     assert len(out) == 1
-    g = wkt.parse_wkt(out.iloc[0]["geom_px"])
+    g = _g(out.iloc[0])
     assert g[0] == "LineString" and len(g[1]) == 2  # simplified collinear
     assert g[1][0].tolist() == [0, 0] and g[1][-1].tolist() == [20, 0]
 
@@ -68,7 +78,7 @@ def test_merge_overlapping_polygons_unions():
     ])
     out = postprocess.merge_overlapping_polygons(pdf, 0.0)
     assert len(out) == 1
-    g = wkt.parse_wkt(out.iloc[0]["geom_px"])
+    g = _g(out.iloc[0])
     assert g[0] == "Polygon"
     from planetiler_openmaptiles_spark.geom import ops
 
@@ -97,10 +107,10 @@ def test_merge_nearby_polygons_bridges_gap():
         (2, "polygon", b, {}, 0, None, None),
     ]
     merged = postprocess.merge_nearby_polygons(_pdf(rows), 0.0, 0.0, 4.0, 4.0)
-    assert len(wkt.parse_wkt(merged.iloc[0]["geom_px"])[1]) >= 1
-    assert len(merged) == 1 and wkt.parse_wkt(merged.iloc[0]["geom_px"])[0] == "Polygon"
+    assert len(_g(merged.iloc[0])[1]) >= 1
+    assert len(merged) == 1 and _g(merged.iloc[0])[0] == "Polygon"
     apart = postprocess.merge_nearby_polygons(_pdf(rows), 0.0, 0.0, 0.5, 0.5)
-    g = wkt.parse_wkt(apart.iloc[0]["geom_px"])
+    g = _g(apart.iloc[0])
     assert len(apart) == 1 and g[0] == "MultiPolygon" and len(g[1]) == 2
 
 
@@ -112,7 +122,7 @@ def test_merge_multi_point():
     ])
     out = postprocess.merge_multi_point(pdf)
     assert len(out) == 2
-    kinds = sorted(wkt.parse_wkt(g)[0] for g in out["geom_px"])
+    kinds = sorted(_g(r)[0] for _, r in out.iterrows())
     assert kinds == ["MultiPoint", "Point"]
 
 
@@ -125,7 +135,8 @@ def test_merge_min_area_filter():
 
 def test_catalyst_p4_matches_pandas_kernels(spark):
     """merge_multi_polygon_sql / housenumber_reduce_sql must reproduce the
-    pandas kernels' bytes exactly (same grouping, order, WKT assembly)."""
+    pandas kernels' output exactly (same grouping, order, packed-parts
+    assembly — geometry compared via its WKT rendering)."""
     import pandas as pd
     from pyspark.sql import functions as F, types as T
     from planetiler_openmaptiles_spark.tiling import postprocess as pp
@@ -142,27 +153,36 @@ def test_catalyst_p4_matches_pandas_kernels(spark):
     rows.append((13, 1, 2, "building", 3, "polygon",
                  "POLYGON ((60 0, 70 0, 70 10, 60 10, 60 0))",
                  {"render_height": "9"}, 2, None, 0))
+    rows = [
+        (z, x, y, l, eid, kind, packed.wkt_parts(g)[0], attrs, sk, gc, gl)
+        for (z, x, y, l, eid, kind, g, attrs, sk, gc, gl) in rows
+    ]
+    geom_t = T.BinaryType()
     schema = T.StructType([
         T.StructField("z", T.IntegerType()), T.StructField("x", T.IntegerType()),
         T.StructField("y", T.IntegerType()), T.StructField("layer", T.StringType()),
         T.StructField("elem_id", T.LongType()), T.StructField("kind", T.StringType()),
-        T.StructField("geom_px", T.StringType()),
+        T.StructField("geom_px", geom_t),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
         T.StructField("sort_key", T.IntegerType()),
         T.StructField("grid_cell", T.LongType()),
         T.StructField("grid_limit", T.IntegerType()),
     ])
     df = spark.createDataFrame(rows, schema)
-    got = {tuple(r) for r in pp.merge_multi_polygon_sql(df)
-           .select("seq", "elem_id", "kind", "geom_px", F.to_json(F.array_sort(F.map_entries("attrs"))))
-           .collect()}
+    got = {
+        (r["seq"], r["elem_id"], r["kind"], packed.parts_wkt(r["geom_px"], r["kind"]), r[4])
+        for r in pp.merge_multi_polygon_sql(df)
+        .select("seq", "elem_id", "kind", "geom_px",
+                F.to_json(F.array_sort(F.map_entries("attrs"))))
+        .collect()
+    }
     pdf = pd.DataFrame([{
         "elem_id": r[4], "kind": r[5], "geom_px": r[6], "attrs": r[7], "sort_key": r[8],
     } for r in rows]).sort_values(["sort_key", "elem_id"]).reset_index(drop=True)
     want_rows = pp.merge_multi_polygon(pdf)
     import json
     want = {
-        (i, int(r.elem_id), r.kind, r.geom_px,
+        (i, int(r.elem_id), r.kind, packed.parts_wkt(r.geom_px, r.kind),
          json.dumps([{"key": k, "value": v} for k, v in sorted(r.attrs.items())],
                     separators=(",", ":")))
         for i, r in enumerate(want_rows.itertuples(index=False))

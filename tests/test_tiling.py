@@ -123,19 +123,18 @@ def test_same_key_different_geoms_both_render(spark):
 def test_line_clip_across_tiles(spark):
     """A long line crossing several z4 tiles emits one clipped piece per
     tile it actually passes through, each within the buffered tile box."""
-    from planetiler_openmaptiles_spark.geom import wkt as wktmod
+    from planetiler_openmaptiles_spark.geom import packed
 
     rows = [_feature_row("LINESTRING (0 40, 40 41)", minzoom=4, maxzoom=4)]
     df = spark.createDataFrame(rows, FEATURE_SCHEMA)
     out = render_tiles(df, max_zoom=4).toPandas()
     assert len(out) >= 2
     for g in out["geom_px"]:
-        geom = wktmod.parse_wkt(g)
-        assert geom is not None
-        coords = geom[1] if geom[0] == "LineString" else geom[1][0]
+        lines = packed.lines_of(g)
+        assert lines
         import numpy as np
 
-        c = np.asarray(coords)
+        c = np.asarray(lines[0])
         assert c[:, 0].min() >= -4.0 - 1e-6 and c[:, 0].max() <= 260.0 + 1e-6
 
 
@@ -164,7 +163,6 @@ def test_fused_matches_staged(spark):
     to the staged form's world-WKT %.10g round-trip, ~1e-3 px)."""
     import numpy as np
 
-    from planetiler_openmaptiles_spark.geom import wkt as wktmod
     from planetiler_openmaptiles_spark.tiling.explode import (
         render_tiles_fused,
         render_tiles_staged,
@@ -211,18 +209,12 @@ def test_fused_matches_staged(spark):
     a, b = index(staged), index(fused)
     assert set(a) == set(b)
 
-    def flat(g):
-        k, d = wktmod.parse_wkt(g)
-        if k == "Point":
-            return np.asarray(d).reshape(-1)
-        if k in ("LineString", "MultiPoint"):
-            return np.asarray(d).reshape(-1)
-        if k in ("MultiLineString", "Polygon"):
-            return np.concatenate([np.asarray(c).reshape(-1) for c in d])
-        return np.concatenate([np.asarray(r).reshape(-1) for rings in d for r in rings])
+    def flat(blob):
+        return np.frombuffer(blob, dtype=np.float64)
 
     for key in a:
-        for ga, gb in zip(sorted(a[key]), sorted(b[key])):
-            fa, fb = flat(ga), flat(gb)
+        fa_all = sorted((tuple(flat(g)) for g in a[key]))
+        fb_all = sorted((tuple(flat(g)) for g in b[key]))
+        for fa, fb in zip(fa_all, fb_all):
             assert len(fa) == len(fb), key
             assert np.allclose(fa, fb, atol=2e-3), key
