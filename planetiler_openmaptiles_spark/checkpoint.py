@@ -77,6 +77,7 @@ class CheckpointManager:
         spark: SparkSession,
         lineage: list[str] | None = None,
         partition_by: list[str] | None = None,
+        out_partitions: int | None = None,
     ) -> DataFrame:
         if not self.enabled:
             return build()
@@ -95,9 +96,18 @@ class CheckpointManager:
         # plan is actually narrow — a full exchange of an already-wide
         # stage (the render output) doubles its bytes through memory for
         # nothing, and parquet splits restore read parallelism anyway.
-        target = max(spark.sparkContext.defaultParallelism, 16)
-        if not partition_by and df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+        # `out_partitions` overrides for known-small stages: a task that
+        # reads a 100 KB file still pays the full mapInPandas runner setup,
+        # so 16 layers x 32 tiny files = ~500 render tasks of pure fixed
+        # cost (the classic small-file problem, measured at ~0.3 s/task).
+        if not partition_by:
+            if out_partitions:
+                if df.rdd.getNumPartitions() != out_partitions:
+                    df = df.repartition(out_partitions)
+            else:
+                target = max(spark.sparkContext.defaultParallelism, 16)
+                if df.rdd.getNumPartitions() < target:
+                    df = df.repartition(target)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -187,10 +187,16 @@ def build_tiles(
             ctx.features.count()
 
         def run_stage(name, mod):
+            # 8 files per layer: the 16-layer union still reads with 128-way
+            # parallelism, and each render task gets a real slice of work
+            # instead of a 100 KB file plus ~0.3 s of fixed task cost. At
+            # 100 TB the layer outputs are large and size-based splitting
+            # (maxPartitionBytes) takes over; this floor only binds when a
+            # layer's output is tiny.
             return cp.stage(
                 f"layer_{name}", fp,
                 lambda: mod.transform(ctx).select(*FEATURE_COLUMNS),
-                spark, lineage=["documents"],
+                spark, lineage=["documents"], out_partitions=8,
             )
 
         with ThreadPoolExecutor(max_workers=8) as ex:

@@ -545,22 +545,35 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     Routing: layers whose post-process is a pure concatenation or identity
     run as Catalyst aggregations (no per-tile Python task, no hot-tile
     floor); only genuinely geometric reduces (line noding, raster unions,
-    rank+buffer filters) go through the pandas dispatch."""
-    tf = grid_windows(tile_feats)
+    rank+buffer filters) go through the pandas dispatch.
+
+    ONE exchange + ONE pass for the whole reduction: the explicit
+    repartition on (z,x,y,layer) satisfies every downstream clustering
+    requirement — the label-grid window (its key is a superset), each
+    branch's seq window, the P4/housenumber groupBys, and the pandas
+    dispatch — and the persist() materializes the shuffled+ranked table
+    once so the five routing branches read the cache instead of each
+    re-scanning and re-shuffling the full tile table (union analysis
+    re-aliases the branches, which defeats Spark's exchange reuse — five
+    full exchanges of the biggest table; the measured scaling limiter is
+    exactly this JVM memory traffic, not CPU). The cached scan preserves
+    the hash partitioning, so no branch adds an exchange."""
+    tf = grid_windows(tile_feats.repartition("z", "x", "y", "layer")).persist()
     mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
     hn_pred = F.col("layer") == "housenumber"
     sql_pred = stamped_sql_pred()
     pandas_layers = [l for l in POST_PROCESSORS if l != "housenumber"]
     pandas_pred = F.col("layer").isin(pandas_layers) & ~mp_pred & ~sql_pred
-    ident_pred = (
-        ~F.col("layer").isin(list(POST_PROCESSORS.keys()) + ["housenumber"]) & ~sql_pred
+    # identity layers ride the stamped branch: its when-chain falls through
+    # to attrs-unchanged for them (one less full pass over the cached table)
+    stamped_pred = sql_pred | (
+        ~F.col("layer").isin(list(POST_PROCESSORS.keys()) + ["housenumber"])
     )
     parts = [
         reduce_tiles(tf.filter(pandas_pred)),
-        identity_reduce_sql(tf.filter(ident_pred)),
         merge_multi_polygon_sql(tf.filter(mp_pred)),
         housenumber_reduce_sql(tf.filter(hn_pred)),
-        stamped_reduce_sql(tf.filter(sql_pred)),
+        stamped_reduce_sql(tf.filter(stamped_pred)),
     ]
     out = parts[0]
     for p in parts[1:]:
