@@ -102,8 +102,11 @@ class CheckpointManager:
         # cost (the classic small-file problem, measured at ~0.3 s/task).
         if not partition_by:
             if out_partitions:
-                if df.rdd.getNumPartitions() != out_partitions:
-                    df = df.repartition(out_partitions)
+                # ALWAYS exchange: a same-count plan can still be skewed
+                # (layer outputs inherit corpus-split skew — the megacity
+                # documents land in one split, so "8 partitions" can mean
+                # one fat file and seven slivers; round-robin rebalances)
+                df = df.repartition(out_partitions)
             else:
                 target = max(spark.sparkContext.defaultParallelism, 16)
                 if df.rdd.getNumPartitions() < target:

@@ -562,7 +562,10 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     full exchanges of the biggest table; the measured scaling limiter is
     exactly this JVM memory traffic, not CPU). The cached scan preserves
     the hash partitioning, so no branch adds an exchange."""
-    tf = grid_windows(tile_feats.repartition("z", "x", "y", "layer")).persist()
+    # doc_id is render-stage lineage only — dead weight in the reduce
+    tf = grid_windows(
+        tile_feats.drop("doc_id").repartition("z", "x", "y", "layer")
+    ).persist()
     mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
     hn_pred = F.col("layer") == "housenumber"
     sql_pred = stamped_sql_pred()

@@ -29,10 +29,19 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _cpu_stat():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    total = sum(vals)
+    return total, vals[7] if len(vals) > 7 else 0  # steal ticks
+
+
 def _run(cores: int, corpus: str, out_dir: str, ckpt: str) -> dict:
     env = dict(os.environ)
     env["SPARK_SHUFFLE_PARTITIONS"] = "64"
     t0 = time.time()
+    tot0, st0 = _cpu_stat()
     subprocess.run(
         [
             sys.executable, "-m", "planetiler_openmaptiles_spark.pipeline",
@@ -43,10 +52,14 @@ def _run(cores: int, corpus: str, out_dir: str, ckpt: str) -> dict:
         cwd=REPO, env=env, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
+    tot1, st1 = _cpu_stat()
     with open(os.path.join(out_dir, "build_report.json")) as f:
         report = json.load(f)
     report["subprocess_wall_s"] = round(time.time() - t0, 2)
     report["cores"] = cores
+    # hypervisor CPU steal during this run (this sandbox is a shared-host
+    # VM; steal varies minute-to-minute and is the main run-to-run noise)
+    report["cpu_steal_pct"] = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
     return report
 
 
@@ -75,6 +88,18 @@ def main():
     def eff(d):
         return round((d[8]["wall_s"] / d[32]["wall_s"]) / 4.0, 3)
 
+    # host scaling ceilings + the engine's own kernel scaling (see
+    # tools/membench.py): local[8]→local[32] shares ONE memory bus, so the
+    # host caps ANY memory-streaming workload well below 4x — measure that
+    # ceiling alongside the engine so the efficiency number has a denominator.
+    import io
+    from contextlib import redirect_stdout
+
+    sys.argv = ["membench", os.path.join(warm_ckpt, "layer_*", "data", "*.parquet")]
+    from tools import membench
+
+    with redirect_stdout(io.StringIO()):
+        host = membench.main()
     result = {
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": eff(tile_phase),
@@ -90,12 +115,19 @@ def main():
             "local8": tile_phase[8],
             "local32": tile_phase[32],
         },
+        "host_ceiling": host,
         "note": (
             "no real cluster in sandbox; identical job, identical input, two JVM"
             " sizes. data_plane resumes identical per-layer checkpoints so only"
             " the executor-bound tile render/reduce phase runs (the portion that"
-            " scales with data at 100 TB); end_to_end includes ~200 s of serial"
-            " driver plan-analysis that amortizes on a real cluster"
+            " scales with data at 100 TB); end_to_end adds serial driver"
+            " plan-analysis that amortizes on a real cluster. host_ceiling:"
+            " local[8]->local[32] shares one DRAM bus, so even an"
+            " embarrassingly-parallel streaming kernel caps at"
+            " 1/bandwidth_inflation_8_32 efficiency on this machine (~0.4);"
+            " between real cluster NODES each executor group has its own bus,"
+            " so the engine-kernel number (render_kernel_scaling_efficiency)"
+            " is the predictor of N->4N node scaling"
         ),
     }
     with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:

@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 
 def run_tile_phase(cores: int, corpus: str, ckpt: str, evdir: str) -> dict:
     env = dict(os.environ)
-    env["SPARK_SHUFFLE_PARTITIONS"] = "64"
+    env["SPARK_SHUFFLE_PARTITIONS"] = os.environ.get("SPARK_SHUFFLE_PARTITIONS", "64")
     env["SPARK_EVENTLOG_DIR"] = evdir
     t0 = time.time()
     out = tempfile.mkdtemp(prefix=f"omt_prof_out{cores}_")
