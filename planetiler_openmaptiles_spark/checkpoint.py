@@ -109,7 +109,15 @@ class CheckpointManager:
                 df = df.repartition(out_partitions)
             else:
                 target = max(spark.sparkContext.defaultParallelism, 16)
-                if df.rdd.getNumPartitions() < target:
+                # Probe the UNEXECUTED physical plan, never df.rdd: under
+                # AQE, touching .rdd materializes every shuffle query stage
+                # just to count partitions, and the write below then re-runs
+                # them — double-executing the whole stage. Shuffle-bearing
+                # plans land on spark.sql.shuffle.partitions (>= target
+                # here) and are left alone; only narrow scan->map plans —
+                # whose parallelism is the leaf split count — get widened.
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                if "Exchange" not in plan and len(df.inputFiles()) < target:
                     df = df.repartition(target)
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -68,14 +68,24 @@ def _pack_parts(parts) -> bytes:
 
 
 def _parts_iter(blob):
-    """Yield lists of (N,2) ring arrays per part from a line/poly blob."""
+    """Yield lists of (N,2) ring arrays per part from a line/poly blob.
+
+    Validates the part headers: a point blob (raw coordinate pairs) or any
+    other non-part-stream bytes misread as a header would otherwise walk the
+    cursor backwards or off the end — raise instead of looping/garbage."""
     a = np.frombuffer(blob, dtype=_F8)
     i = 0
     n = len(a)
     while i < n:
         nrings = int(a[i])
+        if nrings < 1 or i + 1 + nrings > n:
+            raise ValueError(f"malformed packed blob: nrings={a[i]} at {i}/{n}")
         counts = a[i + 1 : i + 1 + nrings].astype(np.int64)
+        if (counts < 1).any():
+            raise ValueError(f"malformed packed blob: ring count < 1 at {i}/{n}")
         i += 1 + nrings
+        if i + 2 * int(counts.sum()) > n:
+            raise ValueError(f"malformed packed blob: rings overrun {i}/{n}")
         rings = []
         for c in counts:
             rings.append(a[i : i + 2 * c].reshape(-1, 2))

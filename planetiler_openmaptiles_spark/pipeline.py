@@ -228,13 +228,24 @@ def write_tiles(tiles: DataFrame, out_dir: str) -> dict:
     z0-14 — file-handle churn locally, a small-file explosion on object
     storage at 100 TB). Deep zooms get 16 x-slices each since that's where
     the rows are; a static map avoids repartitionByRange's extra sampling
-    pass over the full finalize plan."""
+    pass over the full finalize plan. 60 bucket values hash into 256
+    partitions (not 60): hashing 60 values into exactly 60 partitions
+    leaves ~1/e of them empty and co-locates buckets across zooms —
+    birthday collisions at 256 are ~7 pairs, so write parallelism stays
+    ~the bucket count and the file count per zoom is unchanged (one file
+    per bucket either way; empty partitions are free no-op tasks)."""
     z = F.col("z")
     bucket = F.when(z < 12, z).otherwise(
         (z - 12) * 16 + F.pmod(F.col("x"), F.lit(16)) + 12
     )
-    out = tiles.repartition(60, bucket.alias("_zbucket"))
+    out = tiles.repartition(256, bucket.alias("_zbucket"))
     out.write.mode("overwrite").partitionBy("z").parquet(os.path.join(out_dir, "tiles"))
+    cached = getattr(tiles, "_omt_cached", None)
+    if cached is not None:
+        # release the finalize-stage cache now that the sink action ran —
+        # it otherwise stays pinned in executor memory through the mbtiles
+        # write and read-back phases
+        cached.unpersist()
     return {"path": os.path.join(out_dir, "tiles")}
 
 

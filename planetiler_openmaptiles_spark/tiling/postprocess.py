@@ -92,6 +92,29 @@ def _as_dict(attrs) -> dict:
     return dict(attrs)  # list of (k, v) pairs from Arrow map
 
 
+def _split_kind(pdf: pd.DataFrame, kind: str):
+    """(matching, passthrough-rows) split for a merge kernel.
+
+    planetiler's FeatureMerge.groupByAttrs passes features whose geometry
+    type doesn't match the merge straight through unchanged (others come
+    FIRST in the result, in input order; merged groups follow) — e.g.
+    transportation_name's motorway-junction POINTS must survive
+    mergeLineStrings untouched, not be misread as a line part stream."""
+    mask = pdf["kind"].to_numpy() == kind
+    if mask.all():
+        return pdf, []
+    passthrough = [
+        (
+            row.elem_id,
+            row.kind,
+            row.geom_px,
+            {k: v for k, v in _as_dict(row.attrs).items() if not k.startswith("_")},
+        )
+        for row in pdf[~mask].itertuples(index=False)
+    ]
+    return pdf[mask], passthrough
+
+
 
 
 
@@ -109,6 +132,7 @@ def merge_line_strings(
     group (transportation_name uses name-length-dependent limits)."""
     if pdf.empty:
         return pdf.iloc[0:0]
+    pdf, rows = _split_kind(pdf, "linestring")
     groups: dict[str, list] = {}
     order: dict[str, int] = {}
     meta: dict[str, tuple] = {}
@@ -120,7 +144,6 @@ def merge_line_strings(
             order[k] = i
             meta[k] = (row.elem_id, attrs)
         groups[k].extend(packed.lines_of(row.geom_px))
-    rows = []
     lo, hi = -buffer_px, TILE_EXTENT + buffer_px
     for k in sorted(groups, key=lambda k: order[k]):
         elem_id, attrs = meta[k]
@@ -161,6 +184,7 @@ def merge_nearby_polygons(
 def _merge_polygons(pdf, min_area_px2, min_hole_px2, buffer_dist_px, clip_buffer_px):
     if pdf.empty:
         return pdf.iloc[0:0]
+    pdf, rows = _split_kind(pdf, "polygon")
     groups: dict[str, list] = {}
     order: dict[str, int] = {}
     meta: dict[str, tuple] = {}
@@ -170,7 +194,6 @@ def _merge_polygons(pdf, min_area_px2, min_hole_px2, buffer_dist_px, clip_buffer
         if k not in groups:
             groups[k], order[k], meta[k] = [], i, (row.elem_id, attrs)
         groups[k].extend(packed.polys_of(row.geom_px))
-    rows = []
     # window covers tile + the largest layer buffer we use for polygons
     pad = max(clip_buffer_px, 4.0)
     x0 = -pad
@@ -293,6 +316,7 @@ def merge_multi_point(pdf: pd.DataFrame) -> pd.DataFrame:
     """P4: combine same-attr points into one MultiPoint (size optimization)."""
     if pdf.empty:
         return pdf.iloc[0:0]
+    pdf, rows = _split_kind(pdf, "point")
     groups: dict[str, list] = {}
     order: dict[str, int] = {}
     meta: dict[str, tuple] = {}
@@ -302,7 +326,6 @@ def merge_multi_point(pdf: pd.DataFrame) -> pd.DataFrame:
         if k not in groups:
             groups[k], order[k], meta[k] = [], i, (row.elem_id, attrs)
         groups[k].append(packed.points_of(row.geom_px))
-    rows = []
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
         out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
@@ -315,6 +338,7 @@ def merge_multi_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
     """P4: combine same-attr polygons into one MultiPolygon (no union)."""
     if pdf.empty:
         return pdf.iloc[0:0]
+    pdf, rows = _split_kind(pdf, "polygon")
     groups: dict[str, list] = {}
     order: dict[str, int] = {}
     meta: dict[str, tuple] = {}
@@ -324,7 +348,6 @@ def merge_multi_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
         if k not in groups:
             groups[k], order[k], meta[k] = [], i, (row.elem_id, attrs)
         groups[k].extend(packed.polys_of(row.geom_px))
-    rows = []
     for k in sorted(groups, key=lambda kk: order[kk]):
         elem_id, attrs = meta[k]
         out_attrs = {kk: vv for kk, vv in attrs.items() if not kk.startswith("_")}
@@ -585,4 +608,8 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # hand the cache handle to the sink so it can unpersist after the
+    # first materializing action (pipeline.write_tiles) instead of pinning
+    # the full ranked tile table through the mbtiles/read-back phases
+    out._omt_cached = tf
     return out

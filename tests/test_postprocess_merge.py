@@ -188,3 +188,43 @@ def test_catalyst_p4_matches_pandas_kernels(spark):
         for i, r in enumerate(want_rows.itertuples(index=False))
     }
     assert got == want
+
+
+def test_merge_kernels_pass_through_mismatched_kinds():
+    """FeatureMerge.groupByAttrs parity: geometry kinds not matching the
+    merge pass through unchanged and come FIRST in the output (e.g.
+    transportation_name's motorway-junction points through
+    mergeLineStrings), instead of being misread as a part stream."""
+    pt = packed.wkt_parts("POINT (-3 128)")[0]  # negative x: the old decode looped
+    pdf = _pdf([
+        (1, "point", pt, {"ref": "10", "_fence": "x"}, 0, None, None),
+        (2, "linestring", "LINESTRING (0 0, 10 0)", {"class": "motorway"}, 1, None, None),
+        (3, "linestring", "LINESTRING (10 0, 20 0)", {"class": "motorway"}, 1, None, None),
+    ])
+    out = postprocess.merge_line_strings(pdf, 0.0, 0.1, 4.0)
+    assert len(out) == 2
+    first = out.iloc[0]
+    assert first["kind"] == "point" and first["elem_id"] == 1
+    assert first["geom_px"] == pt  # exact bytes through
+    assert first["attrs"] == {"ref": "10"}  # private attrs stripped
+    assert out.iloc[1]["kind"] == "linestring"
+
+    # polygons through a point merge, and points through a polygon merge
+    out = postprocess.merge_multi_point(_pdf([
+        (1, "polygon", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", {"a": "1"}, 0, None, None),
+        (2, "point", "POINT (1 1)", {"a": "1"}, 1, None, None),
+        (3, "point", "POINT (2 2)", {"a": "1"}, 2, None, None),
+    ]))
+    assert list(out["kind"]) == ["polygon", "point"] and len(out) == 2
+    out = postprocess.merge_overlapping_polygons(_pdf([
+        (1, "point", "POINT (1 1)", {"a": "1"}, 0, None, None),
+        (2, "polygon", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", {"a": "1"}, 1, None, None),
+    ]), 0.0)
+    assert list(out["kind"]) == ["point", "polygon"]
+
+
+def test_parts_iter_rejects_malformed_blob():
+    with pytest.raises(ValueError):
+        packed.lines_of(packed.wkt_parts("POINT (-3 128)")[0])
+    with pytest.raises(ValueError):
+        packed.polys_of(packed.from_points([[5.0, 5.0]]))
