@@ -391,6 +391,42 @@ def _q_geo_span_roundtrip(spark, sf_dir):
     )
 
 
+def _q_geo_hn_z14_counts(spark, sf_dir):
+    """Cross-engine ABSOLUTE per-tile counts at max zoom for a merge-light
+    layer (the reference's pinned Monaco z14 count model,
+    OpenMapTilesTest.java:129-205 — e.g. exactly 231 housenumbers).
+
+    The engine runs the housenumber layer END-TO-END — table match, F6
+    display-range, centroid-if-convex label point, z14 tile binning with
+    the 8px buffer, J12 per-(tile,partition) dedup, P4 multipoint merge —
+    and reports (x, y, n_features, n_points) per finalized z14 tile
+    (n_points decoded from the packed multipoint blob length). DuckDB
+    recomputes the same counts INDEPENDENTLY from the raw documents: its
+    own WKT coordinate parse, its own shoelace centroid, its own
+    mercator+tile floor math, and the dedup/merge replayed as COUNT
+    (DISTINCT street||block||display) / COUNT(DISTINCT display) per tile.
+    An explode/merge bias that a frozen self-count would freeze in breaks
+    this hash."""
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import make_context, rendered_features
+    from planetiler_openmaptiles_spark.tiling.explode import render_tiles
+    from planetiler_openmaptiles_spark.tiling.postprocess import finalize_tiles
+
+    corpus = _corpus_dir(sf_dir)
+    cfg = Config(only_layers=("housenumber",), max_zoom=14)
+    ctx = make_context(spark, corpus, cfg)
+    tiles = finalize_tiles(render_tiles(rendered_features(ctx), 14))
+    return (
+        tiles.filter(F.col("z") == 14)
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("n_features"),
+            (F.sum(F.length("geom_px")) / 16).cast("long").alias("n_points"),
+        )
+        .orderBy("x", "y")
+    )
+
+
 def _q_geo_tiles_water(spark, sf_dir):
     """Real tile pipeline (water) z0-8 over the corpus, cross-engine
     checked: the pre-reduce tile rows (z,x,y,doc_id) checkpoint to aux and
@@ -756,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
+        "geo_hn_z14_counts": _q_geo_hn_z14_counts,
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1169,6 +1206,66 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT (x, y)) AS n_tiles,
                    (SELECT CAST(n_out AS BIGINT) FROM outside) AS n_outside_bbox
             FROM fin GROUP BY z, layer ORDER BY z, layer
+        """,
+        # geo_hn_z14_counts: FULLY independent recompute of z14 housenumber
+        # tile counts from raw WKT — own coordinate parse, own shoelace
+        # centroid (corpus housenumber polygons are convex, so
+        # centroid-if-convex == area centroid), own mercator/tile-floor
+        # math with the 8px buffer, dedup/merge replayed as per-tile
+        # DISTINCT counts (the multipoint merge keys on the lone
+        # `housenumber` attr; the J12 dedup keys on street||block||display)
+        "geo_hn_z14_counts": decode + f"""
+            , hsrc AS (
+              SELECT doc_id, geom_kind, {display_sql} AS display,
+                coalesce({_tag("addr:street")}, '') ||
+                coalesce({_tag("addr:block_number")}, '') || {display_sql} AS part,
+                list_transform(string_split_regex(trim(
+                    regexp_replace(geom_wkt, '[A-Za-z(),]+', ' ', 'g')), '\\s+'),
+                  v -> CAST(v AS DOUBLE)) AS ns
+              FROM feat2
+              WHERE ({_dsl_sql(TABLES["osm_housenumber_point"].mapping)})),
+            cent AS (
+              SELECT doc_id, display, part,
+                CASE WHEN geom_kind = 'point' THEN ns[1] ELSE
+                  list_sum([(ns[2*i-1] + ns[2*(i%(length(ns)//2))+1])
+                            * (ns[2*i-1]*ns[2*(i%(length(ns)//2))+2]
+                               - ns[2*(i%(length(ns)//2))+1]*ns[2*i])
+                            FOR i IN generate_series(1, length(ns)//2)])
+                  / (3.0 * list_sum([ns[2*i-1]*ns[2*(i%(length(ns)//2))+2]
+                                     - ns[2*(i%(length(ns)//2))+1]*ns[2*i]
+                                     FOR i IN generate_series(1, length(ns)//2)]))
+                END AS lon,
+                CASE WHEN geom_kind = 'point' THEN ns[2] ELSE
+                  list_sum([(ns[2*i] + ns[2*(i%(length(ns)//2))+2])
+                            * (ns[2*i-1]*ns[2*(i%(length(ns)//2))+2]
+                               - ns[2*(i%(length(ns)//2))+1]*ns[2*i])
+                            FOR i IN generate_series(1, length(ns)//2)])
+                  / (3.0 * list_sum([ns[2*i-1]*ns[2*(i%(length(ns)//2))+2]
+                                     - ns[2*(i%(length(ns)//2))+1]*ns[2*i]
+                                     FOR i IN generate_series(1, length(ns)//2)]))
+                END AS lat
+              FROM hsrc),
+            gpx AS (
+              SELECT display, part,
+                ((lon + 180.0)/360.0) * 16384 * 256 AS gx,
+                (0.5 - ln((1.0 + sin(radians(greatest(-85.05112878,
+                   least(85.05112878, lat)))))
+                 / (1.0 - sin(radians(greatest(-85.05112878,
+                   least(85.05112878, lat))))))/(4*pi())) * 16384 * 256 AS gy
+              FROM cent),
+            candx AS (
+              SELECT display, part, gy,
+                unnest(range(greatest(CAST(floor((gx - 8.0)/256.0) AS BIGINT), 0),
+                             least(CAST(floor((gx + 8.0)/256.0) AS BIGINT), 16383) + 1)) AS x
+              FROM gpx),
+            candxy AS (
+              SELECT display, part, x,
+                unnest(range(greatest(CAST(floor((gy - 8.0)/256.0) AS BIGINT), 0),
+                             least(CAST(floor((gy + 8.0)/256.0) AS BIGINT), 16383) + 1)) AS y
+              FROM candx)
+            SELECT x, y, count(DISTINCT display) AS n_features,
+                   count(DISTINCT part) AS n_points
+            FROM candxy GROUP BY x, y ORDER BY x, y
         """,
         "geo_tiles_mvt": f"""
             WITH rtp AS (SELECT side, z, x, y, layer, idx, gtype, geom_s, attrs_s

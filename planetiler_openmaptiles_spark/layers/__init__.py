@@ -60,6 +60,12 @@ class Config:
     transportation_name_minor_refs: bool = False
     transliterate: bool = True  # name:latin fallback (reference default on)
     max_zoom: int = 14
+    # --simplify-tolerance (reference README.md:33): px tolerance for
+    # Douglas-Peucker at z<max; negative = keep all points; per-layer
+    # overrides (tiling/explode.LAYER_TOLERANCE) still apply unless the
+    # user set a non-default value, matching planetiler where the CLI arg
+    # overrides the per-layer setPixelTolerance defaults
+    simplify_tolerance: float = 0.1
     # extra custom layers (reference addons/ExtraLayers.java:12-19): import
     # paths of modules exposing LAYER_NAME + transform(ctx) and optionally
     # registering a tile post-processor at import

@@ -68,13 +68,45 @@ def check_span_invariant(docs: DataFrame, feats: DataFrame) -> int:
     return j.filter(~ok).count()
 
 
+# tables consumed ONLY by layers that ignore wikidata translations
+# (Transportation / TransportationName implement IgnoreWikidata —
+# OpenMapTilesProfile.java:125-128,155-165, TransportationName.java:85)
+_WIKIDATA_IGNORED_TABLES = frozenset({
+    "osm_highway_linestring", "osm_railway_linestring",
+    "osm_aerialway_linestring", "osm_shipway_linestring",
+    "osm_highway_polygon", "osm_highway_point",
+})
+
+
+def _cares_about_wikidata():
+    """OR of every table filter whose handling layers want translations —
+    the Spark form of OpenMapTilesProfile.wikidataMappings."""
+    from .schema.tables import TABLES
+
+    conds = [
+        spec.mapping.col()
+        for name, spec in TABLES.items()
+        if name not in _WIKIDATA_IGNORED_TABLES
+    ]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 def with_wikidata_translations(feats: DataFrame, wikidata: DataFrame) -> DataFrame:
     """S4: join wikidata name translations onto the tag map — the Spark
     mirror of the reference's wikidata fetch + Translations provider
     (OpenMapTilesMain.java:34, OpenMapTilesProfile.java:125-128). The
     wikidata table is a small dimension → broadcast left join on the
     `wikidata` tag; matched languages surface as name:<lang> tags, which
-    layers/util.names_map then emits automatically."""
+    layers/util.names_map then emits automatically.
+
+    Relevance prune (caresAboutWikidataTranslation): the join key is
+    nulled for OSM elements matched ONLY by tables whose layers implement
+    IgnoreWikidata, so the map-side hash probe is skipped for the highest-
+    volume element class (roads) — at 100 TB that is a wasted per-element
+    lookup on ~half the corpus."""
     wd = (
         wikidata.groupBy("qid")
         .agg(
@@ -86,7 +118,10 @@ def with_wikidata_translations(feats: DataFrame, wikidata: DataFrame) -> DataFra
             ).alias("_wd_names")
         )
     )
-    qid = F.element_at(F.col("tags"), "wikidata")
+    qid = F.when(
+        (F.col("source") == "osm") & _cares_about_wikidata(),
+        F.element_at(F.col("tags"), "wikidata"),
+    )
     out = feats.join(F.broadcast(wd), qid == wd["qid"], "left").drop("qid")
     # existing name:xx tags on the element win over wikidata (reference
     # Translations precedence) → concat with element tags LAST
@@ -211,8 +246,9 @@ def build_tiles(
 
         rendered = cp.stage("rendered_features", fp, _rendered, spark, lineage=["documents"])
     tile_feats = cp.stage(
-        "tile_features", fp, lambda: render_tiles(rendered, config.max_zoom), spark,
-        lineage=["rendered_features"],
+        "tile_features", fp,
+        lambda: render_tiles(rendered, config.max_zoom, config.simplify_tolerance),
+        spark, lineage=["rendered_features"],
     )
     tiles = finalize_tiles(tile_feats)
     return tiles
@@ -403,6 +439,9 @@ def main(argv=None):
     ap.add_argument("--only-layers", default="")
     ap.add_argument("--exclude-layers", default="")
     ap.add_argument("--check-invariant", action="store_true")
+    ap.add_argument("--simplify-tolerance", type=float, default=0.1,
+                    help="px simplification tolerance below max zoom"
+                         " (reference README.md:33); negative disables")
     ap.add_argument("--mbtiles", default=None,
                     help="also write a gzipped-MVT mbtiles archive here")
     ap.add_argument("--master", default=None)
@@ -415,6 +454,7 @@ def main(argv=None):
         only_layers=tuple(x for x in args.only_layers.split(",") if x),
         exclude_layers=tuple(x for x in args.exclude_layers.split(",") if x),
         max_zoom=args.max_zoom,
+        simplify_tolerance=args.simplify_tolerance,
     )
     t0 = time.time()
     tiles = build_tiles(spark, args.corpus, config, args.checkpoints,

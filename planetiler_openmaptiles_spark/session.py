@@ -52,6 +52,15 @@ def get_spark(
         # getLong/getDouble semantics), element_at out-of-bounds → null
         .config("spark.sql.ansi.enabled", "false")
     )
+    # cluster-submit passthrough: lets the pipeline CLI run unchanged
+    # against a standalone master (tools/cluster_bench.py) — executor
+    # sizing, py-files zip, executor env — without new CLI flags
+    env_json = os.environ.get("SPARK_EXTRA_CONF_JSON")
+    if env_json:
+        import json
+
+        for k, v in json.loads(env_json).items():
+            b = b.config(k, str(v))
     evdir = os.environ.get("SPARK_EVENTLOG_DIR")
     if evdir:
         os.makedirs(evdir, exist_ok=True)

@@ -51,14 +51,17 @@ MAX_ZOOM = 14
 FILL_TILE_THRESHOLD = 1024  # tiles per (feature, z) beyond which fill path kicks in
 DEFAULT_TOLERANCE_PX = 0.1  # planetiler --simplify-tolerance default
 
-# per-layer simplification tolerance overrides (layer → fn(z, attrs) -> px)
+# per-layer simplification tolerance overrides (layer → fn(z, attrs,
+# default) -> px). The explicit setPixelTolerance values stay absolute;
+# only the fall-through uses the configured default — planetiler's
+# --simplify-tolerance arg changes the default, not per-layer overrides.
 # landcover: 0.25px at z<=10 (reference layers/Landcover.java:129-130);
 # buildings & residential landuse: 0.25px (Building.java:172-176,
 # Landuse.java:124-126)
 LAYER_TOLERANCE = {
-    "landcover": lambda z, a: 0.25 if z <= 10 else DEFAULT_TOLERANCE_PX,
-    "building": lambda z, a: 0.25,
-    "landuse": lambda z, a: 0.25 if a.get("class") == "residential" else DEFAULT_TOLERANCE_PX,
+    "landcover": lambda z, a, d: 0.25 if z <= 10 else d,
+    "building": lambda z, a, d: 0.25,
+    "landuse": lambda z, a, d: 0.25 if a.get("class") == "residential" else d,
 }
 
 
@@ -346,7 +349,7 @@ def _fill_rect(buffer_px):
     )
 
 
-def tile_cut(exploded: DataFrame) -> DataFrame:
+def tile_cut(exploded: DataFrame, default_tol: float = DEFAULT_TOLERANCE_PX) -> DataFrame:
     """Stage C: per (feature, z) → tile rows with clipped px geometry."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -379,7 +382,7 @@ def tile_cut(exploded: DataFrame) -> DataFrame:
                     memo_thrs = ops.geom_dp_thresholds(g)
                 # simplify at this zoom's tolerance (world units)
                 tol_fn = LAYER_TOLERANCE.get(row.layer)
-                tol_px = tol_fn(z, row.attrs_z or {}) if tol_fn else DEFAULT_TOLERANCE_PX
+                tol_px = tol_fn(z, row.attrs_z or {}, default_tol) if tol_fn else default_tol
                 gs = (
                     ops.simplify_with_thresholds(g, memo_thrs, tol_px / scale)
                     if tol_px > 0
@@ -515,7 +518,11 @@ def _entry_get(e, k):
     return e[k]
 
 
-def render_tiles_fused(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+def render_tiles_fused(
+    features: DataFrame,
+    max_zoom: int = MAX_ZOOM,
+    default_tol: float = DEFAULT_TOLERANCE_PX,
+) -> DataFrame:
     """features → per-tile features in ONE mapInPandas pass.
 
     Semantics identical to tile_cut(zoom_explode(prepare_geoms(df))) — the
@@ -640,7 +647,7 @@ def render_tiles_fused(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFra
                         continue
                     if thrs is False:
                         thrs = ops.geom_dp_thresholds(g)
-                    tol_px = tol_fn(z, cur_attrs) if tol_fn else DEFAULT_TOLERANCE_PX
+                    tol_px = tol_fn(z, cur_attrs, default_tol) if tol_fn else default_tol
                     gs = (
                         ops.simplify_with_thresholds(g, thrs, tol_px / scale)
                         if tol_px > 0
@@ -680,12 +687,20 @@ def render_tiles_fused(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFra
 # -------------------------------------------------------------- full stage
 
 
-def render_tiles_staged(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+def render_tiles_staged(
+    features: DataFrame,
+    max_zoom: int = MAX_ZOOM,
+    default_tol: float = DEFAULT_TOLERANCE_PX,
+) -> DataFrame:
     """Staged A/B/C form (kept as the parity reference for the fused path;
     see test_tiling fused-vs-staged equivalence)."""
-    return tile_cut(zoom_explode(prepare_geoms(features), max_zoom))
+    return tile_cut(zoom_explode(prepare_geoms(features), max_zoom), default_tol)
 
 
-def render_tiles(features: DataFrame, max_zoom: int = MAX_ZOOM) -> DataFrame:
+def render_tiles(
+    features: DataFrame,
+    max_zoom: int = MAX_ZOOM,
+    default_tol: float = DEFAULT_TOLERANCE_PX,
+) -> DataFrame:
     """features → per-tile features, before tile reduction (fused pass)."""
-    return render_tiles_fused(features, max_zoom)
+    return render_tiles_fused(features, max_zoom, default_tol)

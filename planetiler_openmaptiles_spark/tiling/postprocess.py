@@ -488,6 +488,194 @@ def housenumber_reduce_sql(df: DataFrame) -> DataFrame:
     return merge_multi_point_sql(kept)
 
 
+# ---------------------------------------------- distributed building z13
+#
+# The reference flags the z13 building merge (mergeNearbyPolygons over the
+# whole tile) as its single hottest tile cost: "+50% runtime"
+# (Building.java:82-85). Sharding on the attrs key — the P4 trick — is a
+# no-op here: building attrs are EMPTY at z13 (zattrs activate at z14), so
+# a megacity tile is ONE group. What IS independent is the bbox connected
+# component: `_union_by_components` already decomposes the group into
+# components whose dilated bboxes touch, and each final component is
+# axis-solid on both axes by construction, so re-running the union on one
+# component's members alone is byte-identical to its slice of the per-tile
+# run. The distributed route therefore:
+#
+#   1. explodes rows into polygon parts + bboxes (narrow Arrow pass);
+#   2. per (tile, attrs-group): assigns each part its component id from
+#      bboxes ONLY (numpy interval clustering — a 94k-building tile is
+#      ~3 MB of boxes, milliseconds);
+#   3. joins ids back and unions PER COMPONENT — the expensive raster
+#      unions of a megacity tile fan out across the cluster;
+#   4. reassembles per group with a Catalyst ordered blob concat (the
+#      packed format concatenates bytewise) + one seq window.
+#
+# Byte parity with the per-tile pandas route is asserted by
+# tests/test_postprocess_merge.py::test_building_z13_sharded_parity.
+# Only tiles with > BUILDING_SHARD_MIN_ROWS rows take this route (3 extra
+# small shuffles); typical tiles keep the single-task pandas dispatch.
+
+BUILDING_SHARD_MIN_ROWS = 4096
+_BZ13 = dict(min_area_px2=4.0, min_hole_px2=4.0, buffer_dist_px=0.25, pad=4.0)
+
+_AKEY_T = T.ArrayType(
+    T.StructType([T.StructField("key", T.StringType()), T.StructField("value", T.StringType())])
+)
+
+_BZ13_PARTS_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("pi", T.IntegerType()),
+        T.StructField("part", T.BinaryType()),
+        T.StructField("bx0", T.DoubleType()),
+        T.StructField("by0", T.DoubleType()),
+        T.StructField("bx1", T.DoubleType()),
+        T.StructField("by1", T.DoubleType()),
+        T.StructField("elem_id", T.LongType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+_BZ13_CLUSTER_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("akey", _AKEY_T),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("pi", T.IntegerType()),
+        T.StructField("ckey", T.IntegerType()),
+    ]
+)
+
+_BZ13_UNION_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("akey", _AKEY_T),
+        T.StructField("ckey", T.IntegerType()),
+        T.StructField("min_rn", T.IntegerType()),
+        T.StructField("elem_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
+
+
+def building_z13_sharded(df: DataFrame) -> DataFrame:
+    """Distributed mergeNearbyPolygons(4, 4, 0.5, 0.5) for fat z13 building
+    tiles (see block comment above)."""
+    cell = 1.0 / raster.GRID_PER_PX
+    margin = _BZ13["buffer_dist_px"] + 2 * cell
+    pad = _BZ13["pad"]
+    extent = TILE_EXTENT + 2 * pad
+
+    def explode_parts(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "polygon":
+                    continue  # building emits polygons only; guard regardless
+                for pi, rings in enumerate(packed.polys_of(r.geom_px)):
+                    allc = np.concatenate([np.asarray(rg) for rg in rings])
+                    rows.append((
+                        r.z, r.x, r.y, r.layer, r.rn, pi,
+                        packed.from_polys([rings]),
+                        float(allc[:, 0].min()), float(allc[:, 1].min()),
+                        float(allc[:, 0].max()), float(allc[:, 1].max()),
+                        r.elem_id, _as_dict(r.attrs),
+                    ))
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in _BZ13_PARTS_SCHEMA.fields])
+
+    def assign_clusters(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rn", "pi"], kind="mergesort").reset_index(drop=True)
+        boxes = pdf[["bx0", "by0", "bx1", "by1"]].to_numpy(dtype=np.float64)
+        ckey = np.empty(len(pdf), dtype=np.int32)
+        for idxs in _box_clusters(boxes, margin):
+            ckey[idxs] = min(idxs)  # cluster label = min member position
+        return pd.DataFrame(
+            {
+                "z": pdf["z"], "x": pdf["x"], "y": pdf["y"], "layer": pdf["layer"],
+                "akey": pd.Series([key[4]] * len(pdf), dtype="object"),
+                "rn": pdf["rn"], "pi": pdf["pi"], "ckey": ckey,
+            }
+        )
+
+    def union_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rn", "pi"], kind="mergesort").reset_index(drop=True)
+        polys = [packed.polys_of(b)[0] for b in pdf["part"]]
+        merged = _union_by_components(
+            polys, -pad, extent, _BZ13["buffer_dist_px"], _BZ13["min_hole_px2"]
+        )
+        kept = [r for r in merged if ops.polygon_area(r) >= _BZ13["min_area_px2"]]
+        if not kept:
+            # typed empty: untyped empty columns default to float64, which
+            # Arrow cannot cast to the binary/array fields
+            return pd.DataFrame(
+                {
+                    "z": pd.Series(dtype="int32"), "x": pd.Series(dtype="int32"),
+                    "y": pd.Series(dtype="int32"),
+                    "layer": pd.Series(dtype="object"),
+                    "akey": pd.Series(dtype="object"),
+                    "ckey": pd.Series(dtype="int32"),
+                    "min_rn": pd.Series(dtype="int32"),
+                    "elem_id": pd.Series(dtype="int64"),
+                    "blob": pd.Series(dtype="object"),
+                }
+            )
+        head = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "z": [int(head["z"])], "x": [int(head["x"])], "y": [int(head["y"])],
+                "layer": [head["layer"]], "akey": [key[4]],
+                "ckey": [int(head["ckey"])], "min_rn": [int(head["rn"])],
+                "elem_id": [int(head["elem_id"])],
+                "blob": [packed.from_polys(kept)],
+            }
+        ).astype({"z": "int32", "x": "int32", "y": "int32", "ckey": "int32",
+                  "min_rn": "int32"})
+
+    akey = F.array_sort(F.map_entries("attrs")).alias("akey")
+    w_rn = Window.partitionBy("z", "x", "y", "layer").orderBy(
+        F.col("sort_key").asc(), F.col("elem_id").asc()
+    )
+    parts = (
+        df.withColumn("rn", F.row_number().over(w_rn).cast("int"))
+        .select("z", "x", "y", "layer", "rn", "kind", "geom_px", "elem_id", "attrs")
+        .mapInPandas(explode_parts, _BZ13_PARTS_SCHEMA)
+    )
+    clusters = parts.groupBy("z", "x", "y", "layer", akey).applyInPandas(
+        assign_clusters, _BZ13_CLUSTER_SCHEMA
+    )
+    tagged = parts.join(clusters, ["z", "x", "y", "layer", "rn", "pi"])
+    unions = tagged.groupBy("z", "x", "y", "layer", F.col("akey"), "ckey").applyInPandas(
+        union_cluster, _BZ13_UNION_SCHEMA
+    )
+    g = unions.groupBy("z", "x", "y", "layer", "akey").agg(
+        F.min("min_rn").alias("grp_rn"),
+        F.min_by("elem_id", "min_rn").alias("elem_id"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ckey", "blob"))), lambda s: s["blob"]
+        ).alias("ordered"),
+    )
+    seq_w = Window.partitionBy("z", "x", "y", "layer").orderBy("grp_rn")
+    return g.select(
+        "z", "x", "y", "layer",
+        (F.row_number().over(seq_w) - 1).cast("int").alias("seq"),
+        "elem_id",
+        F.lit("polygon").alias("kind"),
+        _concat_blobs(F.col("ordered")).alias("geom_px"),
+        _strip_private(F.map_from_entries("akey")).alias("attrs"),
+    )
+
+
 def _stamp_if_absent(attrs, rank_str):
     """attrs + {'rank': rank_str} unless the feature already carries one."""
     return F.when(F.map_contains_key(attrs, "rank"), attrs).otherwise(
@@ -585,23 +773,34 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     full exchanges of the biggest table; the measured scaling limiter is
     exactly this JVM memory traffic, not CPU). The cached scan preserves
     the hash partitioning, so no branch adds an exchange."""
-    # doc_id is render-stage lineage only — dead weight in the reduce
+    # doc_id is render-stage lineage only — dead weight in the reduce.
+    # _tile_rows: count window on the same partitioning (no extra exchange)
+    # routes fat z13 building tiles to the distributed component merge.
     tf = grid_windows(
         tile_feats.drop("doc_id").repartition("z", "x", "y", "layer")
+    ).withColumn(
+        "_tile_rows", F.count("*").over(Window.partitionBy("z", "x", "y", "layer"))
     ).persist()
     mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
+    bz13_pred = (
+        (F.col("layer") == "building") & (F.col("z") == 13)
+        & (F.col("_tile_rows") > BUILDING_SHARD_MIN_ROWS)
+    )
     hn_pred = F.col("layer") == "housenumber"
     sql_pred = stamped_sql_pred()
     pandas_layers = [l for l in POST_PROCESSORS if l != "housenumber"]
-    pandas_pred = F.col("layer").isin(pandas_layers) & ~mp_pred & ~sql_pred
+    pandas_pred = (
+        F.col("layer").isin(pandas_layers) & ~mp_pred & ~bz13_pred & ~sql_pred
+    )
     # identity layers ride the stamped branch: its when-chain falls through
     # to attrs-unchanged for them (one less full pass over the cached table)
     stamped_pred = sql_pred | (
         ~F.col("layer").isin(list(POST_PROCESSORS.keys()) + ["housenumber"])
     )
     parts = [
-        reduce_tiles(tf.filter(pandas_pred)),
+        reduce_tiles(tf.filter(pandas_pred).drop("_tile_rows")),
         merge_multi_polygon_sql(tf.filter(mp_pred)),
+        building_z13_sharded(tf.filter(bz13_pred)),
         housenumber_reduce_sql(tf.filter(hn_pred)),
         stamped_reduce_sql(tf.filter(stamped_pred)),
     ]

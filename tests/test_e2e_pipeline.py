@@ -96,3 +96,26 @@ def test_checkpoint_resume(spark, corpus_dir, tmp_path):
     build_tiles(spark, corpus_dir, cfg2, checkpoint_dir=ckpt).count()
     m3 = json.load(open(os.path.join(ckpt, "layer_water", "_MANIFEST.json")))
     assert m3["fingerprint"] != m2["fingerprint"]
+
+
+def test_wikidata_prune_ignores_transportation_only_elements(spark):
+    """caresAboutWikidataTranslation parity (OpenMapTilesProfile.java:
+    125-128,155-165): translations join only onto elements matched by a
+    table whose layers consume them — a highway-only element with a
+    wikidata tag gets NO name:xx injection; a city point does."""
+    from planetiler_openmaptiles_spark.pipeline import with_wikidata_translations
+
+    feats = spark.createDataFrame(
+        [
+            ("osm", "", 1, {"highway": "motorway", "name": "A1", "wikidata": "Q7"},
+             "linestring"),
+            ("osm", "", 2, {"place": "city", "name": "Town", "wikidata": "Q7"},
+             "point"),
+        ],
+        "source string, source_layer string, elem_id long,"
+        " tags map<string,string>, geom_kind string",
+    )
+    wd = spark.createDataFrame([("Q7", "de", "Stadt")], "qid string, lang string, name string")
+    out = {r["elem_id"]: dict(r["tags"]) for r in with_wikidata_translations(feats, wd).collect()}
+    assert "name:de" not in out[1]
+    assert out[2]["name:de"] == "Stadt"

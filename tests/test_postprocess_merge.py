@@ -228,3 +228,47 @@ def test_parts_iter_rejects_malformed_blob():
         packed.lines_of(packed.wkt_parts("POINT (-3 128)")[0])
     with pytest.raises(ValueError):
         packed.polys_of(packed.from_points([[5.0, 5.0]]))
+
+
+def test_building_z13_sharded_parity(spark):
+    """The distributed z13 building merge (bbox-component sharding,
+    postprocess.building_z13_sharded) must byte-match the per-tile pandas
+    route — same blobs, same attrs, same seq order."""
+    import numpy as np
+    import planetiler_openmaptiles_spark.layers.building  # registers the pp
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 300 small squares: some overlapping chains, some isolated, a couple
+    # of holes/concave shapes via multi-ring parts
+    for i in range(300):
+        cx, cy = rng.uniform(0, 256, 2)
+        w = rng.uniform(1.5, 6.0)
+        sq = f"POLYGON (({cx:.3f} {cy:.3f}, {cx+w:.3f} {cy:.3f}, {cx+w:.3f} {cy+w:.3f}, {cx:.3f} {cy+w:.3f}, {cx:.3f} {cy:.3f}))"
+        rows.append((1000 + i, "polygon", sq, {}, int(rng.randint(0, 50)), None, None))
+    pdf = _pdf(rows)
+
+    expected = postprocess.POST_PROCESSORS["building"](13, pdf.sort_values(
+        ["sort_key", "elem_id"], kind="mergesort").reset_index(drop=True))
+    expected = expected.reset_index(drop=True)
+
+    sdf = spark.createDataFrame(
+        [
+            (13, 1, 1, "building", int(r.elem_id), r.kind, bytearray(r.geom_px),
+             dict(r.attrs), int(r.sort_key), None, 0)
+            for r in pdf.itertuples(index=False)
+        ],
+        schema="z int, x int, y int, layer string, elem_id long, kind string,"
+               " geom_px binary, attrs map<string,string>, sort_key int,"
+               " grid_cell long, grid_limit int",
+    )
+    got = (
+        postprocess.building_z13_sharded(sdf)
+        .orderBy("seq")
+        .collect()
+    )
+    assert len(got) == len(expected)
+    for out_row, (_, exp) in zip(got, expected.iterrows()):
+        assert bytes(out_row["geom_px"]) == bytes(exp["geom_px"])
+        assert out_row["elem_id"] == exp["elem_id"]
+        assert dict(out_row["attrs"]) == dict(exp["attrs"])

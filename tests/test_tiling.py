@@ -218,3 +218,32 @@ def test_fused_matches_staged(spark):
         for fa, fb in zip(fa_all, fb_all):
             assert len(fa) == len(fb), key
             assert np.allclose(fa, fb, atol=2e-3), key
+
+
+def test_simplify_tolerance_override_changes_geometry(spark):
+    """--simplify-tolerance parity (reference README.md:33): a coarser
+    tolerance drops more vertices; a negative tolerance disables
+    simplification and keeps every input vertex."""
+    import numpy as np
+    from planetiler_openmaptiles_spark.geom import packed
+
+    # a gently wiggly line: amplitude small enough that 0.1px at z2 keeps
+    # some wiggles a 5px tolerance drops
+    xs = np.linspace(10.0, 12.0, 41)
+    ys = 45.0 + 0.2 * np.sin(np.arange(41) * 1.7)  # ~0.8px amplitude at z2
+    wkt_line = "LINESTRING (" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in zip(xs, ys)) + ")"
+    df = spark.createDataFrame([_feature_row(wkt_line)], FEATURE_SCHEMA)
+
+    def npts(default_tol):
+        out = render_tiles(df, max_zoom=2, default_tol=default_tol).toPandas()
+        assert len(out) >= 1
+        return sum(
+            len(l) for _, r in out.iterrows()
+            for l in packed.lines_of(r["geom_px"])
+        )
+
+    n_exact = npts(-1.0)
+    n_default = npts(0.1)
+    n_coarse = npts(5.0)
+    assert n_exact == 41
+    assert n_coarse < n_default <= n_exact
