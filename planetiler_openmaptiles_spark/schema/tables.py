@@ -21,6 +21,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------ expression DSL
+#
+# Every node renders to a Spark-SQL STRING and `col()` wraps it in ONE
+# F.expr call: building these trees out of pyspark Column operators cost
+# 3-6 py4j socket roundtrips per node (the 30-table DNF index alone was
+# ~2.5 s of driver wall per session; measured round 3) — a text render is
+# pure Python and the JVM parses the whole expression in one call. The
+# resulting Catalyst tree is identical.
+
+
+def _q(s: str) -> str:
+    return str(s).replace("'", "''")
+
+
+def _tag_sql(key: str) -> str:
+    return f"element_at(tags, '{_q(key)}')"
 
 
 @dataclass(frozen=True)
@@ -28,64 +43,83 @@ class MatchAny:
     key: str
     values: tuple
 
-    def col(self) -> Column:
-        tag = F.element_at(F.col("tags"), self.key)
+    def sql(self) -> str:
+        tag = _tag_sql(self.key)
         exact = [v for v in self.values if not str(v).endswith("%")]
         like = [v for v in self.values if str(v).endswith("%")]
-        c = tag.isin(*exact) if exact else F.lit(False)
+        parts = []
+        if exact:
+            vals = ", ".join(f"'{_q(v)}'" for v in exact)
+            parts.append(f"{tag} IN ({vals})")
         for pat in like:
-            c = c | tag.startswith(pat[:-1])
-        return F.coalesce(c, F.lit(False))  # null tag → no match
+            parts.append(f"startswith({tag}, '{_q(str(pat)[:-1])}')")
+        body = " OR ".join(parts) if parts else "false"
+        return f"coalesce({body}, false)"  # null tag → no match
+
+    def col(self) -> Column:
+        return F.expr(self.sql())
 
 
 @dataclass(frozen=True)
 class MatchField:
     key: str
 
+    def sql(self) -> str:
+        tag = _tag_sql(self.key)
+        return f"({tag} IS NOT NULL AND {tag} != '')"
+
     def col(self) -> Column:
-        tag = F.element_at(F.col("tags"), self.key)
-        return tag.isNotNull() & (tag != "")
+        return F.expr(self.sql())
 
 
 @dataclass(frozen=True)
 class MatchType:
     gtype: str  # point | linestring | polygon
 
+    def sql(self) -> str:
+        return f"(geom_kind = '{_q(self.gtype)}')"
+
     def col(self) -> Column:
-        return F.col("geom_kind") == self.gtype
+        return F.expr(self.sql())
 
 
 @dataclass(frozen=True)
 class And:
     parts: tuple
 
+    def sql(self) -> str:
+        if not self.parts:
+            return "true"
+        return "(" + " AND ".join(p.sql() for p in self.parts) + ")"
+
     def col(self) -> Column:
-        c = F.lit(True)
-        for p in self.parts:
-            c = c & p.col()
-        return c
+        return F.expr(self.sql())
 
 
 @dataclass(frozen=True)
 class Or:
     parts: tuple
 
+    def sql(self) -> str:
+        if not self.parts:
+            return "false"
+        return "(" + " OR ".join(p.sql() for p in self.parts) + ")"
+
     def col(self) -> Column:
-        c = F.lit(False)
-        for p in self.parts:
-            c = c | p.col()
-        return c
+        return F.expr(self.sql())
 
 
 @dataclass(frozen=True)
 class Not:
     part: object
 
-    def col(self) -> Column:
-        inner = self.part.col()
+    def sql(self) -> str:
         # imposm3 semantics: not(matchAny(k, v)) is true when the key is
         # absent OR has a different value
-        return ~F.coalesce(inner, F.lit(False))
+        return f"(NOT coalesce({self.part.sql()}, false))"
+
+    def col(self) -> Column:
+        return F.expr(self.sql())
 
 
 def AND(*parts):
@@ -651,52 +685,56 @@ _t(
 # --------------------------------------------------------------- projections
 
 
-def _typed_col(tag_key: str, typ: str, mapping_keys: tuple) -> Column:
+def _typed_col_sql(tag_key: str, typ: str, mapping_keys: tuple) -> str:
+    """SQL text of one typed tag extraction (see DSL block comment: text
+    render = one py4j call for the whole projection instead of 3-6 per
+    node; the Catalyst tree is identical to the old Column-operator form)."""
     if tag_key == "__mapping_key__":
-        c = F.lit(None).cast("string")
-        for k in reversed(mapping_keys):
-            c = F.when(F.element_at(F.col("tags"), k).isNotNull(), F.lit(k)).otherwise(c)
-        return c
+        whens = " ".join(
+            f"WHEN {_tag_sql(k)} IS NOT NULL THEN '{_q(k)}'" for k in mapping_keys
+        )
+        return f"CASE {whens} ELSE CAST(NULL AS STRING) END"
     if tag_key == "__mapping_value__":
-        c = F.lit(None).cast("string")
-        for k in reversed(mapping_keys):
-            tag = F.element_at(F.col("tags"), k)
-            c = F.when(tag.isNotNull(), tag).otherwise(c)
-        return c
-    tag = F.element_at(F.col("tags"), tag_key)
+        whens = " ".join(
+            f"WHEN {_tag_sql(k)} IS NOT NULL THEN {_tag_sql(k)}" for k in mapping_keys
+        )
+        return f"CASE {whens} ELSE CAST(NULL AS STRING) END"
+    tag = _tag_sql(tag_key)
     if typ == "s":
         return tag
     if typ == "b":
-        return F.coalesce(F.lower(tag).isin("yes", "true", "1"), F.lit(False))
+        return f"coalesce(lower({tag}) IN ('yes', 'true', '1'), false)"
     if typ == "l":
-        return tag.cast("long")
+        return f"CAST({tag} AS LONG)"
     if typ == "i":
-        return tag.cast("int")
+        return f"CAST({tag} AS INT)"
     if typ == "d":
         # direction: oneway=-1 → -1; yes/true/1 → 1; else 0 (Tables.java getDirection)
         return (
-            F.when(tag == "-1", F.lit(-1))
-            .when(F.lower(tag).isin("yes", "true", "1"), F.lit(1))
-            .otherwise(F.lit(0))
+            f"CASE WHEN {tag} = '-1' THEN -1"
+            f" WHEN lower({tag}) IN ('yes', 'true', '1') THEN 1 ELSE 0 END"
         )
     if typ == "z":
         # way z_order (Tables.java:357-368): layer*10 clamped to ±100
-        layer = F.coalesce(tag.cast("long"), F.lit(0))
-        return F.greatest(F.lit(-100), F.least(F.lit(100), layer * 10)).cast("int")
+        return (
+            f"CAST(greatest(-100, least(100, coalesce(CAST({tag} AS LONG), 0) * 10)) AS INT)"
+        )
     raise ValueError(typ)
+
+
+def _typed_col(tag_key: str, typ: str, mapping_keys: tuple) -> Column:
+    return F.expr(_typed_col_sql(tag_key, typ, mapping_keys))
 
 
 def match_tables_column() -> Column:
     """Array of matched table names — ONE projection evaluating all 30 DNF
-    filters (Tables.java MAPPINGS equivalent; Catalyst CSE shares terms)."""
-    return F.array_compact(
-        F.array(
-            *[
-                F.when(spec.mapping.col(), F.lit(name)).otherwise(F.lit(None))
-                for name, spec in TABLES.items()
-            ]
-        )
+    filters (Tables.java MAPPINGS equivalent; Catalyst CSE shares terms),
+    rendered as a single SQL string (one py4j call for all 30)."""
+    cases = ", ".join(
+        f"CASE WHEN {spec.mapping.sql()} THEN '{_q(name)}' END"
+        for name, spec in TABLES.items()
     )
+    return F.expr(f"array_compact(array({cases}))")
 
 
 def table_rows(features: DataFrame, table: str) -> DataFrame:

@@ -329,6 +329,36 @@ def _emit_row(out, row, z, tx, ty, geom_px, grid_cell, ptx=None, pty=None):
     out["pt_y"].append(pty)
 
 
+def _cut_tiles_grid(out, row, gs, z, n, scale, buf, tx0, tx1, ty0, ty1):
+    """Axis-separable tile cut: clip each covered COLUMN once against its
+    x-strip, then clip tiles against the (much smaller) column geometry —
+    O(cols·N + tiles·N_col) instead of O(tiles·N) for a feature covering
+    many tiles (the round-2 verdict's stage-C hot loop). For polygons the
+    output is byte-identical to the one-shot 4-edge clip: Sutherland-
+    Hodgman is a SEQUENCE of half-plane clips, and the strip pass just
+    runs the two x half-planes first (the per-tile pass's x edges then
+    see an all-inside ring and skip). Line endpoints may differ in the
+    last ulp (Liang-Barsky interpolates per stage)."""
+    inf = float("inf")
+    # the column pre-clip amortizes over the column's tile count: with <3
+    # rows it's pure overhead (measured net loss on the sf0.1 distribution
+    # where most features span a 1-2 tile neighbourhood)
+    do_strip = tx1 > tx0 and (ty1 - ty0) >= 2
+    for tx in range(tx0, tx1 + 1):
+        bx0 = (tx * TILE_EXTENT - buf) / scale
+        bx1 = ((tx + 1) * TILE_EXTENT + buf) / scale
+        col = ops.clip_geom_box(gs, bx0, -inf, bx1, inf) if do_strip else gs
+        if col is None:
+            continue
+        for ty in range(ty0, ty1 + 1):
+            by0 = (ty * TILE_EXTENT - buf) / scale
+            by1 = ((ty + 1) * TILE_EXTENT + buf) / scale
+            c = ops.clip_geom_box(col, bx0, by0, bx1, by1)
+            if c is None:
+                continue
+            _emit_row(out, row, z, tx, ty, _scale_to_tile(c, tx, ty, n), None)
+
+
 _FILL_GEOM = None
 
 
@@ -407,16 +437,7 @@ def tile_cut(exploded: DataFrame, default_tol: float = DEFAULT_TOLERANCE_PX) -> 
                 if row.kind == "polygon" and ntiles > FILL_TILE_THRESHOLD:
                     _cut_polygon_fill(out, row, gs, z, n, scale, buf, x0, x1, y0, y1)
                     continue
-                for tx in range(x0, x1 + 1):
-                    for ty in range(y0, y1 + 1):
-                        bx0 = (tx * TILE_EXTENT - buf) / scale
-                        bx1 = ((tx + 1) * TILE_EXTENT + buf) / scale
-                        by0 = (ty * TILE_EXTENT - buf) / scale
-                        by1 = ((ty + 1) * TILE_EXTENT + buf) / scale
-                        c = ops.clip_geom_box(gs, bx0, by0, bx1, by1)
-                        if c is None:
-                            continue
-                        _emit_row(out, row, z, tx, ty, _scale_to_tile(c, tx, ty, n), None)
+                _cut_tiles_grid(out, row, gs, z, n, scale, buf, x0, x1, y0, y1)
             yield pd.DataFrame(out)
 
     return exploded.mapInPandas(run, schema=TILE_FEATURE_SCHEMA)
@@ -668,16 +689,7 @@ def render_tiles_fused(
                     if gk == "polygon" and ntiles > FILL_TILE_THRESHOLD:
                         _cut_polygon_fill(out, row, gs, z, n, scale, buf, tx0, tx1, ty0, ty1)
                         continue
-                    for tx in range(tx0, tx1 + 1):
-                        for ty in range(ty0, ty1 + 1):
-                            bx0 = (tx * TILE_EXTENT - buf) / scale
-                            bx1 = ((tx + 1) * TILE_EXTENT + buf) / scale
-                            by0 = (ty * TILE_EXTENT - buf) / scale
-                            by1 = ((ty + 1) * TILE_EXTENT + buf) / scale
-                            c = ops.clip_geom_box(gs, bx0, by0, bx1, by1)
-                            if c is None:
-                                continue
-                            _emit_row(out, row, z, tx, ty, _scale_to_tile(c, tx, ty, n), None)
+                    _cut_tiles_grid(out, row, gs, z, n, scale, buf, tx0, tx1, ty0, ty1)
             if out["z"]:  # empty frames infer float64 cols Arrow can't map-cast
                 yield pd.DataFrame(out)
 

@@ -219,8 +219,13 @@ def main():
         def eff(d):
             return round((d[8]["wall_s"] / d[32]["wall_s"]) / 4.0, 3)
 
+        with open(os.path.join(work, "daemons", "master.log")) as f:
+            n_launches = sum(1 for l in f if "Launching executor" in l)
         result = {
             "metric": "scaling_efficiency_1_to_4_executors_multijvm",
+            # 2x (4-exec e2e+tile) + 2x (1-exec e2e+tile) = 10 if the
+            # spreadOut=false fill really granted 1 vs 4 executors
+            "executor_launches_total": n_launches,
             "value": eff(tile_phase),
             "unit": "ratio",
             "n_docs": n_docs,
