@@ -781,6 +781,15 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     ).withColumn(
         "_tile_rows", F.count("*").over(Window.partitionBy("z", "x", "y", "layer"))
     ).persist()
+    # Fill the cache with ONE job before the branches fan out. The union
+    # action otherwise materializes the five routing branches as concurrent
+    # AQE stage-jobs that RACE to fill this cache: within one executor the
+    # block lock dedupes the compute, but across executors each JVM
+    # recomputes the same uncached partitions (BlockManager only locks
+    # locally; remote blocks that aren't finished yet fall back to full
+    # lineage recompute — measured on a 4-executor standalone cluster as
+    # ~6x duplicated scan+shuffle+window work, tools/cluster_diag.py).
+    tf.count()
     mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
     bz13_pred = (
         (F.col("layer") == "building") & (F.col("z") == 13)
