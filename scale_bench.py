@@ -39,7 +39,10 @@ def _cpu_stat():
 
 def _run(cores: int, corpus: str, out_dir: str, ckpt: str) -> dict:
     env = dict(os.environ)
-    env["SPARK_SHUFFLE_PARTITIONS"] = "64"
+    # identical decomposition for both legs, sized for the wide one: 64
+    # partitions starved 32 cores (2-wave straggler exposure) and fattened
+    # cached partitions into a 5x fill-stage blowup (BASELINE.md, round 3)
+    env["SPARK_SHUFFLE_PARTITIONS"] = "192"
     t0 = time.time()
     tot0, st0 = _cpu_stat()
     subprocess.run(

@@ -153,14 +153,20 @@ def _cpu_stat():
 
 
 def run_pipeline(cores_max: int, corpus: str, out_dir: str, ckpt: str,
-                 zpath: str) -> dict:
+                 zpath: str, exec_cores: int = 8,
+                 shuffle_parts: int = 192) -> dict:
     env = dict(os.environ)
     env["SPARK_MASTER"] = MASTER_URL
-    env["SPARK_SHUFFLE_PARTITIONS"] = "64"
+    # partitions sized for the wide legs (≥3 waves at 32 cores) and held
+    # IDENTICAL across both legs so the task decomposition — and therefore
+    # per-task cache/GC footprint — is the same; 64 was measured to starve
+    # 32 cores (2-wave straggler exposure) and fatten cached partitions
+    # past the point where the fill stage blew up 5x (see BASELINE.md)
+    env["SPARK_SHUFFLE_PARTITIONS"] = str(shuffle_parts)
     env["PYSPARK_PYTHON"] = sys.executable
     env["SPARK_EXTRA_CONF_JSON"] = json.dumps({
         "spark.cores.max": str(cores_max),
-        "spark.executor.cores": "8",
+        "spark.executor.cores": str(exec_cores),
         "spark.executor.memory": "16g",
         "spark.submit.pyFiles": zpath,
         "spark.driver.host": "127.0.0.1",
@@ -181,68 +187,103 @@ def run_pipeline(cores_max: int, corpus: str, out_dir: str, ckpt: str,
     with open(os.path.join(out_dir, "build_report.json")) as f:
         report = json.load(f)
     report["subprocess_wall_s"] = round(time.time() - t0, 2)
-    report["executors"] = cores_max // 8
+    report["executors"] = cores_max // exec_cores
     report["cores"] = cores_max
     report["cpu_steal_pct"] = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
     return report
 
 
 def main():
-    n_docs = int(os.environ.get("SCALE_BENCH_DOCS", "1024000"))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int,
+                    default=int(os.environ.get("SCALE_BENCH_DOCS", "1024000")))
+    ap.add_argument("--phases", default="e2e,tile",
+                    help="comma subset of e2e,tile")
+    ap.add_argument("--exec-cores", type=int, default=8)
+    ap.add_argument("--configs", default="32,8",
+                    help="spark.cores.max legs, widest first (warms page cache)")
+    ap.add_argument("--shuffle-partitions", type=int, default=192)
+    ap.add_argument("--warm-ckpt", default="",
+                    help="reuse an existing per-layer checkpoint for tile legs")
+    ap.add_argument("--out-json",
+                    default=os.path.join(REPO, "BENCH_scaling_multijvm.json"))
+    args = ap.parse_args()
+    phases = set(args.phases.split(","))
+    legs = [int(c) for c in args.configs.split(",")]
+    hi, lo = max(legs), min(legs)
     from planetiler_openmaptiles_spark.datagen import write_corpus
 
-    corpus = write_corpus(os.path.join(REPO, ".gendata"), n_docs=n_docs, seed=42)
+    corpus = write_corpus(os.path.join(REPO, ".gendata"), n_docs=args.docs,
+                          seed=42)
     work = tempfile.mkdtemp(prefix="omt_cluster_")
     procs = start_cluster(os.path.join(work, "daemons"))
     try:
         zpath = build_zip(work)
         total, tile_phase = {}, {}
-        warm_ckpt = os.path.join(work, "warm_ckpt")
-        # e2e runs at 4N first (warms OS page cache for both) then N
-        for cores in (32, 8):
-            out = os.path.join(work, f"total_{cores}")
-            ckpt = os.path.join(work, f"ckpt_{cores}")
-            total[cores] = run_pipeline(cores, corpus, out, ckpt, zpath)
-            if not os.path.exists(warm_ckpt):
-                shutil.copytree(ckpt, warm_ckpt)
-            print(json.dumps({"phase": "e2e", **total[cores]}), flush=True)
+        warm_ckpt = args.warm_ckpt or os.path.join(work, "warm_ckpt")
+        if "e2e" in phases:
+            # e2e runs at 4N first (warms OS page cache for both) then N
+            for cores in legs:
+                out = os.path.join(work, f"total_{cores}")
+                ckpt = os.path.join(work, f"ckpt_{cores}")
+                total[cores] = run_pipeline(cores, corpus, out, ckpt, zpath,
+                                            args.exec_cores,
+                                            args.shuffle_partitions)
+                if not os.path.exists(warm_ckpt):
+                    shutil.copytree(ckpt, warm_ckpt)
+                print(json.dumps({"phase": "e2e", **total[cores]}), flush=True)
         # resumed tile phase: identical per-layer checkpoints, only the
         # executor-bound render+reduce runs
-        for cores in (32, 8):
-            ckpt = os.path.join(work, f"tile_ckpt_{cores}")
-            shutil.copytree(warm_ckpt, ckpt)
-            shutil.rmtree(os.path.join(ckpt, "tile_features"), ignore_errors=True)
-            out = os.path.join(work, f"tile_{cores}")
-            tile_phase[cores] = run_pipeline(cores, corpus, out, ckpt, zpath)
-            print(json.dumps({"phase": "tile", **tile_phase[cores]}), flush=True)
+        if "tile" in phases:
+            assert os.path.exists(warm_ckpt), "tile legs need --warm-ckpt or e2e"
+            for cores in legs:
+                ckpt = os.path.join(work, f"tile_ckpt_{cores}")
+                shutil.copytree(warm_ckpt, ckpt)
+                shutil.rmtree(os.path.join(ckpt, "tile_features"),
+                              ignore_errors=True)
+                out = os.path.join(work, f"tile_{cores}")
+                tile_phase[cores] = run_pipeline(cores, corpus, out, ckpt,
+                                                 zpath, args.exec_cores,
+                                                 args.shuffle_partitions)
+                print(json.dumps({"phase": "tile", **tile_phase[cores]}),
+                      flush=True)
+
+        ratio = hi // lo
 
         def eff(d):
-            return round((d[8]["wall_s"] / d[32]["wall_s"]) / 4.0, 3)
+            return round((d[lo]["wall_s"] / d[hi]["wall_s"]) / ratio, 3)
 
         with open(os.path.join(work, "daemons", "master.log")) as f:
             n_launches = sum(1 for l in f if "Launching executor" in l)
         result = {
-            "metric": "scaling_efficiency_1_to_4_executors_multijvm",
-            # 2x (4-exec e2e+tile) + 2x (1-exec e2e+tile) = 10 if the
-            # spreadOut=false fill really granted 1 vs 4 executors
+            "metric": f"scaling_efficiency_{lo // args.exec_cores}_to_"
+                      f"{hi // args.exec_cores}_executors_multijvm",
             "executor_launches_total": n_launches,
-            "value": eff(tile_phase),
             "unit": "ratio",
-            "n_docs": n_docs,
+            "n_docs": args.docs,
+            "shuffle_partitions": args.shuffle_partitions,
             "deployment": "standalone master + 4x 8-core worker JVMs on one host;"
                           " spark-submit-equivalent (--master spark://…,"
                           " spark.submit.pyFiles zip); executor JVMs separate"
                           " (own heap/GC/python pool/netty shuffle)",
-            "end_to_end": {"efficiency": eff(total), "executor1": total[8],
-                           "executor4": total[32]},
-            "data_plane_tile_phase": {"efficiency": eff(tile_phase),
-                                      "executor1": tile_phase[8],
-                                      "executor4": tile_phase[32]},
             "caveat": "all four workers still share ONE DRAM bus on this"
                       " sandbox host (tools/membench.py measures that ceiling);"
                       " on a real cluster each node has its own bus",
         }
-        with open(os.path.join(REPO, "BENCH_scaling_multijvm.json"), "w") as f:
+        if total:
+            result["end_to_end"] = {"efficiency": eff(total),
+                                    "executor_lo": total[lo],
+                                    "executor_hi": total[hi]}
+        if tile_phase:
+            result["value"] = eff(tile_phase)
+            result["data_plane_tile_phase"] = {"efficiency": eff(tile_phase),
+                                               "executor_lo": tile_phase[lo],
+                                               "executor_hi": tile_phase[hi]}
+        elif total:
+            result["value"] = eff(total)
+        with open(args.out_json, "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps(result))
     finally:

@@ -107,6 +107,20 @@ def _run(kern, n, *args):
 
 
 def main():
+    if "--curve" in sys.argv:
+        # bandwidth ceiling vs concurrency: per-proc seconds for the same
+        # per-proc work at 2..32 concurrent processes. Flat = bus has
+        # headroom; rising = bus saturated. Supports choosing panel sizes
+        # for the multi-JVM executor-scaling measurement (a 1x2c vs 4x2c
+        # panel is only a clean executor-scaling signal if the bus is
+        # unsaturated at 8 concurrent streams).
+        curve = {n: round(_run(_bw_kernel, n), 2) for n in (2, 4, 8, 16, 32)}
+        base = curve[2]
+        print(json.dumps({
+            "bandwidth_per_proc_s_by_nproc": curve,
+            "inflation_vs_2p": {n: round(t / base, 2) for n, t in curve.items()},
+        }))
+        return
     out = {}
     for name, kern in (("cache", _cache_kernel), ("bandwidth", _bw_kernel)):
         t8, t32 = _run(kern, 8), _run(kern, 32)
