@@ -459,11 +459,13 @@ def main(argv=None):
     t0 = time.time()
     tiles = build_tiles(spark, args.corpus, config, args.checkpoints,
                         check_invariant=args.check_invariant)
+    t_stages = time.time()
     # ONE action: the finalize plan streams straight into the sink. The
     # report counts come from parquet footers (free) and a column-pruned
     # read-back — not from extra cache+count+distinct passes over the full
     # finalize output (at 100 TB those are three scans of the biggest table).
     written = write_tiles(tiles, args.out)
+    t_write = time.time()
     from .checkpoint import _parquet_row_count
 
     n_feats = _parquet_row_count(written["path"])
@@ -480,6 +482,14 @@ def main(argv=None):
         "tiles": n_tiles,
         "wall_s": round(wall, 2),
         "tiles_per_sec": round(n_tiles / wall, 2),
+        # decomposition so scaling runs can attribute wall to the
+        # checkpointed stages (decode/layers/render) vs the finalize+sink
+        # action vs report bookkeeping without a separate event-log pass
+        "phase_walls": {
+            "checkpointed_stages_s": round(t_stages - t0, 2),
+            "finalize_write_s": round(t_write - t_stages, 2),
+            "report_counts_s": round(time.time() - t_write, 2),
+        },
         **({"mbtiles": mb} if mb else {}),
     }
     with open(os.path.join(args.out, "build_report.json"), "w") as f:
