@@ -237,6 +237,13 @@ def build_tiles(
         with ThreadPoolExecutor(max_workers=8) as ex:
             futs = [ex.submit(run_stage, n, m) for n, m in zip(names, mods)]
             layer_dfs = [f.result() for f in futs]
+        if ctx is not None:
+            # every layer output is on disk now; the decoded-corpus cache is
+            # dead weight from here on. Freeing it matters on real executors:
+            # blocks above the storageFraction floor resist eviction, so a
+            # resident-but-unused cache squeezes execution memory for the
+            # render/reduce phases on every executor in the cluster.
+            ctx.features.unpersist()
         rendered = union_features(layer_dfs)
     else:
 
