@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 # ~2.5 s of driver wall per session; measured round 3) — a text render is
 # pure Python and the JVM parses the whole expression in one call. The
 # resulting Catalyst tree is identical.
+#
+# The parse itself is NOT free: the big table mappings render to multi-KB
+# strings and the ANTLR SQL parser costs real driver time, while layers
+# re-request the same table/typed-column expressions over and over (the
+# 19-layer fan-out re-parsed the 30-table DNF per layer — measured +15 s
+# wall at sf0.1). Unresolved Column expressions are plan-independent, so
+# parse each unique string once per process and reuse the Column.
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _expr(sql: str) -> Column:
+    return F.expr(sql)
 
 
 def _q(s: str) -> str:
@@ -57,7 +70,7 @@ class MatchAny:
         return f"coalesce({body}, false)"  # null tag → no match
 
     def col(self) -> Column:
-        return F.expr(self.sql())
+        return _expr(self.sql())
 
 
 @dataclass(frozen=True)
@@ -69,7 +82,7 @@ class MatchField:
         return f"({tag} IS NOT NULL AND {tag} != '')"
 
     def col(self) -> Column:
-        return F.expr(self.sql())
+        return _expr(self.sql())
 
 
 @dataclass(frozen=True)
@@ -80,7 +93,7 @@ class MatchType:
         return f"(geom_kind = '{_q(self.gtype)}')"
 
     def col(self) -> Column:
-        return F.expr(self.sql())
+        return _expr(self.sql())
 
 
 @dataclass(frozen=True)
@@ -93,7 +106,7 @@ class And:
         return "(" + " AND ".join(p.sql() for p in self.parts) + ")"
 
     def col(self) -> Column:
-        return F.expr(self.sql())
+        return _expr(self.sql())
 
 
 @dataclass(frozen=True)
@@ -106,7 +119,7 @@ class Or:
         return "(" + " OR ".join(p.sql() for p in self.parts) + ")"
 
     def col(self) -> Column:
-        return F.expr(self.sql())
+        return _expr(self.sql())
 
 
 @dataclass(frozen=True)
@@ -119,7 +132,7 @@ class Not:
         return f"(NOT coalesce({self.part.sql()}, false))"
 
     def col(self) -> Column:
-        return F.expr(self.sql())
+        return _expr(self.sql())
 
 
 def AND(*parts):
@@ -723,7 +736,7 @@ def _typed_col_sql(tag_key: str, typ: str, mapping_keys: tuple) -> str:
 
 
 def _typed_col(tag_key: str, typ: str, mapping_keys: tuple) -> Column:
-    return F.expr(_typed_col_sql(tag_key, typ, mapping_keys))
+    return _expr(_typed_col_sql(tag_key, typ, mapping_keys))
 
 
 def match_tables_column() -> Column:
@@ -734,7 +747,7 @@ def match_tables_column() -> Column:
         f"CASE WHEN {spec.mapping.sql()} THEN '{_q(name)}' END"
         for name, spec in TABLES.items()
     )
-    return F.expr(f"array_compact(array({cases}))")
+    return _expr(f"array_compact(array({cases}))")
 
 
 def table_rows(features: DataFrame, table: str) -> DataFrame:
