@@ -789,7 +789,11 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     # locally; remote blocks that aren't finished yet fall back to full
     # lineage recompute — measured on a 4-executor standalone cluster as
     # ~6x duplicated scan+shuffle+window work, tools/cluster_diag.py).
-    tf.count()
+    # On a SINGLE executor (local mode) the block lock already dedupes, so
+    # the extra pass is pure overhead — fill eagerly only when >1 executor.
+    sc = tile_feats.sparkSession.sparkContext
+    if len(sc._jsc.sc().statusTracker().getExecutorInfos()) > 1:
+        tf.count()
     mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
     bz13_pred = (
         (F.col("layer") == "building") & (F.col("z") == 13)
