@@ -378,6 +378,61 @@ def _q_geo_media_refs(spark, sf_dir):
     )
 
 
+def _q_media_decode(spark, sf_dir):
+    """REAL multimodal decode, independently verifiable: per document,
+    synthesize a BMP image (dims + constant gray level derived from doc_id
+    arithmetic) and a PCM WAV (sample count + constant amplitude likewise),
+    then run them through the distributed decode operators in STRICT mode
+    (no fake path possible). DuckDB re-derives every output column by pure
+    arithmetic, so any byte-level encode/decode defect (row padding,
+    bottom-up rows, chunk walk, sample scaling) breaks the hash match.
+
+    Reference parity: the reference treats media as opaque refs; this is
+    the training-data extension (decode/feature-extract over binary
+    columns, multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, decode_audio, decode_images)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 2000)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = np.full((1 + d % 7, 1 + d % 13), d % 256, dtype=np.uint8)
+                rows.append((f"img{d}", str(d), "image", codecs.encode_bmp(img), None))
+                wav = codecs.encode_wav(
+                    np.full(100 + d % 50, d % 20000, dtype=np.int16), 8000
+                )
+                rows.append((f"aud{d}", str(d), "audio", wav, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    imgs = decode_images(media, strict=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "width", "height", "channels",
+        # constant image -> embedding == gray/255 exactly; scale back to the
+        # integer so the compare is exact, not float-rounding-dependent
+        F.round(F.element_at("embedding", 1) * 255.0).cast("int").alias("emb_gray"),
+    )
+    auds = decode_audio(media, strict=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "sample_rate", "n_samples",
+        F.round(F.col("rms") * 32768.0).cast("int").alias("rms_amp"),
+    )
+    return imgs.join(auds, "doc_id").orderBy("doc_id")
+
+
 def _q_geo_span_roundtrip(spark, sf_dir):
     """Span-sequence invariant: every document must re-encode exactly."""
     from planetiler_openmaptiles_spark.pipeline import check_span_invariant
@@ -789,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_label_grid": _q_geo_label_grid,
         "geo_rel_min_admin": _q_geo_rel_min_admin,
         "geo_media_refs": _q_geo_media_refs,
+        "media_decode_roundtrip": _q_media_decode,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
@@ -1015,6 +1071,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
                   FROM documents)
             GROUP BY norm ORDER BY doc_id
+        """,
+        "media_decode_roundtrip": """
+            -- independent re-derivation of the media decode outputs: the
+            -- Spark side synthesizes a BMP (h=1+d%7, w=1+d%13, constant
+            -- gray d%256) and a PCM WAV (100+d%50 samples of amplitude
+            -- d%20000 at 8 kHz) per doc and DECODES REAL BYTES; here the
+            -- same quantities fall out of pure arithmetic
+            SELECT doc_id,
+              CAST(1 + doc_id % 13 AS INT) AS width,
+              CAST(1 + doc_id % 7 AS INT) AS height,
+              CAST(1 AS INT) AS channels,
+              CAST(doc_id % 256 AS INT) AS emb_gray,
+              CAST(8000 AS INT) AS sample_rate,
+              CAST(100 + doc_id % 50 AS INT) AS n_samples,
+              CAST(doc_id % 20000 AS INT) AS rms_amp
+            FROM documents WHERE doc_id < 2000 ORDER BY doc_id
         """,
         "text_tokens": r"""
             SELECT doc_id,

@@ -1,0 +1,257 @@
+"""Pure-numpy media codecs for self-describing uncompressed containers.
+
+Real decoders (and matching encoders, used by tests/datagen to synthesize
+deterministic fixtures) for the formats that need no external libraries:
+
+  * BMP  — BITMAPINFOHEADER, uncompressed 8-bit grayscale / 24-bit BGR /
+           32-bit BGRA, bottom-up or top-down rows, 4-byte row padding
+  * PGM / PPM — binary netpbm (P5 grayscale, P6 RGB), maxval <= 255
+  * WAV  — RIFF/PCM, 8-bit unsigned or 16-bit signed little-endian
+
+Compressed formats (JPEG/PNG/MP3/video) require libjpeg/ffmpeg, which are
+not in this container — `sniff()` identifies them so the Spark layer can
+raise a clear NotImplementedError instead of guessing.
+
+Reference parity note: the reference pipeline treats media as opaque refs
+(planetiler has no media decode); these codecs back the training-data
+multimodal operators (decode / feature-extract / resize / frame-sample)
+that a 100 TB LLM-data pipeline layers on top.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# format sniffing
+
+
+def sniff(content: bytes | None) -> str:
+    """Identify a media container from magic bytes.
+
+    Returns one of 'bmp', 'pgm', 'ppm', 'wav', 'jpeg', 'png', 'unknown'.
+    """
+    b = content or b""
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:2] == b"P5":
+        return "pgm"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"
+
+
+DECODABLE_IMAGE = ("bmp", "pgm", "ppm")
+DECODABLE_AUDIO = ("wav",)
+
+# ---------------------------------------------------------------------------
+# BMP
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 array (h, w) grayscale or (h, w, 3) RGB -> uncompressed BMP.
+
+    Grayscale writes 8bpp + a 256-entry gray palette; RGB writes 24bpp.
+    Rows are bottom-up and padded to 4 bytes, per the format.
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        bpp, palette = 8, bytearray()
+        for i in range(256):
+            palette += bytes((i, i, i, 0))  # BGRA palette entries
+        rows = img
+    elif img.ndim == 3 and img.shape[2] == 3:
+        h, w = img.shape[:2]
+        bpp, palette = 24, b""
+        rows = img[:, :, ::-1]  # RGB -> BGR storage order
+    else:
+        raise ValueError(f"encode_bmp: unsupported shape {img.shape}")
+    row_bytes = w * (bpp // 8)
+    stride = (row_bytes + 3) & ~3
+    pixel_data = bytearray()
+    pad = b"\x00" * (stride - row_bytes)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        pixel_data += rows[y].tobytes() + pad
+    offset = 14 + 40 + len(palette)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pixel_data), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    return bytes(header + dib + bytes(palette) + pixel_data)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed BMP -> uint8 array (h, w) for 8bpp, (h, w, 3) RGB for
+    24/32bpp. Supports bottom-up (height > 0) and top-down rows."""
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    dib_size, w, h = struct.unpack_from("<Iii", content, 14)
+    if dib_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    top_down = h < 0
+    h = abs(h)
+    nch = {8: 1, 24: 3, 32: 4}.get(bpp)
+    if nch is None:
+        raise ValueError(f"{bpp}bpp BMP not supported")
+    stride = (w * nch + 3) & ~3
+    raw = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * nch]
+    if not top_down:
+        rows = rows[::-1]
+    if nch == 1:
+        return np.ascontiguousarray(rows)
+    px = rows.reshape(h, w, nch)
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB, drop alpha
+
+
+# ---------------------------------------------------------------------------
+# netpbm (PGM / PPM)
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """uint8 (h, w) -> binary PGM (P5); (h, w, 3) -> binary PPM (P6)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        magic, (h, w) = b"P5", img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic, (h, w) = b"P6", img.shape[:2]
+    else:
+        raise ValueError(f"encode_netpbm: unsupported shape {img.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_netpbm(content: bytes) -> np.ndarray:
+    """Binary PGM/PPM -> uint8 (h, w) or (h, w, 3). Handles comments and
+    arbitrary whitespace in the header, maxval <= 255."""
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    nch = 1 if content[:2] == b"P5" else 3
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end-of-line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    arr = np.frombuffer(content, dtype=np.uint8, count=w * h * nch, offset=pos)
+    return arr.reshape((h, w) if nch == 1 else (h, w, nch)).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 (n,) or (n, channels) PCM samples -> RIFF/WAVE bytes."""
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/PCM WAV -> (float32 samples in [-1, 1] shaped (n, channels),
+    sample_rate). Supports 8-bit unsigned and 16-bit signed PCM; walks the
+    chunk list so extra chunks (LIST, fact, ...) are skipped correctly."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_format}) not supported")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{bits}-bit PCM not supported")
+    n = len(x) // ch
+    return x[: n * ch].reshape(n, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# image kernels (shared by decode/resize/thumbnail operators)
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """uint8 (h, w[, 3]) -> float32 (h, w) luma (ITU-R BT.601 weights)."""
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    w = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    return img.astype(np.float32) @ w
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize of (h, w[, c]) — pure index arithmetic,
+    deterministic across platforms (no float accumulation)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+def block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style downsample of a 2-D float array by block averaging
+    (each output pixel = mean of its source rectangle)."""
+    h, w = img.shape
+    # per-block source rectangles; when out > in a block would collapse to
+    # zero width, so widen each to >= 1 source pixel (blocks then overlap —
+    # that is just nearest-neighbour sampling, still deterministic)
+    ys0 = (np.arange(out_h) * h) // out_h
+    ys1 = np.maximum((np.arange(1, out_h + 1) * h) // out_h, ys0 + 1)
+    xs0 = (np.arange(out_w) * w) // out_w
+    xs1 = np.maximum((np.arange(1, out_w + 1) * w) // out_w, xs0 + 1)
+    # integral image -> O(1) per block regardless of block size
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img, axis=0), axis=1)
+    block = (
+        ii[ys1][:, xs1] - ii[ys0][:, xs1] - ii[ys1][:, xs0] + ii[ys0][:, xs0]
+    )
+    area = (ys1 - ys0)[:, None].astype(np.float64) * (xs1 - xs0)[None, :]
+    return (block / area).astype(np.float32)
+
+
+def image_embedding(img: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Deterministic dim-float embedding: grayscale -> dim×dim block means
+    -> column means, scaled to [0, 1]. A stand-in for a CNN/CLIP encoder
+    with the same Spark-side shape (array<float> column)."""
+    g = to_grayscale(img)
+    return block_mean(g, dim, dim).mean(axis=0) / 255.0

@@ -1,8 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
-signatures) is real and tested; the actual byte decoding is STUBBED because
-the image/audio libraries are not in this container — each decode hook
+signatures) is real and tested. Byte decoding is REAL for the
+self-describing uncompressed containers — BMP / PGM / PPM images and
+RIFF-PCM WAV audio — via the pure-numpy codecs in `codecs.py` (no external
+libraries needed). Compressed formats (JPEG/PNG/MP3/video frames) require
+libjpeg/ffmpeg, which are not in this container: for those each decode hook
 either raises NotImplementedError (strict mode) or produces a deterministic
 fake derived from the bytes (test mode), clearly marked below.
 
@@ -22,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -54,20 +59,38 @@ def media_refs_table(docs_features: DataFrame) -> DataFrame:
 
 
 def _fake_decode_image(content: bytes) -> np.ndarray:
-    """DETERMINISTIC FAKE decode (no PIL in container): derives a stable
-    8×8 grayscale "image" from the byte hash. Replace with a real decoder
-    (PIL/turbojpeg) in production — the surrounding plumbing is unchanged."""
+    """DETERMINISTIC FAKE decode for formats that need libs this container
+    lacks (JPEG/PNG): derives a stable 8×8 grayscale "image" from the byte
+    hash. Real formats (BMP/PGM/PPM) never reach this — see decode_images."""
     h = hashlib.sha256(content or b"").digest()
     arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
     return arr
 
 
+def _decode_image(content: bytes, strict: bool) -> np.ndarray | None:
+    """Dispatch on magic bytes: REAL pure-numpy decode for BMP/PGM/PPM;
+    compressed formats raise (strict) or fall back to the marked fake."""
+    fmt = codecs.sniff(content)
+    if fmt == "bmp":
+        return codecs.decode_bmp(content)
+    if fmt in ("pgm", "ppm"):
+        return codecs.decode_netpbm(content)
+    if strict:
+        raise NotImplementedError(
+            f"image decode for format {fmt!r} requires PIL/libjpeg — not in"
+            " this container (BMP/PGM/PPM decode natively)"
+        )
+    return _fake_decode_image(content)
+
+
 def decode_images(media: DataFrame, strict: bool = False, embed_dim: int = 8) -> DataFrame:
     """image bytes → (width, height, channels, embedding) via mapInPandas.
 
-    strict=True raises NotImplementedError where a real decoder would run —
-    the honest mode for this container. strict=False uses the deterministic
-    fake so the distributed plumbing can be exercised end-to-end."""
+    BMP / PGM / PPM bytes are decoded for real (codecs.py, pure numpy).
+    For compressed formats, strict=True raises NotImplementedError where a
+    real JPEG/PNG decoder would run — the honest mode for this container —
+    and strict=False uses the deterministic fake so the distributed
+    plumbing can be exercised end-to-end."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,20 +98,108 @@ def decode_images(media: DataFrame, strict: bool = False, embed_dim: int = 8) ->
             for r in pdf.itertuples(index=False):
                 if r.kind != "image":
                     continue
-                if strict:
-                    raise NotImplementedError(
-                        "image decode requires PIL/libjpeg — not present in this container"
-                    )
-                img = _fake_decode_image(r.content)
-                emb = img.astype(np.float32).mean(axis=0)[:embed_dim] / 255.0
+                img = _decode_image(r.content, strict)
+                nch = 1 if img.ndim == 2 else img.shape[2]
+                emb = codecs.image_embedding(img, dim=embed_dim)
                 rows.append(
-                    (r.media_id, r.doc_id, img.shape[1], img.shape[0], 1, emb.tolist())
+                    (r.media_id, r.doc_id, img.shape[1], img.shape[0], nch, emb.tolist())
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
 
     return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame, strict: bool = False) -> DataFrame:
+    """audio bytes → (sample_rate, channels, n_samples, duration, rms, zcr)
+    via mapInPandas. RIFF-PCM WAV is decoded for real (codecs.decode_wav);
+    compressed audio (MP3/AAC) raises in strict mode, else yields a
+    deterministic fake row derived from the byte hash (marked)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                if codecs.sniff(r.content) == "wav":
+                    x, rate = codecs.decode_wav(r.content)
+                    mono = x.mean(axis=1)
+                    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+                    zcr = (
+                        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        if len(mono) > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (r.media_id, r.doc_id, rate, x.shape[1], x.shape[0],
+                         x.shape[0] / rate, rms, zcr)
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "compressed-audio decode requires ffmpeg — not in"
+                        " this container (RIFF-PCM WAV decodes natively)"
+                    )
+                else:  # DETERMINISTIC FAKE for non-WAV bytes (test mode)
+                    h = hashlib.sha256(r.content or b"").digest()
+                    rows.append(
+                        (r.media_id, r.doc_id, 16000, 1, h[0] * 256,
+                         h[0] * 256 / 16000.0, h[1] / 255.0, h[2] / 255.0)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),  # re-encoded BMP
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, strict: bool = False
+) -> DataFrame:
+    """image bytes → nearest-neighbour-resized BMP thumbnails (decode →
+    resize → re-encode, all pure numpy). The output is itself decodable,
+    so downstream stages can chain without a format break."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                img = _decode_image(r.content, strict)
+                thumb = codecs.resize_nearest(img, out_h, out_w)
+                rows.append(
+                    (r.media_id, r.doc_id, out_w, out_h, codecs.encode_bmp(thumb))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in THUMBNAIL_SCHEMA.fields])
+
+    return media.mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:

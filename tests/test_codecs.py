@@ -1,0 +1,110 @@
+"""Pure-numpy media codec vectors: encode→decode byte/array roundtrips.
+
+These prove the multimodal decode step is REAL (not a fake) for the
+uncompressed containers — BMP, PGM/PPM, RIFF-PCM WAV — with exact array
+equality, including the format's own quirks (bottom-up BMP rows, 4-byte
+row padding, netpbm header comments, WAV chunk walking / word alignment).
+No Spark session needed.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from planetiler_openmaptiles_spark.textops import codecs
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+def test_bmp_gray_roundtrip_odd_width():
+    # odd width exercises the 4-byte row padding
+    img = _rng().integers(0, 256, size=(5, 7), dtype=np.uint8)
+    out = codecs.decode_bmp(codecs.encode_bmp(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_bmp_rgb_roundtrip():
+    img = _rng().integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    blob = codecs.encode_bmp(img)
+    assert codecs.sniff(blob) == "bmp"
+    np.testing.assert_array_equal(codecs.decode_bmp(blob), img)
+
+
+def test_bmp_topdown_rows():
+    # negative height = top-down storage; decoder must not flip
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    blob = bytearray(codecs.encode_bmp(img))
+    h = struct.unpack_from("<i", blob, 22)[0]
+    struct.pack_into("<i", blob, 22, -h)
+    # rows were written bottom-up; flipping the sign flag means the decoder
+    # reads them in storage order, i.e. vertically flipped
+    np.testing.assert_array_equal(codecs.decode_bmp(bytes(blob)), img[::-1])
+
+
+def test_bmp_rejects_compressed():
+    blob = bytearray(codecs.encode_bmp(np.zeros((2, 2), dtype=np.uint8)))
+    struct.pack_into("<I", blob, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compressed"):
+        codecs.decode_bmp(bytes(blob))
+
+
+def test_netpbm_roundtrip_and_comments():
+    img = _rng().integers(0, 256, size=(3, 5), dtype=np.uint8)
+    blob = codecs.encode_netpbm(img)
+    assert codecs.sniff(blob) == "pgm"
+    np.testing.assert_array_equal(codecs.decode_netpbm(blob), img)
+    # header comments are legal netpbm; decoder must skip them
+    commented = b"P5\n# made by a test\n5 3\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(codecs.decode_netpbm(commented), img)
+    rgb = _rng().integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    blob6 = codecs.encode_netpbm(rgb)
+    assert codecs.sniff(blob6) == "ppm"
+    np.testing.assert_array_equal(codecs.decode_netpbm(blob6), rgb)
+
+
+def test_wav_roundtrip_stereo_and_chunk_walk():
+    samples = _rng().integers(-32768, 32767, size=(100, 2), dtype=np.int16)
+    blob = codecs.encode_wav(samples, 8000)
+    assert codecs.sniff(blob) == "wav"
+    x, rate = codecs.decode_wav(blob)
+    assert rate == 8000 and x.shape == (100, 2)
+    np.testing.assert_array_equal((x * 32768.0).astype(np.int16), samples)
+    # an extra odd-sized chunk before data must be skipped (word-aligned)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = blob[:12] + extra + blob[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    x2, _ = codecs.decode_wav(patched)
+    np.testing.assert_array_equal(x2, x)
+
+
+def test_sniff_compressed_formats():
+    assert codecs.sniff(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert codecs.sniff(b"\x89PNG\r\n\x1a\nrest") == "png"
+    assert codecs.sniff(b"??") == "unknown"
+    assert codecs.sniff(None) == "unknown"
+
+
+def test_resize_and_embedding_kernels():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    up = codecs.resize_nearest(img, 16, 16)
+    assert up.shape == (16, 16) and up[0, 0] == img[0, 0] and up[15, 15] == img[7, 7]
+    # block_mean of a constant image is that constant
+    const = np.full((10, 6), 7.0, dtype=np.float32)
+    np.testing.assert_allclose(codecs.block_mean(const, 3, 3), 7.0, rtol=1e-6)
+    emb = codecs.image_embedding(img, dim=4)
+    assert emb.shape == (4,) and np.all((emb >= 0) & (emb <= 1))
+    # embedding is invariant to adding a color axis of identical channels
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    np.testing.assert_allclose(codecs.image_embedding(rgb, dim=4), emb, atol=1e-3)
+
+
+def test_block_mean_upsampling_no_nan():
+    # out dim > in dim must not divide by zero (1-pixel-wide image)
+    tiny = np.array([[5.0]], dtype=np.float32)
+    out = codecs.block_mean(tiny, 8, 8)
+    np.testing.assert_allclose(out, 5.0)
+    emb = codecs.image_embedding(np.full((2, 1), 37, dtype=np.uint8))
+    np.testing.assert_allclose(emb, 37 / 255.0, rtol=1e-6)

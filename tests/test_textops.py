@@ -147,3 +147,46 @@ def test_simhash_block_rotation_recall(spark):
     got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs_from_sigs(sigs).collect()}
     assert got.get(("a", "b")) == 1
     assert ("a", "c") not in got  # far pair stays out
+
+
+def test_multimodal_real_decode(spark):
+    """BMP/PGM images and PCM WAV audio decode for REAL (pure-numpy codecs)
+    through the distributed operators — exact shapes/values, strict mode OK."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        decode_audio, decode_images, resize_images)
+
+    rng = np.random.default_rng(7)
+    img_rgb = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    img_gray = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    wav = codecs.encode_wav(
+        (np.sin(np.linspace(0, 60, 1600)) * 20000).astype(np.int16), 16000
+    )
+    media = spark.createDataFrame(
+        [
+            ("i1", "d1", "image", bytearray(codecs.encode_bmp(img_rgb)), {}),
+            ("i2", "d1", "image", bytearray(codecs.encode_netpbm(img_gray)), {}),
+            ("a1", "d2", "audio", bytearray(wav), {}),
+        ],
+        "media_id string, doc_id string, kind string, content binary, meta map<string,string>",
+    )
+    # strict=True proves no fake path is hit for these formats
+    feats = {r["media_id"]: r for r in decode_images(media, strict=True).collect()}
+    assert (feats["i1"]["width"], feats["i1"]["height"], feats["i1"]["channels"]) == (9, 6, 3)
+    assert (feats["i2"]["width"], feats["i2"]["height"], feats["i2"]["channels"]) == (4, 4, 1)
+    expect = codecs.image_embedding(img_rgb, dim=8)
+    np.testing.assert_allclose(feats["i1"]["embedding"], expect, rtol=1e-6)
+
+    audio = decode_audio(media, strict=True).collect()
+    assert len(audio) == 1
+    a = audio[0]
+    assert a["sample_rate"] == 16000 and a["channels"] == 1 and a["n_samples"] == 1600
+    assert abs(a["duration_s"] - 0.1) < 1e-9
+    # sine RMS ~ amplitude/sqrt(2) in [-1,1] units
+    assert abs(a["rms"] - (20000 / 32768.0) / np.sqrt(2)) < 0.01
+
+    thumbs = {r["media_id"]: r for r in resize_images(media, 3, 2, strict=True).collect()}
+    t = codecs.decode_bmp(bytes(thumbs["i1"]["content"]))
+    np.testing.assert_array_equal(t, codecs.resize_nearest(img_rgb, 2, 3))
