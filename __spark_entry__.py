@@ -31,6 +31,14 @@ SEED = 42
 _SF_DOCS = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 40000}
 ORACLE_SF = "sf0.01"  # driver compares at sf=0.01
 
+# Transportation merge min-length thresholds in px at the equator
+# (Transportation.java:715-736 MIN_LENGTH meters → GeoUtils.metersToPixel),
+# replayed literally in the geo_line_merge_graph oracle SQL.
+_MERGE_MIN_LEN_PX = {
+    z: m * 256 * (1 << z) / 40075016.686
+    for z, m in {4: 1_000, 5: 500, 6: 100, 7: 50}.items()
+}
+
 
 def _ensure_conf(spark: SparkSession) -> SparkSession:
     """The engine depends on these runtime-settable SQL confs; the driver's
@@ -482,6 +490,108 @@ def _q_geo_hn_z14_counts(spark, sf_dir):
     )
 
 
+def _q_geo_line_merge(spark, sf_dir):
+    """Cross-engine check of the P1 mergeLineStrings kernel — the last
+    merge family with no independent absolute-count verification
+    (FeatureMerge.java mergeLineStrings; reference pins its behavior only
+    via its own goldens, OpenMapTilesTest.java:129-205 model).
+
+    The engine runs the transportation layer END-TO-END through the
+    production path (render → groupBy(z,x,y,layer) → registered
+    _post_process: oneway fence + merge_line_strings with the per-zoom
+    min-length drop, Transportation.java:715-736) and reports, per
+    finalized tile, the kept group-row count and merged-line count
+    (decoded from the packed blobs). Transportation at z≤8 is the one
+    layer/zoom band where the synthetic corpus produces REAL merge
+    activity (multi-way routes sharing endpoints in one tile) — boundary
+    merges nothing here, so a boundary-based check would be vacuous.
+
+    The aux parquet checkpoints the PRE-merge state: one row per input
+    line with its attrs-group id, the raw `oneway` attr (fence replay),
+    endpoint keys quantized at the kernel's noding quantum (1/64 px),
+    and raw polyline length.
+
+    DuckDB then replays the merge INDEPENDENTLY with its own graph
+    logic: oneway∈{1,-1} rows become singleton groups (the kernel's
+    __limit_merge fence), endpoint degrees, join-only-at-degree-
+    exactly-2 edges, connected components via recursive min-label
+    propagation, and the per-zoom min-length drop (z4-7 in px at the
+    equator) — so a noding bug (wrong quantum, missed join, over-merge
+    through a 3-way junction, closed-ring mishandling, fence leak)
+    changes the component count and breaks the hash.
+
+    Trusted steps (per the aux-oracle pattern): the attrs group key and
+    the packed-blob decode. Drop replay compares raw chain length
+    (sum of member lengths) where the engine compares post-simplify
+    length — safe on this corpus: no chain's raw length sits within the
+    ≤0.1-px-per-vertex simplification slack of its zoom threshold."""
+    import json
+
+    from planetiler_openmaptiles_spark.geom import packed
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import make_context, rendered_features
+    from planetiler_openmaptiles_spark.tiling import postprocess
+    from planetiler_openmaptiles_spark.tiling.explode import render_tiles
+    from planetiler_openmaptiles_spark.tiling.postprocess import finalize_tiles
+
+    import numpy as np
+    import pandas as pd
+
+    corpus = _corpus_dir(sf_dir)
+    cfg = Config(only_layers=("transportation",), max_zoom=8)
+    ctx = make_context(spark, corpus, cfg)
+    pre = render_tiles(rendered_features(ctx), 8)
+
+    def explode_lines(key, pdf):
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf[pdf["kind"] == "linestring"]
+        pdf = pdf.sort_values(["sort_key", "elem_id"], kind="mergesort")
+        rows, gids, lid = [], {}, 0
+        for r in pdf.itertuples(index=False):
+            attrs = postprocess._as_dict(r.attrs)
+            k = postprocess._attrs_key(attrs)
+            gid = gids.setdefault(k, json.dumps(k))
+            ow = attrs.get("oneway", "")
+            for line in packed.lines_of(r.geom_px):
+                q = np.round(line[[0, -1]] * 64.0).astype(np.int64)
+                seg = np.diff(line, axis=0)
+                rows.append(
+                    (z, x, y, gid, ow, lid, int(q[0, 0]), int(q[0, 1]),
+                     int(q[1, 0]), int(q[1, 1]),
+                     float(np.hypot(seg[:, 0], seg[:, 1]).sum()))
+                )
+                lid += 1
+        return pd.DataFrame(
+            rows,
+            columns=["z", "x", "y", "gid", "ow", "lid",
+                     "kx0", "ky0", "kx1", "ky1", "len"],
+        )
+
+    aux_schema = (
+        "z int, x int, y int, gid string, ow string, lid int, "
+        "kx0 long, ky0 long, kx1 long, ky1 long, len double"
+    )
+    aux = pre.groupBy("z", "x", "y", "layer").applyInPandas(explode_lines, aux_schema)
+    _write_aux(aux, sf_dir, "transportation_merge_lines")
+
+    tiles = finalize_tiles(pre).filter(
+        (F.col("layer") == "transportation") & (F.col("kind") == "linestring")
+    )
+
+    def count_parts(key, pdf):
+        nl = sum(len(packed.lines_of(b)) for b in pdf["geom_px"])
+        return pd.DataFrame(
+            [(int(key[0]), int(key[1]), int(key[2]), len(pdf), nl)],
+            columns=["z", "x", "y", "n_groups", "n_lines"],
+        )
+
+    return (
+        tiles.groupBy("z", "x", "y")
+        .applyInPandas(count_parts, "z int, x int, y int, n_groups long, n_lines long")
+        .orderBy("z", "x", "y")
+    )
+
+
 def _q_geo_tiles_water(spark, sf_dir):
     """Real tile pipeline (water) z0-8 over the corpus, cross-engine
     checked: the pre-reduce tile rows (z,x,y,doc_id) checkpoint to aux and
@@ -849,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
         "geo_hn_z14_counts": _q_geo_hn_z14_counts,
+        "geo_line_merge_graph": _q_geo_line_merge,
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1338,6 +1449,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT x, y, count(DISTINCT display) AS n_features,
                    count(DISTINCT part) AS n_points
             FROM candxy GROUP BY x, y ORDER BY x, y
+        """,
+        # geo_line_merge_graph: independent replay of the P1 mergeLineStrings
+        # count from the pre-merge aux — own oneway-fence replay (singleton
+        # groups, Transportation.java:719 limitMerge), endpoint-degree
+        # computation, join-only-at-degree-exactly-2 edges, connected
+        # components via recursive min-label propagation, per-zoom
+        # min-length drop (z4-7, meters at the equator → px).
+        "geo_line_merge_graph": f"""
+            WITH RECURSIVE
+            lines AS (SELECT z, x, y,
+                             gid || CASE WHEN ow IN ('1','-1')
+                                         THEN ':fence' || lid ELSE '' END AS gk,
+                             gid, lid, kx0, ky0, kx1, ky1, len
+                      FROM read_parquet('{_aux_path("transportation_merge_lines")}/*.parquet')),
+            ends AS (
+              SELECT z, x, y, gk, lid, kx0 AS kx, ky0 AS ky FROM lines
+              UNION ALL
+              SELECT z, x, y, gk, lid, kx1, ky1 FROM lines),
+            deg AS (
+              SELECT z, x, y, gk, kx, ky, count(*) AS d,
+                     min(lid) AS la, max(lid) AS lb
+              FROM ends GROUP BY z, x, y, gk, kx, ky),
+            edges AS (
+              SELECT z, x, y, gk, la AS l1, lb AS l2 FROM deg WHERE d = 2 AND la <> lb
+              UNION ALL
+              SELECT z, x, y, gk, lb, la FROM deg WHERE d = 2 AND la <> lb),
+            comp AS (
+              SELECT z, x, y, gk, lid, lid AS lbl FROM lines
+              UNION
+              SELECT e.z, e.x, e.y, e.gk, e.l2 AS lid, c.lbl
+              FROM comp c JOIN edges e
+                ON e.z = c.z AND e.x = c.x AND e.y = c.y
+               AND e.gk = c.gk AND e.l1 = c.lid
+              WHERE c.lbl < e.l2),
+            roots AS (
+              SELECT z, x, y, gk, lid, min(lbl) AS root
+              FROM comp GROUP BY z, x, y, gk, lid),
+            chains AS (
+              SELECT l.z, l.x, l.y, l.gk, r.root, sum(l.len) AS chain_len,
+                     CASE l.z WHEN 4 THEN {_MERGE_MIN_LEN_PX[4]!r}
+                              WHEN 5 THEN {_MERGE_MIN_LEN_PX[5]!r}
+                              WHEN 6 THEN {_MERGE_MIN_LEN_PX[6]!r}
+                              WHEN 7 THEN {_MERGE_MIN_LEN_PX[7]!r}
+                              ELSE 0.0 END AS min_len
+              FROM lines l JOIN roots r
+                ON r.z = l.z AND r.x = l.x AND r.y = l.y
+               AND r.gk = l.gk AND r.lid = l.lid
+              GROUP BY l.z, l.x, l.y, l.gk, r.root),
+            kept AS (SELECT * FROM chains
+                     WHERE min_len <= 0 OR chain_len >= min_len)
+            SELECT z, x, y,
+                   CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM kept GROUP BY z, x, y ORDER BY z, x, y
         """,
         "geo_tiles_mvt": f"""
             WITH rtp AS (SELECT side, z, x, y, layer, idx, gtype, geom_s, attrs_s

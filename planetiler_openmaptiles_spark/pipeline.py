@@ -133,7 +133,26 @@ def with_wikidata_translations(feats: DataFrame, wikidata: DataFrame) -> DataFra
     ).drop("_wd_names")
 
 
+# Runtime SQL confs the layer expressions are written against. The engine's
+# semantics are deliberately lenient (imposm3/planetiler getLong/getDouble:
+# bad tag cast → null, element_at out-of-bounds → null) and zoom-gated attrs
+# overwrite base attrs via map_concat (explode.py) — under Spark 4's default
+# ANSI dialect those throw instead, so any entry point that accepts a
+# caller-built SparkSession must pin them. All are runtime-settable.
+REQUIRED_SQL_CONFS = (
+    ("spark.sql.ansi.enabled", "false"),
+    ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+)
+
+
+def apply_required_confs(spark: SparkSession) -> None:
+    for k, v in REQUIRED_SQL_CONFS:
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
 def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = None) -> LayerContext:
+    apply_required_confs(spark)
     docs = load_documents(spark, corpus_dir)
     side = load_side_tables(spark, corpus_dir)
     # the decoded features feed 30 table projections + several plan-time

@@ -152,10 +152,15 @@ def merge_line_strings(
         merged = ops.merge_lines(groups[k], quantum=0.25 / 16)
         kept = []
         for line in merged:
-            if tolerance_px >= 0:
-                line = ops.douglas_peucker(line, tolerance_px)
+            # min-length drop on the RAW merged chain, before tolerance
+            # simplification — planetiler's LoopLineMerger applies
+            # setMinLength to the merged (quantized) geometry and only
+            # then simplifies, so a wiggly chain just over the limit
+            # survives even though its simplified form would measure short.
             if min_len > 0 and ops.line_length(line) < min_len:
                 continue
+            if tolerance_px >= 0:
+                line = ops.douglas_peucker(line, tolerance_px)
             for piece in ops.clip_line_box(line, lo, lo, hi, hi):
                 if len(piece) >= 2:
                     kept.append(piece)

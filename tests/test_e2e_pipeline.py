@@ -119,3 +119,28 @@ def test_wikidata_prune_ignores_transportation_only_elements(spark):
     out = {r["elem_id"]: dict(r["tags"]) for r in with_wikidata_translations(feats, wd).collect()}
     assert "name:de" not in out[1]
     assert out[2]["name:de"] == "Stadt"
+
+
+def test_ansi_session_hardening(spark, corpus_dir):
+    """A caller-built Spark 4 session defaults to ANSI mode, where the
+    lenient tag semantics the layers rely on (element_at out-of-bounds →
+    null, bad cast → null, map_concat LAST_WIN) throw instead — e.g. the
+    transportation route-relation argmax (transportation.py:379) crashed
+    with INVALID_ARRAY_INDEX_IN_ELEMENT_AT. make_context must pin its
+    required runtime confs on whatever session it is handed."""
+    from planetiler_openmaptiles_spark.pipeline import make_context, rendered_features
+
+    prev = {
+        "spark.sql.ansi.enabled": spark.conf.get("spark.sql.ansi.enabled"),
+        "spark.sql.mapKeyDedupPolicy": spark.conf.get("spark.sql.mapKeyDedupPolicy"),
+    }
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        ctx = make_context(spark, corpus_dir, Config(only_layers=("transportation",), max_zoom=7))
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+        assert rendered_features(ctx).count() > 0
+        ctx.features.unpersist()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
