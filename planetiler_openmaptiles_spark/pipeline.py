@@ -456,6 +456,81 @@ def write_mbtiles(
     return {"path": path, "tiles": n_tiles, "minzoom": zmin, "maxzoom": zmax}
 
 
+def write_pmtiles(
+    tiles: DataFrame,
+    path: str,
+    name: str = "OpenMapTiles",
+    max_zoom: int = 14,
+) -> dict:
+    """S5 (second archive format): single-file PMTiles v3 sink, parity with
+    planetiler's ``--output=tiles.pmtiles`` (WriteablePmtiles in planetiler
+    core; this profile is archive-format-agnostic). Encoding is distributed
+    (same executor-side MVT pass as mbtiles); the Hilbert tile ids are
+    computed executor-side too (numpy, no per-row Python), Spark range-sorts
+    on them, and the driver streams the already-ordered gzipped blobs into
+    the archive — identical consecutive blobs run-length coalesce."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .geom import mercator
+    from .tiling import pmtiles as pmt
+
+    def _tid(z, x, y):
+        return pd.Series(
+            pmt.tile_ids_np(z.to_numpy(), x.to_numpy(), y.to_numpy())
+        )
+
+    # module has `from __future__ import annotations`, so inline hints are
+    # strings pandas_udf can't infer from — set real ones explicitly
+    _tid.__annotations__ = {
+        "z": pd.Series, "x": pd.Series, "y": pd.Series, "return": pd.Series
+    }
+    tid = pandas_udf(_tid, "long")
+
+    blobs = (
+        encode_mvt_blobs(tiles)
+        .withColumn("tile_id", tid("z", "x", "y"))
+        .orderBy("tile_id")
+    )
+    meta = {
+        "name": name,
+        "format": "pbf",
+        "type": "baselayer",
+        "description": f"{name} built with a PySpark-native engine; schema "
+                       "from https://openmaptiles.org",
+        "attribution": '<a href="https://www.openmaptiles.org/" target="_blank">'
+                       "&copy; OpenMapTiles</a> "
+                       '<a href="https://www.openstreetmap.org/copyright" '
+                       'target="_blank">&copy; OpenStreetMap contributors</a>',
+        "vector_layers": vector_layers_json(tiles),
+    }
+    writer = pmt.PmtilesWriter(path, meta)
+    zmin, zmax = 99, -1
+    xymin: dict = {}
+    xymax: dict = {}
+    for row in blobs.toLocalIterator():
+        writer.add_tile(int(row["tile_id"]), bytes(row["tile_data"]),
+                        compressed=True)
+        z, x, y = row["z"], row["x"], row["y"]
+        zmin, zmax = min(zmin, z), max(zmax, z)
+        ax, ay = xymin.get(z, (1 << z, 1 << z))
+        bx, by = xymax.get(z, (-1, -1))
+        xymin[z] = (min(ax, x), min(ay, y))
+        xymax[z] = (max(bx, x), max(by, y))
+    h = writer.header
+    h.min_zoom = zmin if zmin <= zmax else 0
+    h.max_zoom = zmax if zmax >= 0 else max_zoom
+    if zmax >= 0:
+        n = 1 << zmax
+        (x0, y0), (x1, y1) = xymin[zmax], xymax[zmax]
+        w, n_lat = mercator.world_to_lonlat(x0 / n, y0 / n)
+        e, s_lat = mercator.world_to_lonlat((x1 + 1) / n, (y1 + 1) / n)
+        h.bounds = (w, s_lat, e, n_lat)
+        h.center = ((w + e) / 2, (s_lat + n_lat) / 2)
+        h.center_zoom = zmax
+    return writer.finish()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True)
@@ -470,6 +545,8 @@ def main(argv=None):
                          " (reference README.md:33); negative disables")
     ap.add_argument("--mbtiles", default=None,
                     help="also write a gzipped-MVT mbtiles archive here")
+    ap.add_argument("--pmtiles", default=None,
+                    help="also write a single-file PMTiles v3 archive here")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -502,6 +579,11 @@ def main(argv=None):
         if args.mbtiles
         else None
     )
+    pm = (
+        write_pmtiles(tiles_back, args.pmtiles, max_zoom=args.max_zoom)
+        if args.pmtiles
+        else None
+    )
     wall = time.time() - t0
     report = {
         "tile_features": n_feats,
@@ -517,6 +599,7 @@ def main(argv=None):
             "report_counts_s": round(time.time() - t_write, 2),
         },
         **({"mbtiles": mb} if mb else {}),
+        **({"pmtiles": pm} if pm else {}),
     }
     with open(os.path.join(args.out, "build_report.json"), "w") as f:
         json.dump(report, f, indent=2)
