@@ -131,6 +131,11 @@ class CheckpointManager:
             "fingerprint": fingerprint,
             "rows": rows,
             "wall_s": round(time.time() - t0, 3),
+            # absolute schedule bounds: concurrent stage walls overlap, so
+            # scaling analysis needs start/end to reconstruct the critical
+            # path rather than summing walls
+            "t_start": round(t0, 3),
+            "t_end": round(time.time(), 3),
             "partitions": out.rdd.getNumPartitions(),
             "lineage": lineage or [],
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
