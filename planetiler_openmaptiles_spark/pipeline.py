@@ -253,7 +253,11 @@ def build_tiles(
                 spark, lineage=["documents"], out_partitions=8,
             )
 
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        # pool width >= layer count: with 8 workers the 16 stages ran in two
+        # waves and the second wave's stragglers set the critical path; the
+        # submit threads only drive py4j analysis + job scheduling (no GIL-
+        # bound work), so one thread per layer is cheap
+        with ThreadPoolExecutor(max_workers=max(len(names), 8)) as ex:
             futs = [ex.submit(run_stage, n, m) for n, m in zip(names, mods)]
             layer_dfs = [f.result() for f in futs]
         if ctx is not None:

@@ -51,6 +51,13 @@ def get_spark(
         # lenient coercion: invalid tag casts → null (imposm3/planetiler
         # getLong/getDouble semantics), element_at out-of-bounds → null
         .config("spark.sql.ansi.enabled", "false")
+        # Spark 4 wraps EVERY python DataFrame/Column API call to capture
+        # the user call site for error enrichment: one conf.get + origin
+        # set + clear = 3 extra py4j round trips plus a Python stack walk
+        # PER CALL. The 16-layer plan build makes ~100k such calls; with
+        # capture on, driver-side plan construction is the build's
+        # critical path. Errors still carry the JVM-side context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # cluster-submit passthrough: lets the pipeline CLI run unchanged
     # against a standalone master (tools/cluster_bench.py) — executor

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference is batch-only (SURVEY.md §2.9); these are the engine's
+streaming additions for continuously-arriving training-data corpora:
+
+- ``streaming_dedup_first_seen``: cross-micro-batch exact dedup — the
+  streaming form of ``textops.dedup.exact_dups``. State is keyed by a
+  bounded content-hash *bucket* (not one state row per document), so each
+  state-store entry holds the set of full hashes seen in that bucket;
+  bucket count is the knob that trades state-row count against row size.
+  Emits each new unique document once with its content hash; replays and
+  cross-batch duplicates are suppressed.
+
+- ``windowed_event_counts``: watermark + tumbling-window aggregate over the
+  ``events`` table shape (ts/event_type) — the built-in-operator baseline
+  the custom op is measured against; late rows beyond the watermark drop.
+
+At 100 TB the dedup state shards across the state store by bucket key and
+every micro-batch shuffles only (bucket, hash, id) triples, never text.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "doc_id bigint, content_hash bigint"
+STATE_SCHEMA = "seen array<long>"
+_N_BUCKETS = 256
+
+
+def _dedup_group(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """One hash bucket: emit rows whose full hash is unseen, then fold the
+    new hashes into the bucket's state."""
+    seen = set(state.get[0]) if state.exists else set()
+    out_ids, out_hashes = [], []
+    for pdf in pdfs:
+        # first occurrence inside the batch wins too: stable doc_id order
+        pdf = pdf.sort_values("doc_id")
+        for h, i in zip(pdf["content_hash"], pdf["doc_id"]):
+            h = int(h)
+            if h not in seen:
+                seen.add(h)
+                out_ids.append(int(i))
+                out_hashes.append(h)
+    state.update((list(seen),))
+    if out_ids:
+        yield pd.DataFrame({"doc_id": out_ids, "content_hash": out_hashes})
+
+
+def streaming_dedup_first_seen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dedup a stream of (doc_id, text): keep the first-seen document
+    per distinct text across ALL micro-batches. Returns (doc_id,
+    content_hash) of the survivors."""
+    hashed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+        F.pmod(F.xxhash64(F.col(text_col)), F.lit(_N_BUCKETS)).alias("bucket"),
+    )
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling-window per-type event counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+        )
+    )

@@ -41,3 +41,77 @@ def test_incremental_tile_build(spark, corpus_dir, tmp_path):
     tiles = spark.read.parquet(out)
     assert tiles.count() > 0
     assert {r["layer"] for r in tiles.select("layer").distinct().collect()} == {"water"}
+
+
+def test_stateful_dedup_cross_batch(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates inside a batch AND across
+    micro-batches are suppressed; first-seen doc_id wins (state recovers
+    from the checkpoint between availableNow runs)."""
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.streaming.stateful import (
+        streaming_dedup_first_seen,
+    )
+
+    src = str(tmp_path / "dedup_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_dedup_first_seen(stream)
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two distinct texts, one in-batch duplicate
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha", "beta", "alpha"]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+    run_once()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}
+    # batch 2 arrives later: one replayed text, one new
+    pd.DataFrame({"doc_id": [4, 5], "text": ["alpha", "gamma"]}).to_parquet(
+        os.path.join(src, "b2.parquet")
+    )
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 5}  # "alpha" suppressed by cross-batch state
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.streaming.stateful import windowed_event_counts
+
+    src = str(tmp_path / "ev_in")
+    os.makedirs(src)
+    ts = pd.to_datetime(
+        ["2026-01-01 00:10", "2026-01-01 00:40", "2026-01-01 01:05", "2026-01-01 00:20"]
+    ).astype("datetime64[us]")  # micros: Spark's parquet timestamp unit
+    pd.DataFrame(
+        {"ts": ts, "event_type": ["click", "click", "click", "view"]}
+    ).to_parquet(os.path.join(src, "e1.parquet"))
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="1 day")
+        .writeStream.format("memory").queryName("ev_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from ev_counts").collect()
+    }
+    assert rows[("2026-01-01 00:00:00", "click")] == 2
+    assert rows[("2026-01-01 01:00:00", "click")] == 1
+    assert rows[("2026-01-01 00:00:00", "view")] == 1
