@@ -866,6 +866,25 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_pairs_from_bands(spark.read.parquet(aux)).orderBy("doc_a", "doc_b")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters via distributed connected
+    components (large-star/small-star, textops/cluster.py). The LSH pair
+    list checkpoints to aux; DuckDB independently computes reachability
+    over the same edges with a recursive CTE, so the component logic —
+    the part a subtle star-step bug would break — is cross-checked."""
+    from planetiler_openmaptiles_spark.textops.cluster import connected_components
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        minhash_bands, minhash_pairs_from_bands)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_pairs_from_bands(minhash_bands(docs)).select("doc_a", "doc_b")
+    aux = _write_aux(pairs, sf_dir, "cluster_edges")
+    comps = connected_components(spark.read.parquet(aux))
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 def _q_simhash(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.dedup import (
         simhash, simhash_pairs_from_sigs)
@@ -970,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "minhash_lsh": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1278,6 +1298,20 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE edges AS (
+                SELECT doc_a AS a, doc_b AS b
+                FROM read_parquet('{_aux_path("cluster_edges")}/*.parquet')
+                UNION
+                SELECT doc_b AS a, doc_a AS b
+                FROM read_parquet('{_aux_path("cluster_edges")}/*.parquet')),
+            walk(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node ORDER BY doc_id
         """,
         "simhash_near_dups": f"""
             WITH sigs AS (SELECT doc_id, sim
