@@ -16,9 +16,13 @@ layers/MountainPeak.java:117-139.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import exprs as X
 
 TILE_EXTENT = 256  # px per tile edge (reference buffer units)
 
@@ -86,13 +90,18 @@ def meters_to_world(meters: float) -> float:
 def meter_thresholds_buffer(thresholds: dict[int, float]) -> Column:
     """ZoomFunction.MeterToPixelThresholds as per-zoom buffer overrides
     (reference setBufferPixelOverrides — layers/Waterway.java:202)."""
+    return _meter_thresholds_buffer(tuple(sorted(thresholds.items())))
+
+
+@lru_cache(maxsize=1024)
+def _meter_thresholds_buffer(items: tuple) -> Column:
     return F.array(
         *[
             F.struct(
-                F.lit(z).cast("int").alias("zoom"),
-                F.lit(meters_to_px(m, z)).alias("size"),
+                X.const(z, "int", "zoom"),
+                X.const(meters_to_px(m, z), None, "size"),
             )
-            for z, m in sorted(thresholds.items())
+            for z, m in items
         ]
     )
 
@@ -117,52 +126,69 @@ FEATURE_COLUMNS = [
 
 def attr_entries(**attrs: Column | str | int | float | None) -> Column:
     """Build a map<string,string> attr column; null values are omitted
-    (reference `nullIfEmpty` convention, util/Utils.java:31-49)."""
+    (reference `nullIfEmpty` convention, util/Utils.java:31-49).
+
+    Built as map_filter(create_map(k1, v1, …)) — key literals come from
+    the process-wide expression cache and the whole map is a handful of
+    py4j calls instead of ~6 per attr (the old struct-array-filter form);
+    entry order and null-dropping semantics are identical."""
     if not attrs:
-        return F.map_from_arrays(
-            F.array().cast("array<string>"), F.array().cast("array<string>")
-        )
-    entries = []
+        return X.expr("map_filter(map('', ''), (k, v) -> false)")
+    kv = []
     for k, v in attrs.items():
-        c = v if isinstance(v, Column) else F.lit(v)
-        entries.append(F.struct(F.lit(k).alias("key"), c.cast("string").alias("value")))
-    arr = F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
-    return F.map_from_entries(arr)
+        kv.append(X.lit(k))
+        if isinstance(v, Column):
+            kv.append(v.cast("string"))
+        else:
+            kv.append(X.const(v, "string"))
+    return F.map_filter(F.create_map(*kv), lambda k, v: v.isNotNull())
 
 
 def zattr(key: str, minzoom: Column | int, value: Column) -> Column:
     """One zoom-gated attr entry: active at z >= minzoom
     (reference setAttrWithMinzoom / ZoomFunction)."""
-    mz = minzoom if isinstance(minzoom, Column) else F.lit(minzoom)
+    if isinstance(minzoom, Column):
+        mz = minzoom.cast("int").alias("minzoom")
+    else:
+        mz = X.const(minzoom, "int", "minzoom")
     return F.struct(
-        F.lit(key).alias("key"),
-        mz.cast("int").alias("minzoom"),
+        X.const(key, None, "key"),
+        mz,
         value.cast("string").alias("value"),
     )
 
 
+# DDL text of the array types above (for the cached null-literal casts)
+ZATTR_DDL = "array<struct<key:string,minzoom:int,value:string>>"
+GRID_DDL = "array<struct<minzoom:int,maxzoom:int,size:double,limit:int>>"
+MPS_DDL = "array<struct<below_zoom:int,size:double>>"
+BUF_DDL = "array<struct<zoom:int,size:double>>"
+
+
 def zattrs_array(*entries: Column) -> Column:
     if not entries:
-        return F.lit(None).cast(ZATTR_TYPE)
+        return X.const(None, ZATTR_DDL)
     return F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
 
 
+@lru_cache(maxsize=4096)
 def grid_entry(minzoom: int, maxzoom: int, size: float, limit: int = 0) -> Column:
     return F.struct(
-        F.lit(minzoom).cast("int").alias("minzoom"),
-        F.lit(maxzoom).cast("int").alias("maxzoom"),
-        F.lit(float(size)).alias("size"),
-        F.lit(limit).cast("int").alias("limit"),
+        X.const(minzoom, "int", "minzoom"),
+        X.const(maxzoom, "int", "maxzoom"),
+        X.const(float(size), None, "size"),
+        X.const(limit, "int", "limit"),
     )
 
 
+@lru_cache(maxsize=4096)
 def mps_below(below_zoom: int, size: float) -> Column:
     """setMinPixelSizeBelowZoom(z, s): gate applies at zoom <= z
     (planetiler ZoomFunction.maxZoom semantics — WaterTest asserts
     _minpixelsize 2 at z11 for setMinPixelSizeBelowZoom(11, 2))."""
     return F.struct(
-        F.lit(below_zoom).cast("int").alias("below_zoom"),
-        F.lit(float(size)).alias("size"),
+        X.const(below_zoom, "int", "below_zoom"),
+        X.const(float(size), None, "size"),
     )
 
 
@@ -183,32 +209,34 @@ def emit(
     grid: Column | None = None,
 ) -> list[Column]:
     """Column list for one rendered feature (append id columns yourself via
-    the standard doc_id/elem_id pass-through)."""
+    the standard doc_id/elem_id pass-through). Constant arguments (the
+    common case for zoom windows, buffers, sort keys) come from the
+    process-wide expression cache — zero py4j traffic on reuse."""
 
-    def _c(v, typ=None):
-        c = v if isinstance(v, Column) else F.lit(v)
-        return c.cast(typ) if typ else c
+    def _c(v, typ, alias):
+        if isinstance(v, Column):
+            c = v.cast(typ) if typ else v
+            return c.alias(alias)
+        return X.const(v, typ, alias)
 
     return [
-        F.col("doc_id"),
-        F.col("elem_id"),
-        F.lit(layer).alias("layer"),
-        _c(form).alias("form"),
-        (geom if geom is not None else F.col("geom_wkt")).alias("geom_wkt"),
+        X.col("doc_id"),
+        X.col("elem_id"),
+        X.const(layer, None, "layer"),
+        _c(form, None, "form"),
+        (geom.alias("geom_wkt") if geom is not None else X.aliased("geom_wkt", "geom_wkt")),
         (attrs if attrs is not None else attr_entries()).alias("attrs"),
-        (zattrs if zattrs is not None else F.lit(None).cast(ZATTR_TYPE)).alias("zattrs"),
-        _c(minzoom, "int").alias("minzoom"),
-        _c(maxzoom, "int").alias("maxzoom"),
-        _c(buffer_px, "double").alias("buffer_px"),
-        (buffer_overrides if buffer_overrides is not None else F.lit(None).cast(BUF_TYPE)).alias(
-            "buffer_overrides"
-        ),
-        _c(min_pixel_size, "double").alias("min_pixel_size"),
-        (mps_overrides if mps_overrides is not None else F.lit(None).cast(MPS_TYPE)).alias(
-            "mps_overrides"
-        ),
-        _c(sort_key, "int").alias("sort_key"),
-        (grid if grid is not None else F.lit(None).cast(GRID_TYPE)).alias("grid"),
+        (zattrs.alias("zattrs") if zattrs is not None else X.const(None, ZATTR_DDL, "zattrs")),
+        _c(minzoom, "int", "minzoom"),
+        _c(maxzoom, "int", "maxzoom"),
+        _c(buffer_px, "double", "buffer_px"),
+        (buffer_overrides.alias("buffer_overrides") if buffer_overrides is not None
+         else X.const(None, BUF_DDL, "buffer_overrides")),
+        _c(min_pixel_size, "double", "min_pixel_size"),
+        (mps_overrides.alias("mps_overrides") if mps_overrides is not None
+         else X.const(None, MPS_DDL, "mps_overrides")),
+        _c(sort_key, "int", "sort_key"),
+        (grid.alias("grid") if grid is not None else X.const(None, GRID_DDL, "grid")),
     ]
 
 
@@ -236,12 +264,19 @@ def empty_features(spark) -> DataFrame:
 
 
 def union_features(dfs: list[DataFrame]) -> DataFrame:
-    """unionByName over layer outputs (SURVEY.md §2.7)."""
-    out = None
-    for df in dfs:
-        df = df.select(*FEATURE_COLUMNS)
-        out = df if out is None else out.unionByName(df)
-    return out
+    """unionByName over layer outputs (SURVEY.md §2.7).
+
+    Balanced-tree union: every Dataset transformation re-runs the analyzer
+    over its whole subtree, so a left-deep chain of n unions costs
+    O(n²) analyzer node-visits while a balanced tree costs O(n log n) —
+    measurable driver wall at 16 layers, structurally the same plan."""
+    dfs = [df.select(*[X.col(c) for c in FEATURE_COLUMNS]) for df in dfs]
+    while len(dfs) > 1:
+        dfs = [
+            dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs) else dfs[i]
+            for i in range(0, len(dfs), 2)
+        ]
+    return dfs[0]
 
 
 # --------------------------------------------------------------- sort keys

@@ -126,16 +126,24 @@ def load_addon_modules(config: Config) -> list:
     return mods
 
 
+def layer_output(ctx: LayerContext, name: str, mod) -> DataFrame:
+    """One layer's rendered-feature DataFrame, cached on the context —
+    the plan is a pure function of (ctx, layer), so repeated builds in a
+    long-lived session (bench loops, incremental drivers, resume) skip
+    the per-layer driver plan construction entirely."""
+    return ctx.shared(f"__layer_out_{name}", lambda: mod.transform(ctx))
+
+
 def transform_all(ctx: LayerContext) -> list[DataFrame]:
     """Run every active layer's transform; returns rendered-feature DFs."""
     out = []
     for name in ctx.config.active_layers():
         mod = importlib.import_module(f".{name}", __package__)
-        df = mod.transform(ctx)
+        df = layer_output(ctx, name, mod)
         if df is not None:
             out.append(df)
     for mod in load_addon_modules(ctx.config):
-        df = mod.transform(ctx)
+        df = layer_output(ctx, f"addon_{mod.LAYER_NAME}", mod)
         if df is not None:
             out.append(df)
     return out

@@ -14,16 +14,19 @@ transportation_name (J9).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import exprs as X
 from .. import spatial
 from ..features import attr_entries, emit, meters_to_px, union_features, zattr, zattrs_array
 from ..schema.layers import LAYER_BUFFERS
 from ..tiling import postprocess
-from .util import brunnel, nullif_empty, tag
+from .util import brunnel, nullif_empty, tag, tag_sql
 
 BUFFER = LAYER_BUFFERS["transportation"]
 
@@ -83,25 +86,40 @@ NETWORK_ORDER = ["us-interstate", "us-highway", "us-state", "ca-transcanada",
 TRUNK_Z5_LENGTH_WORLD = 500.0 * 256 / 40075016.686  # planetiler unit quirk kept
 
 
-def highway_class(highway: F.Column, public_transport: F.Column,
-                  construction: F.Column, man_made: F.Column) -> F.Column:
-    c = F.when(F.lit(False), F.lit(None).cast("string"))
+@lru_cache(maxsize=256)
+def highway_class(highway: str, public_transport: str,
+                  construction: str, man_made: str) -> F.Column:
+    """Transportation.java highwayClass, rendered as one SQL CASE text
+    (single py4j call, cached process-wide; identical Catalyst tree to
+    the former per-rule F.when chain). Arguments are SQL fragments —
+    column names, tag lookups, or 'CAST(NULL AS STRING)'."""
+    hw, pt, cons, mm = highway, public_transport, construction, man_made
+
+    def _in(expr_sql, values):
+        vals = ", ".join("'" + X.sql_quote(v) + "'" for v in values)
+        return f"{expr_sql} IN ({vals})"
+
+    def fize(expr_sql):
+        return "coalesce(" + expr_sql + ", '')"
+
+    whens = []
     for clazz, values in CLASS_RULES:
-        cond = highway.isin(*values)
+        cond = _in(hw, values)
         if clazz == "path":
-            cond = cond | (public_transport == "platform")
-        c = c.when(cond, F.lit(clazz))
+            cond = f"({cond}) OR ({pt} = 'platform')"
+        whens.append(f"WHEN {cond} THEN '{clazz}'")
     for clazz, cvals in CONSTRUCTION_CLASSES.items():
-        cond = (highway == "construction") & (
-            F.coalesce(construction, F.lit("")).isin(*cvals)
+        whens.append(
+            f"WHEN {hw} = 'construction' AND {_in(fize(cons), cvals)} "
+            f"THEN '{clazz}_construction'"
         )
-        c = c.when(cond, F.lit(clazz + "_construction"))
-    has_hw = (highway.isNotNull() & (highway != "")) | (
-        public_transport.isNotNull() & (public_transport != "")
+    mapped = f"CASE {' '.join(whens)} ELSE CAST(NULL AS STRING) END"
+    has_hw = (
+        f"({hw} IS NOT NULL AND {hw} <> '') OR ({pt} IS NOT NULL AND {pt} <> '')"
     )
-    mapped = c.otherwise(F.lit(None))
-    return F.when(has_hw, mapped).otherwise(
-        F.when(man_made.isin("bridge", "pier"), man_made)
+    return X.expr(
+        f"CASE WHEN {has_hw} THEN {mapped} "
+        f"ELSE CASE WHEN {_in(mm, ('bridge', 'pier'))} THEN {mm} END END"
     )
 
 
@@ -295,8 +313,8 @@ def transform(ctx) -> DataFrame:
     z13_paths = ctx.config.transportation_z13_paths
     hw = ctx.shared("prepared_highways", lambda: prepared_highways(ctx))
 
-    clazz = highway_class(F.col("highway"), F.col("public_transport"),
-                          F.col("construction"), F.col("man_made"))
+    clazz = highway_class("highway", "public_transport",
+                          "construction", "man_made")
     hw = hw.withColumn("_class", clazz).filter(F.col("_class").isNotNull())
     # drop closed pier lines (F10, Transportation.java:618-632)
     is_closed = F.col("geom_wkt").rlike(r"^LINESTRING") & (
@@ -536,7 +554,9 @@ def transform(ctx) -> DataFrame:
 
     # --- highway polygons (:697-713)
     hp = ctx.table("osm_highway_polygon")
-    pclazz = highway_class(F.col("highway"), tag("public_transport"), F.lit(None), F.col("man_made") if "man_made" in hp.columns else tag("man_made"))
+    pclazz = highway_class(
+        "highway", tag_sql("public_transport"), "CAST(NULL AS STRING)",
+        "man_made" if "man_made" in hp.columns else tag_sql("man_made"))
     keep = tag("man_made").isin("bridge", "pier") | (F.coalesce(F.col("layer"), F.lit(0)) >= 0)
     parts.append(
         hp.filter(keep & pclazz.isNotNull()).select(

@@ -81,10 +81,13 @@ def transform(ctx) -> DataFrame:
         jpts = junctions.withColumn(
             "_v", F.element_at(_vertices_udf(F.col("geom_wkt")), 1)
         ).join(best, "_v", "inner").filter(F.col("_best_rank") > 0)
-        cls_name = F.lit(None).cast("string")
-        for rk, cls in RANK_TO_HIGHWAY.items():
-            cls_name = F.when(F.col("_best_rank") == rk, F.lit(cls)).otherwise(cls_name)
-        jcls = highway_class(cls_name, F.lit(None), F.lit(None), F.lit(None))
+        cls_sql = "CASE " + " ".join(
+            f"WHEN _best_rank = {int(rk)} THEN '{cls}'"
+            for rk, cls in RANK_TO_HIGHWAY.items()
+        ) + " END"
+        jcls = highway_class(
+            cls_sql, "CAST(NULL AS STRING)",
+            "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
         parts.append(
             jpts.select(
                 *emit(
@@ -120,7 +123,8 @@ def transform(ctx) -> DataFrame:
         )["ref"]
         ref = F.coalesce(ref, any_ref)
     name = nullif_empty(F.col("name"))
-    clazz = highway_class(F.col("highway"), F.lit(None), F.col("construction"), F.col("man_made"))
+    clazz = highway_class("highway", "CAST(NULL AS STRING)",
+                          "construction", "man_made")
     base_class = F.regexp_replace(clazz, "_construction$", "")
     is_link = F.col("highway").endswith("_link")
 

@@ -6,8 +6,12 @@ stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from .. import exprs as X
 
 
 def nullif_empty(c: Column) -> Column:
@@ -28,8 +32,14 @@ def bool_int(c: Column) -> Column:
     return F.when(c, F.lit(1)).otherwise(F.lit(0))
 
 
+@lru_cache(maxsize=4096)
 def tag(key: str) -> Column:
     return F.element_at(F.col("tags"), key)
+
+
+def tag_sql(key: str) -> str:
+    """SQL text of a tag lookup (for text-rendered expressions)."""
+    return f"element_at(tags, '{X.sql_quote(key)}')"
 
 
 METERS_PER_FOOT = 0.3048
@@ -151,12 +161,28 @@ def names_zattrs(minzoom: int, tags: Column | None = None, translations: bool = 
 
 def class_case(rules: list[tuple[str, tuple[str, tuple]]], default: str | None = None) -> Column:
     """MultiExpression first-match over `tags` → class value (F3):
-    rules = [(class_value, (tag_key, (accepted values...))), ...]."""
-    c = None
+    rules = [(class_value, (tag_key, (accepted values...))), ...].
+
+    Rendered as one SQL CASE text and parsed JVM-side in a single py4j
+    call (then cached process-wide) — the Catalyst tree is identical to
+    the old per-rule F.when chain: `x IN (…)` on a missing tag is NULL,
+    which CASE treats as no-match, exactly like Column.isin."""
+    frozen = tuple((v, (k, tuple(a))) for v, (k, a) in rules)
+    return _class_case(frozen, default)
+
+
+@lru_cache(maxsize=1024)
+def _class_case(rules: tuple, default: str | None) -> Column:
+    q = X.sql_quote
+    parts = []
     for value, (key, accepted) in rules:
-        cond = F.element_at(F.col("tags"), key).isin(*accepted)
-        c = F.when(cond, F.lit(value)) if c is None else c.when(cond, F.lit(value))
-    return c.otherwise(F.lit(default)) if c is not None else F.lit(default)
+        vals = ", ".join("'" + q(v) + "'" for v in accepted)
+        parts.append(f"WHEN {tag_sql(key)} IN ({vals}) THEN '{q(value)}'")
+    whens = " ".join(parts)
+    else_sql = f"'{q(default)}'" if default is not None else "CAST(NULL AS STRING)"
+    if not whens:
+        return X.expr(else_sql)
+    return X.expr(f"CASE {whens} ELSE {else_sql} END")
 
 
 def names_col() -> Column:

@@ -151,7 +151,47 @@ def apply_required_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+# (session, corpus, config, corpus-mtime) → LayerContext. A LayerContext —
+# the decoded-features DataFrame plus its lazily built table/shared-plan
+# caches — is an immutable bundle of logical plans, so rebuilding it per
+# build only re-pays driver plan construction (~10 s of py4j + Catalyst
+# analysis for the 16 layers). Long-lived sessions that build repeatedly
+# (bench loops, incremental/streaming drivers, resume) reuse the plans;
+# the corpus mtime keys out stale schemas if files are regenerated in
+# place. Execution state is NOT cached beyond the persist marker, which
+# build_tiles re-arms below.
+_CTX_CACHE: dict = {}
+
+
+def _corpus_mtime(corpus_dir: str) -> int:
+    try:
+        return os.stat(os.path.join(corpus_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        return 0
+
+
 def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = None) -> LayerContext:
+    cfg = config or Config()
+    key = (
+        id(spark),
+        os.path.abspath(corpus_dir),
+        _fingerprint(sorted((k, str(v)) for k, v in vars(cfg).items())),
+        _corpus_mtime(corpus_dir),
+    )
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        _CTX_CACHE[key] = ctx = _build_context(spark, corpus_dir, cfg)
+    else:
+        apply_required_confs(spark)
+        sl = ctx.features.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            # a previous build released the shared decode cache on its way
+            # out — re-arm it so this build's layer stages share one fill
+            ctx.features.persist()
+    return ctx
+
+
+def _build_context(spark: SparkSession, corpus_dir: str, config: Config) -> LayerContext:
     apply_required_confs(spark)
     docs = load_documents(spark, corpus_dir)
     side = load_side_tables(spark, corpus_dir)
@@ -240,6 +280,8 @@ def build_tiles(
             # concurrent stages hit the cache instead of racing to fill it
             ctx.features.count()
 
+        from .layers import layer_output
+
         def run_stage(name, mod):
             # 8 files per layer: the 16-layer union still reads with 128-way
             # parallelism, and each render task gets a real slice of work
@@ -249,7 +291,7 @@ def build_tiles(
             # layer's output is tiny.
             return cp.stage(
                 f"layer_{name}", fp,
-                lambda: mod.transform(ctx).select(*FEATURE_COLUMNS),
+                lambda: layer_output(ctx, name, mod).select(*FEATURE_COLUMNS),
                 spark, lineage=["documents"], out_partitions=8,
             )
 

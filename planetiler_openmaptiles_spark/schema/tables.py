@@ -750,23 +750,27 @@ def match_tables_column() -> Column:
     return _expr(f"array_compact(array({cases}))")
 
 
+_BASE_ROW_COLS = (
+    "doc_id", "source", "source_layer", "elem_id",
+    "tags", "geom_wkt", "geom_kind", "rels",
+)
+
+
+@lru_cache(maxsize=1024)
+def _aliased_typed_col(tag_key: str, typ: str, mapping_keys: tuple, out_col: str) -> Column:
+    return _expr(f"{_typed_col_sql(tag_key, typ, mapping_keys)} AS `{out_col}`")
+
+
 def table_rows(features: DataFrame, table: str) -> DataFrame:
-    """Typed rows of one imposm3 table: filter + per-column tag extraction."""
+    """Typed rows of one imposm3 table: filter + per-column tag extraction.
+    Every column expression (and its alias) comes from the process-wide
+    parse cache — one py4j call per distinct column, ever."""
     spec = TABLES[table]
-    cols = [
-        F.col("doc_id"),
-        F.col("source"),
-        F.col("source_layer"),
-        F.col("elem_id"),
-        F.col("tags"),
-        F.col("geom_wkt"),
-        F.col("geom_kind"),
-        F.col("rels"),
-    ]
+    cols = [_expr(c) for c in _BASE_ROW_COLS]
     if "names" in features.columns:  # materialized i18n map (pipeline)
-        cols.append(F.col("names"))
+        cols.append(_expr("names"))
     for out_col, (tag_key, typ) in spec.columns.items():
-        cols.append(_typed_col(tag_key, typ, spec.mapping_keys).alias(out_col))
+        cols.append(_aliased_typed_col(tag_key, typ, spec.mapping_keys, out_col))
     return features.filter(spec.mapping.col()).select(*cols)
 
 
