@@ -803,6 +803,13 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.array_min(win).alias("fingerprint")).orderBy("doc_id")
 
 
+def _q_text_repetition(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.textstats import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_features(docs).orderBy("doc_id")
+
+
 NGRAM_MAX_DF = 100  # drop shingles shared by more than this many docs
 
 
@@ -986,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_scores": _q_text_lang_scores,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "minhash_lsh": _q_minhash_lsh,
@@ -1245,6 +1253,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
                   FROM documents)
+            ORDER BY doc_id
+        """,
+        "text_repetition": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+              FROM documents),
+            wpos AS (SELECT doc_id, unnest(words) AS g,
+                            generate_subscripts(words, 1) AS pos FROM d),
+            wc AS (SELECT doc_id, g, count(*) AS c FROM wpos GROUP BY 1, 2),
+            wagg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct
+                     FROM wc GROUP BY 1),
+            g2 AS (SELECT doc_id, g || ' ' || lead(g) OVER win AS gram
+                   FROM wpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                   QUALIFY gram IS NOT NULL),
+            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+            g2agg AS (SELECT doc_id, sum(c) AS n_g2, max(c) AS top_g2
+                      FROM g2c GROUP BY 1),
+            g5 AS (SELECT doc_id,
+                          g || ' ' || lead(g, 1) OVER win || ' ' || lead(g, 2) OVER win
+                            || ' ' || lead(g, 3) OVER win || ' ' || lead(g, 4) OVER win AS gram
+                   FROM wpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                   QUALIFY gram IS NOT NULL),
+            g5c AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2),
+            g5agg AS (SELECT doc_id, sum(c) AS n_g5,
+                             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_g5
+                      FROM g5c GROUP BY 1)
+            SELECT w.doc_id, n_words,
+              round((n_words - n_distinct) / greatest(n_words, 1), 6) AS dup_word_frac,
+              round(coalesce(top_g2, 0) / greatest(coalesce(n_g2, 0), 1), 6) AS top_2gram_frac,
+              round(coalesce(dup_g5, 0) / greatest(coalesce(n_g5, 0), 1), 6) AS dup_5gram_frac
+            FROM wagg w
+            LEFT JOIN g2agg USING (doc_id)
+            LEFT JOIN g5agg USING (doc_id)
             ORDER BY doc_id
         """,
         "ngram_jaccard": f"""

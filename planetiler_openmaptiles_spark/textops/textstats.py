@@ -116,3 +116,98 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     idx = F.sequence(F.lit(0), k - 1)
     win_hashes = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, window), " ")))
     return F.array_min(win_hashes)
+
+
+# --------------------------------------------------- repetition (Gopher A1)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (lowercased, whitespace-split).
+    Empty array when the document has fewer than n words (sequence() with
+    start > stop counts DOWN in Spark — must be guarded, not clamped)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    if n == 1:
+        return words
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(docs, text_col: str = "text"):
+    """Per-document word-repetition metrics — the repetition half of the
+    Gopher quality rules (Rae et al. 2021, table A1), adapted to word
+    n-grams (this corpus has no line structure):
+
+      n_words          whitespace word count
+      dup_word_frac    1 - distinct_words / words
+      top_2gram_frac   occurrences of the most frequent word 2-gram / 2-grams
+      dup_5gram_frac   occurrences inside repeated (count>1) 5-grams / 5-grams
+
+    Shape: explode → two-level aggregate per metric, then one join on
+    doc_id — each n-gram table is one shuffle on (doc_id, gram) and one on
+    doc_id; nothing is quadratic and no per-row Python anywhere, so the
+    same plan runs at corpus scale (the reference Gopher pipeline computes
+    exactly these counts per document)."""
+    base = docs.select(
+        F.col("doc_id"),
+        word_ngrams(F.col(text_col), 1).alias("w1"),
+        word_ngrams(F.col(text_col), 2).alias("w2"),
+        word_ngrams(F.col(text_col), 5).alias("w5"),
+    )
+
+    def _per_doc(col, aggs):
+        # explode_outer keeps docs whose n-gram array is empty (fewer than
+        # n words) as one g=NULL row; c counts only real grams, so the
+        # doc survives the joins with zero-valued metrics
+        return (
+            base.select("doc_id", F.explode_outer(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.when(F.col("g").isNotNull(), 1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(*aggs)
+        )
+
+    w = _per_doc(
+        "w1",
+        [F.sum("c").alias("n_words"), F.count("g").alias("n_distinct")],
+    )
+    g2 = _per_doc(
+        "w2", [F.sum("c").alias("n_g2"), F.max("c").alias("top_g2")]
+    )
+    g5 = _per_doc(
+        "w5",
+        [
+            F.sum("c").alias("n_g5"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_g5"),
+        ],
+    )
+    out = w.join(g2, "doc_id").join(g5, "doc_id")
+    frac = lambda num, den: F.round(
+        num.cast("double") / F.greatest(den, F.lit(1)).cast("double"), 6
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words"),
+        frac(F.col("n_words") - F.col("n_distinct"), F.col("n_words")).alias("dup_word_frac"),
+        frac(F.col("top_g2"), F.col("n_g2")).alias("top_2gram_frac"),
+        frac(F.col("dup_g5"), F.col("n_g5")).alias("dup_5gram_frac"),
+    )
+
+
+def repetition_filter(docs, text_col: str = "text",
+                      max_dup_word_frac: float = 0.9,
+                      max_top_2gram_frac: float = 0.2,
+                      max_dup_5gram_frac: float = 0.3):
+    """Drop documents failing the repetition thresholds (Gopher-style
+    pre-training filter); one semi-join against the metrics table."""
+    keep = repetition_features(docs, text_col).filter(
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        & (F.col("dup_5gram_frac") <= max_dup_5gram_frac)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")

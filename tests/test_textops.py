@@ -190,3 +190,44 @@ def test_multimodal_real_decode(spark):
     thumbs = {r["media_id"]: r for r in resize_images(media, 3, 2, strict=True).collect()}
     t = codecs.decode_bmp(bytes(thumbs["i1"]["content"]))
     np.testing.assert_array_equal(t, codecs.resize_nearest(img_rgb, 2, 3))
+
+
+def test_repetition_features(spark):
+    from collections import Counter
+
+    from planetiler_openmaptiles_spark.textops.textstats import (
+        repetition_features,
+        repetition_filter,
+    )
+
+    docs = [
+        ("d1", "the cat sat on the mat the cat sat again"),
+        ("d2", "spam spam spam spam spam spam"),
+        ("d3", "all words here are completely distinct tokens"),
+        ("d4", "tiny doc"),  # fewer than 5 words -> zero 5-gram metrics
+    ]
+
+    def ref(text):
+        w = text.lower().split()
+        g = lambda n: [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        c1, c2, c5 = Counter(w), Counter(g(2)), Counter(g(5))
+        frac = lambda num, den: round(num / max(den, 1), 6)
+        return {
+            "n_words": len(w),
+            "dup_word_frac": frac(len(w) - len(c1), len(w)),
+            "top_2gram_frac": frac(max(c2.values(), default=0), sum(c2.values())),
+            "dup_5gram_frac": frac(
+                sum(v for v in c5.values() if v > 1), sum(c5.values())
+            ),
+        }
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    for doc_id, text in docs:
+        expected = ref(text)
+        for k, v in expected.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+
+    kept = sorted(r["doc_id"] for r in repetition_filter(df).collect())
+    # d2 is pure repetition (top 2-gram 'spam spam' dominates) -> dropped
+    assert "d2" not in kept and "d3" in kept
