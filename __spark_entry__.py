@@ -803,6 +803,13 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.array_min(win).alias("fingerprint")).orderBy("doc_id")
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
+
+
 def _q_text_repetition(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.textstats import repetition_features
 
@@ -994,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "minhash_lsh": _q_minhash_lsh,
@@ -1254,6 +1262,24 @@ def oracle_sql() -> dict[str, str]:
                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS d FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     round(c * (ln((n.n + 1.0) / (d + 1.0)) + 1.0), 6) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tfidf, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         "text_repetition": """
             WITH d AS (

@@ -211,3 +211,43 @@ def repetition_filter(docs, text_col: str = "text",
         & (F.col("dup_5gram_frac") <= max_dup_5gram_frac)
     ).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi")
+
+
+# ----------------------------------------------------------------- tf-idf
+
+
+def tfidf_top_terms(docs, text_col: str = "text", k: int = 5,
+                    n_docs: int | None = None):
+    """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+
+    Shape at scale: term frequencies are one shuffle on (doc_id, term)
+    with map-side combine; document frequencies derive from the tf table
+    (already unique per doc/term) with one shuffle on term; the tf ⋈ df
+    join is on the vocabulary — small relative to the corpus, broadcast
+    under AQE. Ordering uses the ROUNDED score (6 dp) with the term as
+    tiebreak so the top-k cut is deterministic and engine-independent.
+
+    `n_docs` avoids the corpus count action when the caller already
+    knows it (at 10^12 docs it is table metadata)."""
+    if n_docs is None:
+        n_docs = docs.count()
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tf = (
+        docs.select("doc_id", F.explode(words).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(df, "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

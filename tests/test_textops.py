@@ -231,3 +231,28 @@ def test_repetition_features(spark):
     kept = sorted(r["doc_id"] for r in repetition_filter(df).collect())
     # d2 is pure repetition (top 2-gram 'spam spam' dominates) -> dropped
     assert "d2" not in kept and "d3" in kept
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from planetiler_openmaptiles_spark.textops.textstats import tfidf_top_terms
+
+    docs = [
+        ("d1", "apple banana apple cherry"),
+        ("d2", "banana banana durian"),
+        ("d3", "cherry durian elderberry elderberry elderberry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+           for r in tfidf_top_terms(df, k=2).collect()}
+
+    def score(tf, dfreq, n=3):
+        return round(tf * (math.log((n + 1) / (dfreq + 1)) + 1.0), 6)
+
+    # d1: apple tf=2 df=1, banana tf=1 df=2, cherry tf=1 df=2
+    assert got[("d1", 1)] == ("apple", score(2, 1))
+    # d3: elderberry tf=3 df=1 dominates
+    assert got[("d3", 1)] == ("elderberry", score(3, 1))
+    # deterministic tiebreak: banana vs cherry in d1 tie on score -> banana first
+    assert got[("d1", 2)] == ("banana", score(1, 2))
