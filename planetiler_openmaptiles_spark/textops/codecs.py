@@ -8,7 +8,8 @@ deterministic fixtures) for the formats that need no external libraries:
   * PGM / PPM — binary netpbm (P5 grayscale, P6 RGB), maxval <= 255
   * WAV  — RIFF/PCM, 8-bit unsigned or 16-bit signed little-endian
 
-Compressed formats (JPEG/PNG/MP3/video) require libjpeg/ffmpeg, which are
+PNG decodes/encodes for real too (stdlib zlib — see the PNG section).
+Remaining compressed formats (JPEG/MP3/video) require libjpeg/ffmpeg,
 not in this container — `sniff()` identifies them so the Spark layer can
 raise a clear NotImplementedError instead of guessing.
 
@@ -255,3 +256,122 @@ def image_embedding(img: np.ndarray, dim: int = 8) -> np.ndarray:
     with the same Spark-side shape (array<float> column)."""
     g = to_grayscale(img)
     return block_mean(g, dim, dim).mean(axis=0) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# PNG — real decode/encode with only stdlib zlib (no libpng).
+# Spec: W3C PNG (RFC 2083). Supported layout: 8-bit depth, non-interlaced,
+# gray / gray+alpha / RGB / RGBA; all five scanline filters on decode
+# (the encoder always emits filter 0). This closes the "compressed image"
+# gap for the multimodal operators; JPEG/video stay gated (need libjpeg/
+# ffmpeg, not in this container).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_COLOR_TO_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS_TO_COLOR = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    import zlib
+
+    img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, channels = img.shape
+    color = _PNG_CHANNELS_TO_COLOR[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = img.reshape(h, w * channels)
+    # one filter-type byte (0 = None) per scanline
+    stream = np.concatenate(
+        [np.zeros((h, 1), np.uint8), raw], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(stream, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    import zlib
+
+    b = bytes(content)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = None
+    idat = []
+    pos = 8
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG layout (depth={depth}, interlace={interlace})"
+        )
+    channels = _PNG_COLOR_TO_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    flat = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = flat[:, 0]
+    out = np.zeros((h, stride), np.uint16)  # uint16: sums before mod 256
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        line = flat[y, 1:].astype(np.uint16)
+        up = out[y - 1] if y > 0 else np.zeros(stride, np.uint16)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up — fully vectorized
+            out[y] = (line + up) & 0xFF
+        elif f == 1:  # Sub = per-lane prefix sum mod 256
+            lanes = line.reshape(-1, bpp)
+            out[y] = (np.cumsum(lanes, axis=0, dtype=np.uint64) & 0xFF).reshape(-1)
+        else:  # Average (3) / Paeth (4): left-dependent, per-pixel walk
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                bb = int(up[x])
+                if f == 3:
+                    cur[x] = (int(line[x]) + ((a + bb) >> 1)) & 0xFF
+                elif f == 4:
+                    c = int(out[y - 1][x - bpp]) if (x >= bpp and y > 0) else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = bb
+                    else:
+                        pred = c
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img

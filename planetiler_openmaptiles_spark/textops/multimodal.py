@@ -4,7 +4,7 @@ The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
 signatures) is real and tested. Byte decoding is REAL for the
 self-describing uncompressed containers — BMP / PGM / PPM images and
 RIFF-PCM WAV audio — via the pure-numpy codecs in `codecs.py` (no external
-libraries needed). Compressed formats (JPEG/PNG/MP3/video frames) require
+libraries needed; PNG via stdlib zlib). Compressed formats (JPEG/MP3/video frames) require
 libjpeg/ffmpeg, which are not in this container: for those each decode hook
 either raises NotImplementedError (strict mode) or produces a deterministic
 fake derived from the bytes (test mode), clearly marked below.
@@ -60,7 +60,7 @@ def media_refs_table(docs_features: DataFrame) -> DataFrame:
 
 def _fake_decode_image(content: bytes) -> np.ndarray:
     """DETERMINISTIC FAKE decode for formats that need libs this container
-    lacks (JPEG/PNG): derives a stable 8×8 grayscale "image" from the byte
+    lacks (JPEG/video): derives a stable 8×8 grayscale "image" from the byte
     hash. Real formats (BMP/PGM/PPM) never reach this — see decode_images."""
     h = hashlib.sha256(content or b"").digest()
     arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
@@ -68,17 +68,19 @@ def _fake_decode_image(content: bytes) -> np.ndarray:
 
 
 def _decode_image(content: bytes, strict: bool) -> np.ndarray | None:
-    """Dispatch on magic bytes: REAL pure-numpy decode for BMP/PGM/PPM;
-    compressed formats raise (strict) or fall back to the marked fake."""
+    """Dispatch on magic bytes: REAL pure-numpy decode for BMP/PGM/PPM/PNG;
+    remaining compressed formats raise (strict) or fall back to the fake."""
     fmt = codecs.sniff(content)
     if fmt == "bmp":
         return codecs.decode_bmp(content)
     if fmt in ("pgm", "ppm"):
         return codecs.decode_netpbm(content)
+    if fmt == "png":
+        return codecs.decode_png(content)
     if strict:
         raise NotImplementedError(
-            f"image decode for format {fmt!r} requires PIL/libjpeg — not in"
-            " this container (BMP/PGM/PPM decode natively)"
+            f"image decode for format {fmt!r} requires libjpeg — not in"
+            " this container (BMP/PGM/PPM/PNG decode natively)"
         )
     return _fake_decode_image(content)
 
@@ -88,7 +90,7 @@ def decode_images(media: DataFrame, strict: bool = False, embed_dim: int = 8) ->
 
     BMP / PGM / PPM bytes are decoded for real (codecs.py, pure numpy).
     For compressed formats, strict=True raises NotImplementedError where a
-    real JPEG/PNG decoder would run — the honest mode for this container —
+    real JPEG decoder would run — the honest mode for this container —
     and strict=False uses the deterministic fake so the distributed
     plumbing can be exercised end-to-end."""
 

@@ -108,3 +108,58 @@ def test_block_mean_upsampling_no_nan():
     np.testing.assert_allclose(out, 5.0)
     emb = codecs.image_embedding(np.full((2, 1), 37, dtype=np.uint8))
     np.testing.assert_allclose(emb, 37 / 255.0, rtol=1e-6)
+
+
+def test_png_roundtrip_all_layouts():
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.textops import codecs
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7), (4, 6, 3), (3, 3, 4), (2, 5, 2)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = codecs.encode_png(img)
+        assert codecs.sniff(blob) == "png"
+        np.testing.assert_array_equal(codecs.decode_png(blob), img)
+
+
+def test_png_decode_all_filters():
+    """Hand-filter scanlines with every PNG filter type and check the
+    decoder reconstructs the original pixels (encoder only emits 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.textops import codecs
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    raw = img.reshape(h, w * ch).astype(int)
+    bpp = ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    stream = b""
+    for y, f in zip(range(h), [0, 1, 2, 3, 4]):
+        line = []
+        for x in range(w * ch):
+            a = raw[y][x - bpp] if x >= bpp else 0
+            b = raw[y - 1][x] if y > 0 else 0
+            c = raw[y - 1][x - bpp] if (x >= bpp and y > 0) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            line.append((raw[y][x] - pred) & 0xFF)
+        stream += bytes([f]) + bytes(line)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(stream))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(blob), img)
