@@ -441,6 +441,75 @@ def _q_media_decode(spark, sf_dir):
     return imgs.join(auds, "doc_id").orderBy("doc_id")
 
 
+def _q_media_compressed(spark, sf_dir):
+    """REAL compressed-media decode, independently verifiable: per document,
+    synthesize a baseline JPEG (flat gray — the DC quant step at q90 is 3,
+    so round-trip is EXACT for every level; dims from doc_id arithmetic)
+    and an AVI video (flat RGB frames, DIB for even docs / MJPEG for odd),
+    then run them through the distributed operators in STRICT mode. DuckDB
+    re-derives every column by pure arithmetic, so a defect anywhere in the
+    T.81 chain (DCT/quant/Huffman/bitstream/restart markers) or the RIFF
+    frame walk breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs, jpeg
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, decode_images, sample_video_frames)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 1500)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = np.full((1 + d % 9, 1 + d % 11), d % 256, dtype=np.uint8)
+                rows.append((
+                    f"jpg{d}", str(d), "image",
+                    jpeg.encode_jpeg(img, quality=90,
+                                     restart_interval=1 if d % 4 == 0 else 0),
+                    None,
+                ))
+                n, fps = 2 + d % 5, 1 + d % 3
+                frames = np.stack([
+                    np.full((4 + d % 5, 4 + d % 7, 3), (d * 7 + 13 * i) % 256,
+                            dtype=np.uint8)
+                    for i in range(n)
+                ])
+                rows.append((
+                    f"avi{d}", str(d), "video",
+                    codecs.encode_avi(frames, fps=fps, mjpeg=bool(d % 2),
+                                      quality=90),
+                    None,
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    imgs = decode_images(media, strict=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "width", "height", "channels",
+        F.round(F.element_at("embedding", 1) * 255.0).cast("int").alias("emb_gray"),
+    )
+    vids = (
+        sample_video_frames(media, every_n_seconds=1.0, strict=True)
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.count("*").cast("int").alias("n_frames"),
+            F.max("width").cast("int").alias("frame_w"),
+            F.max("height").cast("int").alias("frame_h"),
+            F.round(
+                F.max(F.when(F.col("frame_index") == 0,
+                             F.element_at("embedding", 1))) * 255.0
+            ).cast("int").alias("frame0_gray"),
+        )
+    )
+    return imgs.join(vids, "doc_id").orderBy("doc_id")
+
+
 def _q_geo_span_roundtrip(spark, sf_dir):
     """Span-sequence invariant: every document must re-encode exactly."""
     from planetiler_openmaptiles_spark.pipeline import check_span_invariant
@@ -988,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rel_min_admin": _q_geo_rel_min_admin,
         "geo_media_refs": _q_geo_media_refs,
         "media_decode_roundtrip": _q_media_decode,
+        "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
@@ -1234,6 +1304,25 @@ def oracle_sql() -> dict[str, str]:
               CAST(100 + doc_id % 50 AS INT) AS n_samples,
               CAST(doc_id % 20000 AS INT) AS rms_amp
             FROM documents WHERE doc_id < 2000 ORDER BY doc_id
+        """,
+        "media_compressed_roundtrip": """
+            -- independent re-derivation of the compressed-media decode:
+            -- Spark synthesizes a flat-gray baseline JPEG (q90 DC quant
+            -- step 3 => exact round-trip; h=1+d%9, w=1+d%11, gray d%256,
+            -- restart markers every MCU when d%4=0) and an AVI (2+d%5
+            -- flat-RGB frames, value (7d+13i)%256, fps 1+d%3, DIB/MJPEG
+            -- alternating) per doc and DECODES REAL BYTES; sampling every
+            -- 1 s keeps frame indices 0, fps, 2*fps, ...
+            SELECT doc_id,
+              CAST(1 + doc_id % 11 AS INT) AS width,
+              CAST(1 + doc_id % 9 AS INT) AS height,
+              CAST(1 AS INT) AS channels,
+              CAST(doc_id % 256 AS INT) AS emb_gray,
+              CAST(CEIL((2 + doc_id % 5) / CAST(1 + doc_id % 3 AS DOUBLE)) AS INT) AS n_frames,
+              CAST(4 + doc_id % 7 AS INT) AS frame_w,
+              CAST(4 + doc_id % 5 AS INT) AS frame_h,
+              CAST((doc_id * 7) % 256 AS INT) AS frame0_gray
+            FROM documents WHERE doc_id < 1500 ORDER BY doc_id
         """,
         "text_tokens": r"""
             SELECT doc_id,

@@ -8,10 +8,12 @@ deterministic fixtures) for the formats that need no external libraries:
   * PGM / PPM — binary netpbm (P5 grayscale, P6 RGB), maxval <= 255
   * WAV  — RIFF/PCM, 8-bit unsigned or 16-bit signed little-endian
 
-PNG decodes/encodes for real too (stdlib zlib — see the PNG section).
-Remaining compressed formats (JPEG/MP3/video) require libjpeg/ffmpeg,
-not in this container — `sniff()` identifies them so the Spark layer can
-raise a clear NotImplementedError instead of guessing.
+PNG decodes/encodes for real too (stdlib zlib — see the PNG section),
+baseline JPEG lives in the sibling `jpeg.py` (T.81 Huffman + IDCT, pure
+numpy), and AVI video (DIB/MJPEG frame streams) is at the bottom of this
+file. Formats beyond those (MP3/AAC audio, MP4/H.264 video) require
+ffmpeg, not in this container — `sniff()` identifies what it can so the
+Spark layer can raise a clear NotImplementedError instead of guessing.
 
 Reference parity note: the reference pipeline treats media as opaque refs
 (planetiler has no media decode); these codecs back the training-data
@@ -32,7 +34,8 @@ import numpy as np
 def sniff(content: bytes | None) -> str:
     """Identify a media container from magic bytes.
 
-    Returns one of 'bmp', 'pgm', 'ppm', 'wav', 'jpeg', 'png', 'unknown'.
+    Returns one of 'bmp', 'pgm', 'ppm', 'wav', 'avi', 'jpeg', 'png',
+    'unknown'.
     """
     b = content or b""
     if b[:2] == b"BM":
@@ -43,6 +46,8 @@ def sniff(content: bytes | None) -> str:
         return "ppm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -375,3 +380,113 @@ def decode_png(content: bytes) -> np.ndarray:
                     raise ValueError(f"bad PNG filter {f}")
     img = out.astype(np.uint8).reshape(h, w, channels)
     return img[:, :, 0] if channels == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# AVI — uncompressed-DIB video (RIFF 'AVI ', '00db' frames, 24bpp BGR
+# bottom-up like BMP). Enough of the container (avih + strl/strh/strf +
+# movi + idx1) that mainstream tools read the output; the decoder also
+# accepts files without an index. MJPEG ('00dc' + JPEG bytes) decodes via
+# the baseline JPEG codec in jpeg.py.
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10, mjpeg: bool = False,
+               quality: int = 85) -> bytes:
+    """uint8 (n, h, w, 3) RGB frames -> AVI bytes (DIB or MJPEG stream)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_avi expects (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(tag: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", tag + payload)
+
+    if mjpeg:
+        from . import jpeg as _jpeg
+
+        payloads = [_jpeg.encode_jpeg(f, quality=quality) for f in frames]
+        fourcc, ctag, bisize = b"MJPG", b"00dc", 0
+    else:
+        payloads = []
+        for f in frames:
+            rows = f[:, :, ::-1]
+            pad = b"\x00" * (stride - w * 3)
+            payloads.append(
+                b"".join(rows[y].tobytes() + pad for y in range(h - 1, -1, -1))
+            )
+        fourcc, ctag, bisize = b"\x00\x00\x00\x00", b"00db", stride * h
+    max_bytes = max(len(p) for p in payloads) if payloads else 0
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // max(fps, 1), max_bytes * fps, 0,
+        0x10, n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0, n,
+        max_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24,
+        b"MJPG" if mjpeg else b"\x00\x00\x00\x00", bisize, 2835, 2835, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = [chunk(ctag, p) for p in payloads]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx, off = bytearray(), 4
+    for i, c in enumerate(movi_chunks):
+        idx += struct.pack("<4sIII", ctag, 0x10, off, len(payloads[i]))
+        off += len(c)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(content: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes -> (frames uint8 (n, h, w, 3) RGB, fps). Supports the
+    uncompressed-DIB and MJPEG profiles written by encode_avi."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    w = h = fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            tag = content[pos:pos + 4]
+            size = struct.unpack_from("<I", content, pos + 4)[0]
+            data_start = pos + 8
+            if tag == b"LIST":
+                walk(data_start + 4, data_start + size)
+            elif tag == b"strh":
+                scale, rate = struct.unpack_from("<II", content, data_start + 20)
+                if scale:
+                    fps = max(1, round(rate / scale))
+            elif tag == b"strf":
+                _, w, h = struct.unpack_from("<Iii", content, data_start)
+                h = abs(h)
+            elif tag[2:4] == b"db":
+                stride = (w * 3 + 3) & ~3
+                raw = np.frombuffer(content, np.uint8, stride * h, data_start)
+                rows = raw.reshape(h, stride)[:, : w * 3][::-1]
+                frames.append(np.ascontiguousarray(rows.reshape(h, w, 3)[:, :, ::-1]))
+            elif tag[2:4] == b"dc" and size:
+                from . import jpeg as _jpeg
+
+                img = _jpeg.decode_jpeg(content[data_start:data_start + size])
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                frames.append(img)
+            pos = data_start + size + (size % 2)
+
+    walk(12, len(content))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return np.stack(frames), fps or 1

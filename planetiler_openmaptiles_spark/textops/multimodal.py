@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
-signatures) is real and tested. Byte decoding is REAL for the
-self-describing uncompressed containers — BMP / PGM / PPM images and
-RIFF-PCM WAV audio — via the pure-numpy codecs in `codecs.py` (no external
-libraries needed; PNG via stdlib zlib). Compressed formats (JPEG/MP3/video frames) require
-libjpeg/ffmpeg, which are not in this container: for those each decode hook
-either raises NotImplementedError (strict mode) or produces a deterministic
-fake derived from the bytes (test mode), clearly marked below.
+signatures) is real and tested. Byte decoding is REAL across all three
+modalities via the pure-numpy codecs in `codecs.py`/`jpeg.py` (no external
+libraries): BMP / PGM / PPM / PNG (stdlib zlib) / baseline JPEG (T.81
+Huffman + IDCT from the spec) images, RIFF-PCM WAV audio, and AVI video
+(uncompressed-DIB or MJPEG frame streams). Formats beyond those (MP3/AAC,
+MP4/H.264) require ffmpeg, which is not in this container: for those each
+decode hook either raises NotImplementedError (strict mode) or produces a
+deterministic fake derived from the bytes (test mode), clearly marked
+below.
 
 Pattern at 100 TB: media bytes live in their own column family / parquet
 files; `mapInPandas` streams Arrow batches so a 100 MB video row never
@@ -68,8 +70,9 @@ def _fake_decode_image(content: bytes) -> np.ndarray:
 
 
 def _decode_image(content: bytes, strict: bool) -> np.ndarray | None:
-    """Dispatch on magic bytes: REAL pure-numpy decode for BMP/PGM/PPM/PNG;
-    remaining compressed formats raise (strict) or fall back to the fake."""
+    """Dispatch on magic bytes: REAL pure-numpy decode for
+    BMP/PGM/PPM/PNG/JPEG (baseline JPEG via jpeg.py — T.81 Huffman + IDCT,
+    no libjpeg); anything else raises (strict) or falls back to the fake."""
     fmt = codecs.sniff(content)
     if fmt == "bmp":
         return codecs.decode_bmp(content)
@@ -77,10 +80,14 @@ def _decode_image(content: bytes, strict: bool) -> np.ndarray | None:
         return codecs.decode_netpbm(content)
     if fmt == "png":
         return codecs.decode_png(content)
+    if fmt == "jpeg":
+        from . import jpeg
+
+        return jpeg.decode_jpeg(content)
     if strict:
         raise NotImplementedError(
-            f"image decode for format {fmt!r} requires libjpeg — not in"
-            " this container (BMP/PGM/PPM/PNG decode natively)"
+            f"image decode for format {fmt!r} is not supported"
+            " (BMP/PGM/PPM/PNG/baseline-JPEG decode natively)"
         )
     return _fake_decode_image(content)
 
@@ -204,10 +211,70 @@ def resize_images(
     return media.mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n_seconds: float = 1.0, strict: bool = False,
+    embed_dim: int = 8,
+) -> DataFrame:
+    """video bytes → one row per sampled frame (ts, dims, embedding) via
+    mapInPandas. AVI containers (uncompressed-DIB or MJPEG streams) decode
+    for REAL (codecs.decode_avi + the baseline JPEG codec); other video
+    formats raise in strict mode, else yield a deterministic fake frame row
+    per sampled timestamp derived from the byte hash (marked)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                if codecs.sniff(r.content) == "avi":
+                    frames, fps = codecs.decode_avi(r.content)
+                    step = max(1, round(every_n_seconds * fps))
+                    for i in range(0, len(frames), step):
+                        emb = codecs.image_embedding(frames[i], dim=embed_dim)
+                        rows.append(
+                            (r.media_id, r.doc_id, i, i / fps,
+                             frames.shape[2], frames.shape[1], emb.tolist())
+                        )
+                elif strict:
+                    raise NotImplementedError(
+                        "video decode beyond AVI (DIB/MJPEG) requires"
+                        " ffmpeg — not in this container"
+                    )
+                else:  # DETERMINISTIC FAKE for non-AVI bytes (test mode)
+                    h = hashlib.sha256(r.content or b"").digest()
+                    n = 1 + h[0] % 4
+                    for i in range(n):
+                        img = _fake_decode_image((r.content or b"") + bytes([i]))
+                        emb = codecs.image_embedding(img, dim=embed_dim)
+                        rows.append(
+                            (r.media_id, r.doc_id, i, float(i), 8, 8, emb.tolist())
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_FEATURES_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, FRAME_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: rows (media_id, frame_ts) computed from
-    the duration metadata — pure JVM; the decode of each frame is the
-    stubbed step."""
+    the duration metadata — pure JVM, no byte decode; pairs with
+    sample_video_frames (the real decode path) when the blob column is
+    stored separately and only the schedule is needed."""
     duration = F.coalesce(F.element_at(F.col("meta"), "duration_s").cast("double"), F.lit(0.0))
     n = F.floor(duration / F.lit(every_n_seconds)).cast("int")
     return (

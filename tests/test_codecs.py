@@ -163,3 +163,88 @@ def test_png_decode_all_filters():
         + codecs._png_chunk(b"IEND", b"")
     )
     np.testing.assert_array_equal(codecs.decode_png(blob), img)
+
+
+# --------------------------------------------------------------------- JPEG
+
+
+def test_jpeg_flat_blocks_near_exact():
+    from planetiler_openmaptiles_spark.textops import jpeg
+
+    # flat blocks have only a DC coefficient: quantization error ≈ 0
+    gray = np.full((16, 16), 128, dtype=np.uint8)
+    np.testing.assert_array_equal(jpeg.decode_jpeg(jpeg.encode_jpeg(gray)), gray)
+    rgb = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=90))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_jpeg_gradient_roundtrip_odd_dims():
+    from planetiler_openmaptiles_spark.textops import jpeg
+
+    g = np.linspace(0, 255, 23 * 17).reshape(23, 17).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+
+    x, y = np.linspace(0, 255, 40), np.linspace(0, 255, 25)
+    rgb = np.stack(
+        np.broadcast_arrays(x[None, :], y[:, None], (x[None, :] + y[:, None]) / 2),
+        axis=-1,
+    ).astype(np.uint8)
+    for sub, tol in (("444", 8), ("422", 16), ("420", 16)):
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=95, subsample=sub))
+        assert out.shape == rgb.shape, sub
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= tol, sub
+
+
+def test_jpeg_restart_intervals():
+    from planetiler_openmaptiles_spark.textops import jpeg
+
+    rng = _rng()
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    b = jpeg.encode_jpeg(img, quality=90, restart_interval=2)
+    assert any(  # RSTn markers actually present
+        b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7 for i in range(len(b) - 1)
+    )
+    np.testing.assert_array_equal(jpeg.decode_jpeg(b), plain)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from planetiler_openmaptiles_spark.textops import jpeg
+
+    b = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = bytes(b).find(b"\xff\xc0")
+    b[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(b))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+
+
+# ---------------------------------------------------------------------- AVI
+
+
+def test_avi_dib_roundtrip_exact():
+    rng = _rng()
+    frames = rng.integers(0, 256, size=(5, 9, 13, 3), dtype=np.uint8)
+    b = codecs.encode_avi(frames, fps=4)
+    assert codecs.sniff(b) == "avi"
+    out, fps = codecs.decode_avi(b)
+    assert fps == 4
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_avi_mjpeg_roundtrip_and_errors():
+    smooth = np.zeros((3, 16, 16, 3), np.uint8)
+    for i in range(3):
+        smooth[i, :, :, 0] = 40 * i + 50
+        smooth[i, :, :, 1] = 100
+        smooth[i, :, :, 2] = np.linspace(0, 250, 16)[None, :].astype(np.uint8)
+    out, fps = codecs.decode_avi(codecs.encode_avi(smooth, fps=2, mjpeg=True, quality=95))
+    assert fps == 2 and out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 12
+    with pytest.raises(ValueError):
+        codecs.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")

@@ -256,3 +256,50 @@ def test_tfidf_top_terms(spark):
     assert got[("d3", 1)] == ("elderberry", score(3, 1))
     # deterministic tiebreak: banana vs cherry in d1 tie on score -> banana first
     assert got[("d1", 2)] == ("banana", score(1, 2))
+
+
+def test_multimodal_compressed_decode(spark):
+    """JPEG images and AVI video decode for REAL (baseline T.81 + RIFF
+    codecs) through the distributed operators in strict mode — no fake."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.textops import codecs, jpeg
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        decode_images, sample_video_frames)
+
+    x, y = np.linspace(0, 255, 24), np.linspace(0, 255, 16)
+    img = np.stack(
+        np.broadcast_arrays(x[None, :], y[:, None], (x[None, :] + y[:, None]) / 2),
+        axis=-1,
+    ).astype(np.uint8)
+    frames = np.stack([np.roll(img, 3 * i, axis=1) for i in range(6)])
+    media = spark.createDataFrame(
+        [
+            ("j1", "d1", "image", bytearray(jpeg.encode_jpeg(img, quality=95)), {}),
+            ("v1", "d2", "video", bytearray(codecs.encode_avi(frames, fps=2)), {}),
+            ("v2", "d2", "video",
+             bytearray(codecs.encode_avi(frames[:2], fps=1, mjpeg=True, quality=95)), {}),
+        ],
+        "media_id string, doc_id string, kind string, content binary, meta map<string,string>",
+    )
+    feats = {r["media_id"]: r for r in decode_images(media, strict=True).collect()}
+    assert (feats["j1"]["width"], feats["j1"]["height"], feats["j1"]["channels"]) == (24, 16, 3)
+    # embedding of the decoded JPEG is close to the source image's
+    want = codecs.image_embedding(img, dim=8)
+    got = np.array(feats["j1"]["embedding"])
+    assert np.abs(got - want).max() < 0.05
+
+    rows = sample_video_frames(media, every_n_seconds=1.0, strict=True).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # fps=2, 6 frames, 1s sampling -> frames 0, 2, 4 at ts 0.0/1.0/2.0
+    v1 = sorted(by_media["v1"], key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in v1] == [0, 2, 4]
+    assert [r["frame_ts"] for r in v1] == [0.0, 1.0, 2.0]
+    assert all((r["width"], r["height"]) == (24, 16) for r in v1)
+    np.testing.assert_allclose(
+        v1[0]["embedding"], codecs.image_embedding(frames[0], dim=8), rtol=1e-5
+    )
+    assert [r["frame_index"] for r in sorted(
+        by_media["v2"], key=lambda r: r["frame_index"])] == [0, 1]
