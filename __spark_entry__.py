@@ -826,6 +826,22 @@ def _q_dedup_exact_keep(spark, sf_dir):
     return exact_dedup(docs).select("doc_id").orderBy("doc_id")
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph (word-chunk) dedup: drop corpus-wide duplicate
+    10-word chunks except the first occurrence by (doc_id, chunk_idx), then
+    reassemble. The oracle replays the window logic with DuckDB's own
+    row_number over the chunk text itself (no hash involved), so both the
+    chunking arithmetic and the keep-first rule are independently checked."""
+    from planetiler_openmaptiles_spark.textops.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        paragraph_dedup(docs, chunk_words=10)
+        .select("doc_id", "n_chunks", "n_kept", F.md5("dedup_text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_text_tokens(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.textstats import (
         regex_token_count, whitespace_token_count)
@@ -1076,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "paragraph_dedup": _q_paragraph_dedup,
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1288,6 +1305,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
                   FROM documents)
             GROUP BY norm ORDER BY doc_id
+        """,
+        "paragraph_dedup": r"""
+            -- CCNet-style paragraph dedup replayed on the chunk TEXT
+            -- (engine windows on xxhash64 + text tiebreak; same result)
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                     array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk
+              FROM norm, UNNEST(range(CAST(ceil(length(words)/10.0) AS BIGINT))) AS t(i)),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+              CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+              md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                           FILTER (WHERE rn = 1), '')) AS text_md5
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
         "media_decode_roundtrip": """
             -- independent re-derivation of the media decode outputs: the

@@ -296,3 +296,65 @@ def simhash_pairs_from_sigs(
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------- paragraph dedup
+
+
+def paragraph_chunks(docs: DataFrame, text_col: str = "text",
+                     chunk_words: int = 10) -> DataFrame:
+    """Explode documents into their dedup units: real paragraphs when the
+    text has blank-line structure, else tumbling `chunk_words`-word chunks
+    (the corpus here is flat word streams). One row per
+    (doc_id, chunk_idx, chunk, chunk_hash) — all JVM built-ins."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn("chunk_hash", F.xxhash64("chunk"))
+    )
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    chunk_words: int = 10) -> DataFrame:
+    """CCNet-style paragraph-level dedup: remove every corpus-wide duplicate
+    paragraph except its first occurrence (ordered by doc_id, then position
+    within the doc), then reassemble documents.
+
+    Returns (doc_id, n_chunks, n_kept, dedup_text). Cost at 100 TB: ONE
+    shuffle on the 64-bit chunk hash (window ranks occurrences; the chunk
+    text rides along to break hash-collision ties), then one groupBy
+    doc_id to reassemble — no joins, no driver state. The first-occurrence
+    rule (rather than drop-all) keeps exactly one copy of boilerplate, the
+    variant CCNet's shard-hash dedup approximates.
+    """
+    ex = paragraph_chunks(docs, text_col, chunk_words)
+    w = Window.partitionBy("chunk_hash", "chunk").orderBy("doc_id", "chunk_idx")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_keep", F.col("_rn") == 1
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"),
+                                   F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

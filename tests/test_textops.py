@@ -303,3 +303,22 @@ def test_multimodal_compressed_decode(spark):
     )
     assert [r["frame_index"] for r in sorted(
         by_media["v2"], key=lambda r: r["frame_index"])] == [0, 1]
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from planetiler_openmaptiles_spark.textops.dedup import paragraph_dedup
+
+    w10 = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"          # one full 10-word chunk
+    uniq = "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    docs = [
+        ("a", f"{w10} {uniq}"),        # chunk0=w10 (first occurrence), chunk1=uniq
+        ("b", f"{w10} {w10}"),         # both chunks duplicate a's chunk0
+        ("c", "short tail"),           # single partial chunk, unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in paragraph_dedup(df, chunk_words=10).collect()}
+    assert got["a"] == {"doc_id": "a", "n_chunks": 2, "n_kept": 2,
+                        "dedup_text": f"{w10} {uniq}"}
+    # doc b keeps neither copy: first global occurrence is (a, 0)
+    assert (got["b"]["n_chunks"], got["b"]["n_kept"], got["b"]["dedup_text"]) == (2, 0, "")
+    assert (got["c"]["n_chunks"], got["c"]["n_kept"], got["c"]["dedup_text"]) == (1, 1, "short tail")
