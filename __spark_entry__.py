@@ -1032,6 +1032,27 @@ def _q_ann_ivf(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: k-means clusters checkpoint to
+    aux (the oracle trusts the trained centroids — driver numpy on a fixed
+    sample — but independently replays the within-cluster self-join, the
+    cluster cap, the cosine threshold, and the keep-lowest-id policy)."""
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        ivf_assign, semantic_dedup, train_ivf_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    cents = train_ivf_centroids(emb, dim=64, k=16)
+    _write_aux(
+        emb.select("vec_id", ivf_assign(F.col("embedding"), cents).alias("cl")),
+        sf_dir, "semdedup_clusters",
+    )
+    return semantic_dedup(emb, cents, threshold=0.4).select(
+        "vec_id", "cluster", "keep", "dup_of"
+    ).orderBy("vec_id")
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.similarity import (
         embedding_near_dups, lsh_bucket)
@@ -1096,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "semantic_dedup": _q_semantic_dedup,
         "embedding_near_dups": _q_embedding_near_dups,
     }.items()}
 
@@ -1558,6 +1580,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY probe_id
                         ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
+        """,
+        "semantic_dedup": f"""
+            -- SemDeDup replay: trusts the aux cluster assignment (Spark's
+            -- trained centroids), independently re-runs cap + self-join +
+            -- threshold + keep-lowest-id
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            cl AS (SELECT vec_id, cl
+                   FROM read_parquet('{_aux_path("semdedup_clusters")}/*.parquet')),
+            ec AS (SELECT e.vec_id, v, cl FROM e JOIN cl USING (vec_id)),
+            capped AS (SELECT vec_id, v, cl FROM (
+                SELECT *, row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
+                FROM ec) WHERE rn <= 2000),
+            dups AS (SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+                     FROM capped a JOIN capped b
+                       ON a.cl = b.cl AND a.vec_id < b.vec_id
+                     WHERE list_dot_product(a.v, b.v) /
+                           greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.4
+                     GROUP BY b.vec_id)
+            SELECT ec.vec_id, ec.cl AS cluster, dup_of IS NULL AS keep, dup_of
+            FROM ec LEFT JOIN dups USING (vec_id) ORDER BY ec.vec_id
         """,
         "embedding_near_dups": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

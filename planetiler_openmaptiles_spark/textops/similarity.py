@@ -213,3 +213,56 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 2000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse k-means
+    clusters the corpus, then near-identical vectors are pruned WITHIN each
+    cluster only — the cluster bound is what makes semantic dedup tractable
+    at 100 TB (pairwise work is sum(|cluster|²), not |corpus|²; at scale you
+    raise k so clusters stay ~1e4 and this is one equi-join shuffle on the
+    cluster id).
+
+    Keep policy: deterministic keep-lowest-id — a vector is dropped iff some
+    same-cluster vector with a smaller id has cosine >= threshold (the paper
+    keeps one arbitrary representative per duplicate set; lowest-id is the
+    reproducible, SQL-replayable choice). Returns one row per input vector:
+    (id, cluster, keep, dup_of) with dup_of = the smallest such neighbor.
+
+    Clusters are capped at `max_cluster` members before the self-join (same
+    degenerate-hot-bucket guard as embedding_near_dups); overflow rows are
+    kept unexamined rather than dropped blind.
+    """
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign(F.col(vec_col), centroids).alias("_cl"),
+    )
+    wc = Window.partitionBy("_cl").orderBy(F.col(id_col).asc())
+    capped = (
+        e.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= max_cluster)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dups = (
+        a.join(b, "_cl")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(sim >= threshold)
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(F.min(f"a.{id_col}").alias("dup_of"))
+    )
+    return (
+        e.select(F.col(id_col), F.col("_cl").alias("cluster"))
+        .join(dups, id_col, "left")
+        .withColumn("keep", F.col("dup_of").isNull())
+    )

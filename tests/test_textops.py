@@ -322,3 +322,24 @@ def test_paragraph_dedup_keep_first(spark):
     # doc b keeps neither copy: first global occurrence is (a, 0)
     assert (got["b"]["n_chunks"], got["b"]["n_kept"], got["b"]["dedup_text"]) == (2, 0, "")
     assert (got["c"]["n_chunks"], got["c"]["n_kept"], got["c"]["dedup_text"]) == (1, 1, "short tail")
+
+
+def test_semantic_dedup_keep_lowest(spark):
+    from planetiler_openmaptiles_spark.textops.similarity import semantic_dedup
+
+    # two orthogonal clusters; within cluster 0, v2 is a near-copy of v1
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),   # cosine(v1,v2) ≈ 0.9992 → dup of 1
+        (3, [0.0, 1.0, 0.0]),      # other cluster, untouched
+        (4, [0.0, 0.995, 0.1]),    # cosine(v3,v4) ≈ 0.995 → dup of 3
+        (5, [0.0, 0.70, -0.714]),  # same cluster as 3 but below threshold
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    got = {r["vec_id"]: r.asDict()
+           for r in semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert [got[i]["keep"] for i in (1, 2, 3, 4, 5)] == [True, False, True, False, True]
+    assert got[2]["dup_of"] == 1 and got[4]["dup_of"] == 3
+    assert got[1]["cluster"] == got[2]["cluster"] == 0
+    assert got[3]["cluster"] == got[4]["cluster"] == got[5]["cluster"] == 1
