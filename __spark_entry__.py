@@ -911,25 +911,46 @@ def _q_ngram_jaccard(spark, sf_dir):
     per-doc sizes — this bounds the exploded self-join at df² per shingle
     instead of quadratic in the corpus (the round-1 scale hazard). The
     DuckDB oracle applies the identical cap."""
-    from pyspark.sql import Window
     from planetiler_openmaptiles_spark.textops.dedup import shingles
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # sf-scale documents land in ONE parquet split, serializing the (CPU-
+    # heavy) shingle projection on a single core; a cheap shuffle of the raw
+    # text spreads it. At 100 TB the source has thousands of splits and the
+    # repartition collapses to a no-op-sized cost next to the projection.
+    par = spark.sparkContext.defaultParallelism * 2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     sh = docs.select("doc_id", shingles(F.col("text"), 8).alias("sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    wdf = Window.partitionBy("s")
-    ex = (
-        ex.withColumn("_df", F.count("*").over(wdf))
-        .filter(F.col("_df") <= NGRAM_MAX_DF)
-        .drop("_df")
+    # Inverted index: ONE map-side-combining groupBy per shingle replaces the
+    # old count-over-window + exploded self-join (the window shuffled and
+    # sorted every exploded shingle row, and the 4-way plan reuse never
+    # fired — 4 full recomputes). Shingles are first-occurrence-distinct per
+    # doc (shingles()), so size(ds) IS the document frequency.
+    inv = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= NGRAM_MAX_DF)
+    )
+    # all i<j combinations of the (sorted, capped) posting list — array ops,
+    # bounded at df²/2 per shingle by the cap
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     pairs = (
-        ex.alias("a").join(ex.alias("b"), "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        inv.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = (
+        inv.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("n"))
+    )
     j = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
