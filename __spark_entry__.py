@@ -136,6 +136,40 @@ def _tag(key: str) -> str:
     return f"list_extract(map_extract(tags, '{key}'), 1)"
 
 
+def _wy_sql(lat: str) -> str:
+    """DuckDB mercator world-y, mirroring geom/mercator.lonlat_to_world /
+    tiling/cells.world_y (clamp → sin → log-ratio / 4π)."""
+    c = f"least(greatest({lat}, -85.05112878), 85.05112878)"
+    return f"(0.5 - ln((1 + sin(radians({c}))) / (1 - sin(radians({c})))) / (4 * pi()))"
+
+
+# shared oracle CTE fragments: point lon/lat extraction and landuse-polygon
+# ring coordinate lists, both over feat2 (the decode CTE)
+_PTS_WORLD_CTE = f"""
+pw0 AS (SELECT doc_id, tags,
+    CAST(regexp_extract(geom_wkt, '\\((-?[0-9.]+) (-?[0-9.]+)', 1) AS DOUBLE) AS lon,
+    CAST(regexp_extract(geom_wkt, '\\((-?[0-9.]+) (-?[0-9.]+)', 2) AS DOUBLE) AS lat
+  FROM feat2 WHERE geom_kind = 'point'),
+pw AS (SELECT doc_id, tags, (lon + 180.0) / 360.0 AS wx, {_wy_sql('lat')} AS wy FROM pw0)
+"""
+
+_LANDUSE_RING_CTE = f"""
+lpolys AS (SELECT doc_id AS poly_id,
+    list_transform(string_split(replace(replace(geom_wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   s -> trim(s)) AS cs
+  FROM feat2
+  WHERE geom_kind = 'polygon' AND {_tag('landuse')} IS NOT NULL),
+lvi AS (SELECT poly_id, cs, unnest(generate_series(1, len(cs))) AS i FROM lpolys),
+lv0 AS (SELECT poly_id, i,
+    CAST(split_part(cs[i], ' ', 1) AS DOUBLE) AS lon,
+    CAST(split_part(cs[i], ' ', 2) AS DOUBLE) AS lat
+  FROM lvi),
+lvw AS (SELECT poly_id, i, (lon + 180.0) / 360.0 AS wx, {_wy_sql('lat')} AS wy FROM lv0),
+ledges AS (SELECT a.poly_id, a.wx AS ex1, a.wy AS ey1, b.wx AS ex2, b.wy AS ey2
+  FROM lvw a JOIN lvw b ON b.poly_id = a.poly_id AND b.i = a.i + 1)
+"""
+
+
 def _dsl_sql(expr) -> str:
     """Render a schema.tables match expression to DuckDB SQL over feat2."""
     from planetiler_openmaptiles_spark.schema.tables import And, MatchAny, MatchField, MatchType, Not, Or
@@ -805,6 +839,90 @@ def _q_geo_tiles_mvt(spark, sf_dir):
     )
 
 
+def _q_geo_pip_cells(spark, sf_dir):
+    """Cell-indexed point-in-polygon join (the engine's S2-style quadtree
+    replacement for the reference's in-RAM PolygonIndex — planetiler
+    PolygonIndex / PreparedGeometry, SURVEY.md §4): every point × every
+    landuse polygon, candidates from a quad-cell equi-join
+    (spatial.cover_join), exact even-odd ray-cast refinement in one Arrow
+    batch. Big × big — neither side is broadcast; the shuffle key is the
+    cell. The DuckDB oracle is COMPLETELY independent of the cell logic:
+    it brute-forces all point×polygon pairs with its own WKT parse, its
+    own mercator transform, and an even-odd crossing count in pure SQL —
+    a cover cell dropped anywhere (false negative) or a refinement bug
+    (false positive) breaks the hash."""
+    from planetiler_openmaptiles_spark import spatial
+
+    feats = _decoded(spark, sf_dir)
+    pts = feats.filter(F.col("geom_kind") == "point").select(
+        F.col("doc_id").alias("pt_id"), F.col("geom_wkt").alias("pt_wkt")
+    )
+    polys = feats.filter(
+        (F.col("geom_kind") == "polygon")
+        & F.element_at(F.col("tags"), "landuse").isNotNull()
+    ).select(F.col("doc_id").alias("poly_id"), F.col("geom_wkt").alias("poly_wkt"))
+    cand = spatial.cover_join(pts, polys, "pt_wkt", "poly_wkt")
+    hit = cand.filter(spatial.contains_point_udf(F.col("poly_wkt"), F.col("pt_wkt")))
+    return hit.select("pt_id", "poly_id").orderBy("pt_id", "poly_id")
+
+
+def _q_geo_knn_cells(spark, sf_dir):
+    """EXACT k-nearest-neighbor join via the quad-cell grid
+    (spatial.knn_join): housenumber points → their 3 nearest POIs.
+    Candidates come from a 3×3 cell neighborhood equi-join; a probe whose
+    k-th hit is provably inside the guaranteed radius is done, the rest
+    brute-force (exactness by construction, unlike the fixed-radius kRing
+    join J4 uses for city matching). All Catalyst — coordinate math,
+    cells, distances, windows are JVM expressions. Oracle: full
+    brute-force kNN in SQL with the same distance arithmetic."""
+    from planetiler_openmaptiles_spark import spatial
+
+    feats = _decoded(spark, sf_dir)
+    probes = feats.filter(
+        (F.col("geom_kind") == "point")
+        & F.element_at(F.col("tags"), "addr:housenumber").isNotNull()
+    ).select(F.col("doc_id").alias("probe_id"), F.col("geom_wkt").alias("probe_wkt"))
+    targets = feats.filter(
+        (F.col("geom_kind") == "point")
+        & (
+            F.element_at(F.col("tags"), "amenity").isNotNull()
+            | F.element_at(F.col("tags"), "shop").isNotNull()
+            | F.element_at(F.col("tags"), "tourism").isNotNull()
+        )
+    ).select(F.col("doc_id").alias("nbr_id"), F.col("geom_wkt").alias("nbr_wkt"))
+    out = spatial.knn_join(
+        probes, targets, k=3,
+        a_id="probe_id", a_wkt="probe_wkt", b_id="nbr_id", b_wkt="nbr_wkt",
+    )
+    dist_m = F.round(F.sqrt(F.col("dist2")) * F.lit(40075016.686), 3)
+    return out.select(
+        "probe_id", "nbr_id", "rank", dist_m.alias("dist_m")
+    ).orderBy("probe_id", "rank")
+
+
+def _q_geo_raster_coverage(spark, sf_dir):
+    """Vector→raster cross-engine check: each landuse polygon rasterized
+    by the SAME scanline kernel the polygon-merge reducers use
+    (geom/raster.py rasterize — the engine's JTS-buffer/union replacement,
+    reference FeatureMerge.java mergeNearbyPolygons) on a 32×32
+    center-sampled grid over its world bbox; output = covered pixel
+    count. The DuckDB oracle recomputes every pixel with an even-odd
+    crossing test at the identical centers in pure SQL, so a winding,
+    scanline-rounding, or anchor bug in the raster kernel shows up as a
+    count mismatch."""
+    from planetiler_openmaptiles_spark import spatial
+
+    feats = _decoded(spark, sf_dir)
+    polys = feats.filter(
+        (F.col("geom_kind") == "polygon")
+        & F.element_at(F.col("tags"), "landuse").isNotNull()
+    )
+    cov = spatial.raster_coverage_udf(32)
+    return polys.select(
+        F.col("doc_id").alias("poly_id"), cov(F.col("geom_wkt")).alias("n_pixels")
+    ).orderBy("poly_id")
+
+
 # ------------------------------------------------------------------ textops
 
 
@@ -1121,6 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_mvt": _q_geo_tiles_mvt,
         "geo_hn_z14_counts": _q_geo_hn_z14_counts,
         "geo_line_merge_graph": _q_geo_line_merge,
+        "geo_pip_cells": _q_geo_pip_cells,
+        "geo_knn_cells": _q_geo_knn_cells,
+        "geo_raster_coverage": _q_geo_raster_coverage,
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1795,6 +1916,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM kept GROUP BY z, x, y ORDER BY z, x, y
+        """,
+        # brute-force PIP completely independent of the engine's cell
+        # index: every point × every landuse-polygon edge, even-odd
+        # crossing count in pure SQL over DuckDB's own WKT parse + its
+        # own mercator transform
+        "geo_pip_cells": decode + f""",
+            {_PTS_WORLD_CTE},
+            {_LANDUSE_RING_CTE}
+            SELECT p.doc_id AS pt_id, e.poly_id
+            FROM pw p JOIN ledges e
+              ON ((e.ey1 > p.wy) <> (e.ey2 > p.wy))
+             AND p.wx < e.ex1 + (p.wy - e.ey1) * (e.ex2 - e.ex1) / (e.ey2 - e.ey1)
+            GROUP BY 1, 2 HAVING count(*) % 2 = 1
+            ORDER BY pt_id, poly_id
+        """,
+        # brute-force exact kNN (cross join + window) with the identical
+        # distance arithmetic the Catalyst plan uses
+        "geo_knn_cells": decode + f""",
+            {_PTS_WORLD_CTE},
+            probes AS (SELECT doc_id AS probe_id, wx, wy FROM pw
+                       WHERE {_tag('addr:housenumber')} IS NOT NULL),
+            targets AS (SELECT doc_id AS nbr_id, wx, wy FROM pw
+                        WHERE {_tag('amenity')} IS NOT NULL
+                           OR {_tag('shop')} IS NOT NULL
+                           OR {_tag('tourism')} IS NOT NULL),
+            scored AS (SELECT probe_id, nbr_id,
+                (p.wx - t.wx) * (p.wx - t.wx) + (p.wy - t.wy) * (p.wy - t.wy) AS d2
+              FROM probes p CROSS JOIN targets t),
+            ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY d2 ASC, nbr_id ASC) AS rank
+              FROM scored)
+            SELECT probe_id, nbr_id, CAST(rank AS INT) AS rank,
+                   round(sqrt(d2) * 40075016.686, 3) AS dist_m
+            FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank
+        """,
+        # pixel-exact replay of the scanline raster kernel: even-odd test
+        # at the same 32×32 cell centers over the same world bbox
+        "geo_raster_coverage": decode + f""",
+            {_LANDUSE_RING_CTE},
+            bb AS (SELECT poly_id, min(wx) AS x0, min(wy) AS y0,
+                          greatest(max(wx) - min(wx), max(wy) - min(wy)) / 32 AS cell
+                   FROM lvw GROUP BY poly_id),
+            pixr AS (SELECT poly_id, x0, y0, cell,
+                            unnest(generate_series(0, 31)) AS r FROM bb),
+            ctr AS (SELECT poly_id, r, unnest(generate_series(0, 31)) AS c,
+                           x0, y0, cell FROM pixr),
+            ctr2 AS (SELECT poly_id, r, c,
+                            x0 + (c + 0.5) * cell AS px,
+                            y0 + (r + 0.5) * cell AS py FROM ctr),
+            cnt AS (SELECT t.poly_id, t.r, t.c,
+                count(*) FILTER (WHERE ((e.ey1 > t.py) <> (e.ey2 > t.py))
+                    AND t.px < e.ex1 + (t.py - e.ey1) * (e.ex2 - e.ex1) / (e.ey2 - e.ey1)) AS nc
+              FROM ctr2 t JOIN ledges e ON e.poly_id = t.poly_id
+              GROUP BY 1, 2, 3)
+            SELECT poly_id, CAST(count(*) FILTER (WHERE nc % 2 = 1) AS BIGINT) AS n_pixels
+            FROM cnt GROUP BY poly_id ORDER BY poly_id
         """,
         "geo_tiles_mvt": f"""
             WITH rtp AS (SELECT side, z, x, y, layer, idx, gtype, geom_s, attrs_s

@@ -245,6 +245,126 @@ def point_kring(lon_lat_wkt_col: Column, meters: float, zoom: int = CELL_ZOOM) -
     return cells.cells_within_meters(lon, lat, meters, zoom)
 
 
+def _pt_world_cols(wkt_col: Column) -> tuple[Column, Column]:
+    """POINT WKT → world (x, y) Column pair, JVM-side (mirrors
+    mercator.lonlat_to_world bit-for-bit via tiling.cells)."""
+    from .tiling import cells
+
+    lon = F.regexp_extract(wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 1).cast("double")
+    lat = F.regexp_extract(wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 2).cast("double")
+    return cells.world_x(lon), cells.world_y(lat)
+
+
+def knn_join(a: DataFrame, b: DataFrame, k: int,
+             a_id: str = "a_id", a_wkt: str = "a_wkt",
+             b_id: str = "b_id", b_wkt: str = "b_wkt",
+             zoom: int = 16) -> DataFrame:
+    """EXACT k-nearest-neighbors join of two point sets (big × big).
+
+    Replaces the reference's in-RAM PointIndex.getWithin/getNearest
+    (planetiler PointIndex, used by Place.java city label joins) with a
+    shuffle-friendly plan that never materializes either side on one node:
+
+      1. b emits itself into its own cell and the 8 neighbors at `zoom`
+         (so a probe's single cell sees every b within one full cell side).
+      2. candidates = a ⋈cell b — a plain hash equi-join; per-probe
+         window takes the k nearest by squared world distance.
+      3. a probe is PROVABLY complete iff it found ≥ k candidates and its
+         k-th distance < one cell side (Euclidean ≥ Chebyshev, so every
+         point that near must have landed in the 3×3 neighborhood).
+      4. the (rare) incomplete probes — sparse border regions — are
+         re-run as a tiny broadcast brute-force pass against all of b.
+
+    Entirely JVM/Catalyst: coordinate math, cell keys, distances and the
+    windows are Column expressions; no Python in the hot path. Output:
+    a_id, b_id, rank (1-based), dist2 (squared world-unit distance).
+    """
+    from pyspark.sql import Window
+
+    ax, ay = _pt_world_cols(F.col(a_wkt))
+    bx, by = _pt_world_cols(F.col(b_wkt))
+    n = 1 << zoom
+    cell_side = 1.0 / n
+
+    a2 = a.select(F.col(a_id), ax.alias("_ax"), ay.alias("_ay")).withColumn(
+        "_cx", F.floor(F.col("_ax") * n).cast("long")
+    ).withColumn("_cy", F.floor(F.col("_ay") * n).cast("long"))
+    b2 = b.select(F.col(b_id), bx.alias("_bx"), by.alias("_by")).withColumn(
+        "_bcx", F.floor(F.col("_bx") * n).cast("long")
+    ).withColumn("_bcy", F.floor(F.col("_by") * n).cast("long"))
+    offs = F.expr("explode(flatten(transform(sequence(-1,1), dx -> transform(sequence(-1,1), dy -> struct(dx, dy)))))")
+    b3 = b2.select("*", offs.alias("_o")).select(
+        F.col(b_id), "_bx", "_by",
+        (F.col("_bcx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_bcy") + F.col("_o.dy")).alias("_cy"),
+    )
+
+    d2 = (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx")) + (
+        F.col("_ay") - F.col("_by")
+    ) * (F.col("_ay") - F.col("_by"))
+    w = Window.partitionBy(a_id).orderBy(F.col("_d2").asc(), F.col(b_id).asc())
+    cand = (
+        a2.join(b3, ["_cx", "_cy"])
+        .withColumn("_d2", d2)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    stats = cand.groupBy(a_id).agg(
+        F.count("*").alias("_n"), F.max("_d2").alias("_kd2")
+    )
+    complete = stats.filter(
+        (F.col("_n") >= k) & (F.col("_kd2") < F.lit(cell_side * cell_side))
+    ).select(a_id)
+    # no broadcast hints: `complete` is ~|a| rows (almost every probe), so
+    # these are plain a_id-keyed joins — cand is already hashed on a_id by
+    # the window, and AQE broadcasts if the probe side happens to be small.
+    done = cand.join(complete, a_id, "left_semi").select(
+        F.col(a_id), F.col(b_id), F.col("_rk").alias("rank"), F.col("_d2").alias("dist2")
+    )
+
+    # probes with ZERO candidates never reach `stats`, so the fallback set
+    # must come from an anti-join of the full probe table (rare rows:
+    # sparse border regions) — these brute-force against all of b.
+    rest = a2.join(complete, a_id, "left_anti")
+    brute = (
+        rest.crossJoin(b2.select(F.col(b_id), "_bx", "_by"))
+        .withColumn("_d2", d2)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col(a_id), F.col(b_id), F.col("_rk").alias("rank"), F.col("_d2").alias("dist2"))
+    )
+    return done.unionByName(brute)
+
+
+def raster_coverage_udf(grid: int = 32):
+    """WKT polygon → number of covered pixels when rasterized on a
+    grid×grid center-sampled raster anchored at its world bbox min corner
+    with square cells of max(w, h)/grid (the same kernel the polygon-merge
+    reducers use — geom/raster.py rasterize). Exposed so the raster↔vector
+    path has a first-class, DuckDB-replayable surface: the oracle
+    recomputes every pixel with an even-odd center test in SQL."""
+
+    @pandas_udf(T.LongType())
+    def cov(wkts: pd.Series) -> pd.Series:
+        out = np.zeros(len(wkts), dtype=np.int64)
+        for i, w in enumerate(wkts):
+            g = _parse_world(w)
+            if g is None:
+                continue
+            polys = [g[1]] if g[0] == "Polygon" else (list(g[1]) if g[0] == "MultiPolygon" else None)
+            if not polys:
+                continue
+            x0, y0, x1, y1 = ops.bbox(g)
+            cell = max(x1 - x0, y1 - y0) / grid
+            if cell <= 0:
+                continue
+            mask = raster.rasterize(polys, x0, y0, cell, (grid, grid))
+            out[i] = int(np.count_nonzero(mask))
+        return pd.Series(out)
+
+    return cov
+
+
 @pandas_udf(T.StringType())
 def strip_accents_udf(s: pd.Series) -> pd.Series:
     """Apache-commons StringUtils.stripAccents equivalent (J4 city match)."""
