@@ -960,6 +960,25 @@ def _q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def _q_exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2021): every corpus-wide duplicated
+    40-char run (stride-20 windows) keeps its first occurrence by
+    (doc_id, offset); later occurrences are excised and the doc rebuilt.
+    The oracle replays windows/keep-first/interval-merge AND the text
+    reconstruction (gap string_agg) in DuckDB over the substring itself
+    (no hash), so the excision arithmetic is checked end-to-end via
+    md5(dedup_text)."""
+    from planetiler_openmaptiles_spark.textops.dedup import exact_substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        exact_substring_dedup(docs, window=40, stride=20)
+        .select("doc_id", "n_dup_spans", "removed_chars", "kept_len",
+                F.md5("dedup_text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_text_tokens(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.textstats import (
         regex_token_count, whitespace_token_count)
@@ -1256,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "paragraph_dedup": _q_paragraph_dedup,
+        "exact_substring_dedup": _q_exact_substring_dedup,
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1489,6 +1509,62 @@ def oracle_sql() -> dict[str, str]:
               md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
                            FILTER (WHERE rn = 1), '')) AS text_md5
             FROM ranked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "exact_substring_dedup": r"""
+            -- ExactSubstr replayed on the raw substring (engine ranks on
+            -- md5 + substring tiebreak; same result): stride-20 windows of
+            -- 40 chars, keep-first by (doc_id, offset), merge intervals
+            -- (gaps-and-islands), then rebuild each doc from the gaps.
+            WITH offs AS (
+              SELECT doc_id, text,
+                     CAST(unnest(generate_series(1, length(text) - 39, 20)) AS INT) AS s
+              FROM documents WHERE length(text) >= 40),
+            ranked AS (
+              SELECT doc_id, s, s + 40 AS e,
+                     row_number() OVER (PARTITION BY substr(text, s, 40)
+                                        ORDER BY doc_id, s) AS rn
+              FROM offs),
+            rem AS (SELECT doc_id, s, e FROM ranked WHERE rn > 1),
+            isl AS (
+              SELECT doc_id, s, e,
+                SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+              FROM (SELECT doc_id, s, e,
+                      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                    FROM rem) t),
+            merged AS (
+              SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+              FROM isl GROUP BY doc_id, grp),
+            segs AS (
+              SELECT doc_id, lag(me, 1, 1) OVER (PARTITION BY doc_id ORDER BY ms) AS s0,
+                     ms AS s1, ms AS ord
+              FROM merged
+              UNION ALL
+              SELECT doc_id, max(me) AS s0, NULL AS s1, 2000000000 AS ord
+              FROM merged GROUP BY doc_id),
+            recon AS (
+              SELECT g.doc_id,
+                string_agg(
+                  substr(d.text, g.s0,
+                         CASE WHEN g.s1 IS NULL
+                              THEN greatest(length(d.text) - g.s0 + 1, 0)
+                              ELSE g.s1 - g.s0 END),
+                  '' ORDER BY g.ord) AS kept
+              FROM segs g JOIN documents d USING (doc_id) GROUP BY g.doc_id),
+            stats AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+                     CAST(sum(me - ms) AS INT) AS removed_chars
+              FROM merged GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(st.n_dup_spans, 0) AS INT) AS n_dup_spans,
+              CAST(coalesce(st.removed_chars, 0) AS INT) AS removed_chars,
+              CAST(length(coalesce(r.kept, d.text)) AS INT) AS kept_len,
+              md5(coalesce(r.kept, d.text)) AS text_md5
+            FROM documents d
+            LEFT JOIN stats st USING (doc_id)
+            LEFT JOIN recon r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "media_decode_roundtrip": """
             -- independent re-derivation of the media decode outputs: the

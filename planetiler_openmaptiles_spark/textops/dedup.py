@@ -358,3 +358,104 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
             ).alias("dedup_text"),
         )
     )
+
+
+# ------------------------------------------------- exact-substring dedup
+
+
+def substring_windows(docs: DataFrame, text_col: str = "text",
+                      window: int = 40, stride: int = 20) -> DataFrame:
+    """Fixed-stride character windows over each document: one row per
+    (doc_id, s, sub, h) where `s` is the 1-based window start, `sub` the
+    `window`-char substring and `h` its md5. Docs shorter than `window`
+    emit nothing. All JVM built-ins (sequence/explode/substr/md5)."""
+    text = F.col(text_col)
+    offs = F.sequence(
+        F.lit(1), (F.length(text) - window + 1).cast("int"), F.lit(stride)
+    )
+    sub = F.col("_t").substr(F.col("s"), F.lit(window))
+    return (
+        docs.filter(F.length(text) >= window)
+        .select("doc_id", text.alias("_t"), F.explode(offs).alias("s"))
+        .select("doc_id", F.col("s").cast("int").alias("s"),
+                sub.alias("sub"), F.md5(sub).alias("h"))
+    )
+
+
+def exact_substring_spans(docs: DataFrame, text_col: str = "text",
+                          window: int = 40, stride: int = 20) -> DataFrame:
+    """Merged removal intervals for ExactSubstr-style dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    every corpus-wide duplicated `window`-char run keeps its first
+    occurrence (ordered by doc_id, then offset) and marks all later
+    occurrences for excision. Returns (doc_id, ms, me): merged, 1-based,
+    end-exclusive character intervals to remove.
+
+    Scale: one shuffle on the window hash (row_number ranks occurrences;
+    partitioning includes the 40-char substring so an md5 collision cannot
+    merge distinct runs), then one shuffle on doc_id for the interval
+    merge (classic gaps-and-islands: running max-end marks island breaks).
+    Nothing is quadratic: a window duplicated d times costs d rows, and
+    the keep-first rule needs no self-join — rank > 1 IS the removal set.
+    """
+    wins = substring_windows(docs, text_col, window, stride)
+    occ = Window.partitionBy("h", "sub").orderBy("doc_id", "s")
+    removed = (
+        wins.withColumn("_rn", F.row_number().over(occ))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id", "s", (F.col("s") + window).alias("e"))
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    isl = F.sum(
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    ).over(by_doc)
+    return (
+        removed.withColumn("_isl", isl)
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("s").cast("int").alias("ms"), F.max("e").cast("int").alias("me"))
+        .drop("_isl")
+    )
+
+
+def exact_substring_dedup(docs: DataFrame, text_col: str = "text",
+                          window: int = 40, stride: int = 20) -> DataFrame:
+    """Apply ExactSubstr span excision: cut every merged removal interval
+    out of the text. Returns (doc_id, n_dup_spans, removed_chars,
+    kept_len, dedup_text); untouched docs pass through with 0 spans.
+
+    The rebuild is a single `F.aggregate` over the per-doc sorted interval
+    array — the accumulator walks (cursor, kept-so-far), appending the gap
+    before each interval and the tail after the last. Pure Catalyst: the
+    interval array is small (spans per doc), so the fold stays cheap even
+    on 100 TB inputs."""
+    text = F.col(text_col)
+    spans = exact_substring_spans(docs, text_col, window, stride)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_dup_spans"),
+        F.sum(F.col("me") - F.col("ms")).cast("int").alias("removed_chars"),
+        F.array_sort(F.collect_list(F.struct("ms", "me"))).alias("_ivs"),
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    ivs = F.coalesce(
+        F.col("_ivs"), F.expr("CAST(array() AS array<struct<ms:int,me:int>>)")
+    )
+    rebuilt = F.aggregate(
+        ivs,
+        F.struct(F.lit(1).cast("int").alias("pos"), F.lit("").alias("out")),
+        lambda acc, iv: F.struct(
+            iv["me"].alias("pos"),
+            F.concat(
+                acc["out"], text.substr(acc["pos"], iv["ms"] - acc["pos"])
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], text.substr(acc["pos"], F.length(text) - acc["pos"] + 1)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("int").alias("n_dup_spans"),
+        F.coalesce(F.col("removed_chars"), F.lit(0)).cast("int").alias("removed_chars"),
+        rebuilt.alias("dedup_text"),
+    ).withColumn("kept_len", F.length("dedup_text").cast("int"))

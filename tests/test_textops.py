@@ -343,3 +343,55 @@ def test_semantic_dedup_keep_lowest(spark):
     assert got[2]["dup_of"] == 1 and got[4]["dup_of"] == 3
     assert got[1]["cluster"] == got[2]["cluster"] == 0
     assert got[3]["cluster"] == got[4]["cluster"] == got[5]["cluster"] == 1
+
+
+def test_exact_substring_dedup(spark):
+    """ExactSubstr span excision vs an independent per-row reference:
+    keep-first by (doc_id, offset), within-doc repeats removed, overlapping
+    windows merged before cutting, short docs untouched."""
+    from planetiler_openmaptiles_spark.textops.dedup import exact_substring_dedup
+
+    W, S = 10, 5
+    shared = "ABCDEFGHIJKLMNOPQRST"               # 20-char run shared by d1/d2
+    rows = [
+        ("d1", "xx1" + shared + "tail-one-unique"),
+        ("d2", "yy2" + shared + "tail-two-unique"),
+        ("d3", ("repeatME!!" * 4) + "ending"),     # within-doc repetition
+        ("d4", "short"),                            # < window, untouched
+    ]
+
+    def ref(rows):
+        occ: dict = {}
+        for did, t in rows:
+            if len(t) < W:
+                continue
+            for s in range(1, len(t) - W + 2, S):
+                occ.setdefault(t[s - 1:s - 1 + W], []).append((did, s))
+        rem: dict = {}
+        for lst in occ.values():
+            lst.sort()
+            for did, s in lst[1:]:
+                rem.setdefault(did, []).append((s, s + W))
+        out = {}
+        for did, t in rows:
+            merged: list = []
+            for s, e in sorted(rem.get(did, [])):
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            pos, kept = 1, ""
+            for s, e in merged:
+                kept += t[pos - 1:s - 1]
+                pos = e
+            kept += t[pos - 1:]
+            out[did] = (len(merged), sum(e - s for s, e in merged), kept)
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_dup_spans"], r["removed_chars"], r["dedup_text"])
+           for r in exact_substring_dedup(df, window=W, stride=S).collect()}
+    exp = ref(rows)
+    assert got == exp
+    assert exp["d2"][1] > 0 and exp["d3"][1] > 0      # removals actually occur
+    assert got["d4"] == (0, 0, "short")
