@@ -979,6 +979,47 @@ def _q_exact_substring_dedup(spark, sf_dir):
     )
 
 
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub: emails -> <EMAIL>, IPv4 -> <IP>, phone runs -> <PHONE>,
+    counted before each replacement. The corpus text carries no PII, so the
+    query injects a deterministic doc_id-derived email/IP/phone suffix in
+    BOTH engines and compares md5 of the redacted text — the regex
+    semantics (Java vs RE2) are checked end-to-end."""
+    from planetiler_openmaptiles_spark.textops.scrub import pii_redact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 203.0.113."),
+            ((F.col("doc_id") % 250) + 1).cast("string"),
+            F.lit(" tel +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return (
+        pii_redact(injected)
+        .select("doc_id", "n_email", "n_ip", "n_phone",
+                F.md5("redacted").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: eval set = docs with
+    doc_id % 37 == 0; a train doc is contaminated if it shares any word
+    8-gram with the eval set. The oracle replays normalize/split/8-gram/
+    join in DuckDB over the gram TEXT (no hash)."""
+    from planetiler_openmaptiles_spark.textops.scrub import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_docs = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(train, eval_docs, n=8).orderBy("doc_id")
+
+
 def _q_text_tokens(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.textstats import (
         regex_token_count, whitespace_token_count)
@@ -1276,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "paragraph_dedup": _q_paragraph_dedup,
         "exact_substring_dedup": _q_exact_substring_dedup,
+        "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1564,6 +1607,58 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN stats st USING (doc_id)
             LEFT JOIN recon r USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "pii_redact": r"""
+            -- same deterministic injection, RE2 replay of the three
+            -- ordered scrub passes (email -> ip -> phone)
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com from 203.0.113.'
+                          || CAST(doc_id % 250 + 1 AS VARCHAR)
+                          || ' tel +1 555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+              CAST(length(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g') AS t FROM injected),
+            s2 AS (SELECT doc_id, n_email,
+              CAST(length(regexp_extract_all(t,
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ip,
+              regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+              FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ip,
+              CAST(length(regexp_extract_all(t, '\+?\d[\d\- ()]{7,}\d')) AS INT) AS n_phone,
+              regexp_replace(t, '\+?\d[\d\- ()]{7,}\d', '<PHONE>', 'g') AS t
+              FROM s2)
+            SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS text_md5
+            FROM s3 ORDER BY doc_id
+        """,
+        "decontaminate": r"""
+            -- normalize/split/8-gram/keep-distinct replayed on the gram
+            -- text; eval set = doc_id % 37 = 0, train = the rest
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(words[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS gram
+              FROM norm, UNNEST(range(length(words) - 7)) AS t(i)
+              WHERE length(words) >= 8),
+            evalg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+            hits AS (
+              SELECT g.doc_id, CAST(count(*) AS INT) AS n
+              FROM grams g JOIN evalg USING (gram)
+              WHERE g.doc_id % 37 <> 0 GROUP BY g.doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(h.n, 0) AS INT) AS n_contaminated_ngrams,
+              coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 37 <> 0
             ORDER BY d.doc_id
         """,
         "media_decode_roundtrip": """

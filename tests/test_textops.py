@@ -395,3 +395,46 @@ def test_exact_substring_dedup(spark):
     assert got == exp
     assert exp["d2"][1] > 0 and exp["d3"][1] > 0      # removals actually occur
     assert got["d4"] == (0, 0, "short")
+
+
+def test_pii_redact(spark):
+    from planetiler_openmaptiles_spark.textops.scrub import pii_redact
+
+    rows = [
+        ("a", "mail me at jo.doe+spam@sub.example.org or admin@x.co thanks"),
+        ("b", "server 10.0.0.1 and 192.168.100.200 are up"),
+        ("c", "call +1 (555) 123-4567 now"),
+        ("d", "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert got["a"]["n_email"] == 2 and "<EMAIL>" in got["a"]["redacted"]
+    assert "@" not in got["a"]["redacted"].replace("<EMAIL>", "")
+    assert got["b"]["n_ip"] == 2
+    assert got["b"]["redacted"] == "server <IP> and <IP> are up"
+    assert got["c"]["n_phone"] == 1
+    assert got["c"]["redacted"] == "call <PHONE> now"
+    assert got["d"]["redacted"] == rows[3][1]
+    assert (got["d"]["n_email"], got["d"]["n_ip"], got["d"]["n_phone"]) == (0, 0, 0)
+
+
+def test_decontaminate(spark):
+    from planetiler_openmaptiles_spark.textops.scrub import decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows_eval = [("e1", bench), ("e2", "tiny doc")]   # e2 < 8 words: no grams
+    rows_train = [
+        ("t1", "prefix words then " + bench + " suffix words"),  # contaminated
+        ("t2", "alpha beta gamma delta epsilon zeta eta MISS iota kappa"),  # broken run
+        ("t3", "tiny doc"),                                       # < 8 words
+        ("t4", bench),                                            # exact eval copy
+    ]
+    ev = spark.createDataFrame(rows_eval, "doc_id string, text string")
+    tr = spark.createDataFrame(rows_train, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(tr, ev, n=8).collect()}
+    assert len(got) == 4                                # every train doc reported
+    # bench has 10 words -> 3 distinct 8-grams, all present inside t1 and t4
+    assert (got["t1"]["n_contaminated_ngrams"], got["t1"]["contaminated"]) == (3, True)
+    assert (got["t4"]["n_contaminated_ngrams"], got["t4"]["contaminated"]) == (3, True)
+    assert got["t2"]["contaminated"] is False           # no intact 8-gram run
+    assert got["t3"]["contaminated"] is False           # sub-n doc can't match
