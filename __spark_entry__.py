@@ -1080,6 +1080,13 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_features(docs).orderBy("doc_id")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.textstats import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=2048).orderBy("doc_id")
+
+
 NGRAM_MAX_DF = 100  # drop shingles shared by more than this many docs
 
 
@@ -1310,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "pack_sequences": _q_pack_sequences,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -1775,6 +1783,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN g2agg USING (doc_id)
             LEFT JOIN g5agg USING (doc_id)
             ORDER BY doc_id
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                (CASE WHEN trim(text) = '' THEN 0
+                      ELSE length(regexp_split_to_array(trim(text), '\s+')) END)
+                + 1 AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+              FROM t)
+            SELECT doc_id, n_tokens, tok_start,
+              CAST(floor(tok_start / 2048.0) AS INT) AS first_chunk,
+              CAST(floor((tok_start + n_tokens - 1) / 2048.0) AS INT) AS last_chunk,
+              CAST(floor((tok_start + n_tokens - 1) / 2048.0)
+                   - floor(tok_start / 2048.0) + 1 AS INT) AS n_chunks
+            FROM s ORDER BY doc_id
         """,
         "ngram_jaccard": f"""
             WITH sh AS (

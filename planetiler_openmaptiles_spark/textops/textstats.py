@@ -251,3 +251,77 @@ def tfidf_top_terms(docs, text_col: str = "text", k: int = 5,
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def pack_sequences(docs, seq_len: int = 2048, text_col: str = "text",
+                   id_col: str = "doc_id", partitions: int | None = None):
+    """GPT-style sequence packing: concatenate every document (plus one
+    EOS token each) in deterministic ``id_col`` order into one global
+    token stream, then chunk that stream into fixed ``seq_len`` training
+    sequences. Returns one row per document: its global token offset and
+    which chunks it lands in —
+    ``(doc_id, n_tokens, tok_start, first_chunk, last_chunk, n_chunks)``.
+
+    Scale shape: the global running offset is NOT a single-partition
+    ``ORDER BY`` window (which would serialize 10^12 rows through one
+    task). It is the classic two-pass distributed prefix sum:
+
+      1. range-partition + sort by ``id_col`` (one shuffle, the only
+         full-data movement),
+      2. per-partition token totals — one tiny row per partition — are
+         collected and turned into per-partition base offsets,
+      3. the within-partition running sum (a window PARTITIONED by the
+         physical partition id, so it never crosses executors) is added
+         to the broadcast base offset.
+
+    The partitioned frame is persisted between pass 1 and pass 2 so the
+    physical partition ids are identical in both (range-boundary
+    sampling is not re-run). Callers streaming the result at full scale
+    should unpersist via the returned DataFrame's lineage once consumed.
+    """
+    spark = docs.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (whitespace_token_count(F.col(text_col)) + F.lit(1)).alias("n_tokens"),
+    )
+    parted = (
+        toks.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    per_part = sorted(
+        parted.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: r.pid,
+    )
+    base, run = {}, 0
+    for r in per_part:
+        base[r.pid] = run
+        run += r.t
+    if base:
+        base_off = F.element_at(
+            F.create_map(*[F.lit(v) for kv in base.items() for v in kv]),
+            F.col("pid"),
+        )
+    else:
+        base_off = F.lit(0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + base_off).cast("long")
+    out = parted.select("doc_id", "n_tokens", start.alias("tok_start"))
+    first = F.floor(F.col("tok_start") / seq_len).cast("int")
+    last = F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / seq_len).cast("int")
+    return out.select(
+        "doc_id", "n_tokens", "tok_start",
+        first.alias("first_chunk"), last.alias("last_chunk"),
+        (last - first + 1).cast("int").alias("n_chunks"),
+    )

@@ -438,3 +438,27 @@ def test_decontaminate(spark):
     assert (got["t4"]["n_contaminated_ngrams"], got["t4"]["contaminated"]) == (3, True)
     assert got["t2"]["contaminated"] is False           # no intact 8-gram run
     assert got["t3"]["contaminated"] is False           # sub-n doc can't match
+
+
+def test_pack_sequences(spark):
+    from planetiler_openmaptiles_spark.textops.textstats import pack_sequences
+
+    # 40 docs with varying word counts; force several range partitions so
+    # the distributed prefix-sum path (per-partition base offsets) is
+    # actually exercised, not just a single-partition window.
+    rows = [(f"d{i:03d}", " ".join(["w"] * ((i * 7) % 11 + 1))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string").repartition(8)
+    got = {r["doc_id"]: r.asDict()
+           for r in pack_sequences(docs, seq_len=16, partitions=5).collect()}
+    assert len(got) == 40
+    # pure-python reference: cumulative offsets in doc_id order, +1 EOS each
+    off = 0
+    for i in range(40):
+        n = (i * 7) % 11 + 2  # words + EOS
+        d = got[f"d{i:03d}"]
+        assert d["n_tokens"] == n
+        assert d["tok_start"] == off
+        assert d["first_chunk"] == off // 16
+        assert d["last_chunk"] == (off + n - 1) // 16
+        assert d["n_chunks"] == d["last_chunk"] - d["first_chunk"] + 1
+        off += n
