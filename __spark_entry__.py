@@ -1080,6 +1080,20 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_features(docs).orderBy("doc_id")
 
 
+def _q_hash_split(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.mixing import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs).orderBy("doc_id")
+
+
+def _q_domain_mix(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.mixing import domain_mix_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix_weights(docs, alpha=0.3)
+
+
 def _q_pack_sequences(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.textstats import pack_sequences
 
@@ -1318,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "pack_sequences": _q_pack_sequences,
+        "hash_split": _q_hash_split,
+        "domain_mix": _q_domain_mix,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -1802,6 +1818,29 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor((tok_start + n_tokens - 1) / 2048.0)
                    - floor(tok_start / 2048.0) + 1 AS INT) AS n_chunks
             FROM s ORDER BY doc_id
+        """,
+        "hash_split": r"""
+            WITH u AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 AS u
+              FROM documents)
+            SELECT doc_id, round(u, 9) AS u,
+              CASE WHEN u < 0.98 THEN 'train'
+                   WHEN u < 0.99 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM u ORDER BY doc_id
+        """,
+        "domain_mix": r"""
+            WITH c AS (SELECT source AS domain, count(*) AS n_docs
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS corpus_n FROM c),
+            p AS (SELECT domain, n_docs, n_docs / corpus_n AS p,
+                         pow(n_docs / corpus_n, 0.3) AS pa FROM c, t),
+            z AS (SELECT sum(pa) AS z FROM p)
+            SELECT domain, n_docs, round(p, 6) AS p,
+                   round(pa / z, 6) AS weight
+            FROM p, z ORDER BY domain
         """,
         "ngram_jaccard": f"""
             WITH sh AS (

@@ -462,3 +462,37 @@ def test_pack_sequences(spark):
         assert d["last_chunk"] == (off + n - 1) // 16
         assert d["n_chunks"] == d["last_chunk"] - d["first_chunk"] + 1
         off += n
+
+
+def test_hash_split_deterministic(spark):
+    from planetiler_openmaptiles_spark.textops.mixing import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(1000)], "doc_id long, text string")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    # stable under reshuffling and under appending more data
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b
+    frac = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.95 < frac <= 1.0  # ~0.98 by construction
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_domain_mix_weights(spark):
+    import math
+
+    from planetiler_openmaptiles_spark.textops.mixing import domain_mix_weights
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 900 else "b") for i in range(1000)],
+        "doc_id long, source string")
+    got = {r["domain"]: r.asDict() for r in domain_mix_weights(docs).collect()}
+    pa, pb = 0.9 ** 0.3, 0.1 ** 0.3
+    assert got["a"]["n_docs"] == 900
+    assert abs(got["a"]["weight"] - pa / (pa + pb)) < 1e-6
+    assert abs(got["b"]["weight"] - pb / (pa + pb)) < 1e-6
+    # temperature flattens: minority domain is up-weighted vs its raw share
+    assert got["b"]["weight"] > got["b"]["p"]
+    assert math.isclose(got["a"]["weight"] + got["b"]["weight"], 1.0,
+                        abs_tol=2e-6)
