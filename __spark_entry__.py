@@ -1101,6 +1101,31 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=2048).orderBy("doc_id")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.selection import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, F.col("source") == "src0").orderBy("doc_id")
+
+
+def _q_bm25_search(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.selection import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, ["spark", "merge", "dup"], limit=20)
+
+
+def _q_mix_sample(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.mixing import domain_mix_weights
+    from planetiler_openmaptiles_spark.textops.selection import mix_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = domain_mix_weights(docs, alpha=0.3)
+    return mix_sample(docs, weights).orderBy("doc_id", "copy_idx")
+
+
 NGRAM_MAX_DF = 100  # drop shingles shared by more than this many docs
 
 
@@ -1334,6 +1359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
         "domain_mix": _q_domain_mix,
+        "mix_sample": _q_mix_sample,
+        "dsir_weights": _q_dsir_weights,
+        "bm25_search": _q_bm25_search,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -1841,6 +1869,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, round(p, 6) AS p,
                    round(pa / z, 6) AS weight
             FROM p, z ORDER BY domain
+        """,
+        "mix_sample": r"""
+            WITH c AS (SELECT source AS domain, count(*) AS n_docs
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS corpus_n FROM c),
+            p AS (SELECT domain, n_docs,
+                         pow(n_docs / corpus_n, 0.3) AS pa FROM c, t),
+            z AS (SELECT sum(pa) AS z FROM p),
+            w AS (SELECT domain, n_docs, round(pa / z, 6) AS weight
+                  FROM p, z),
+            r AS (SELECT domain, corpus_n * weight / n_docs AS rate
+                  FROM w, t),
+            d AS (SELECT doc_id, source AS domain,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0 AS u
+                  FROM documents),
+            j AS (SELECT doc_id, d.domain,
+                    CAST(floor(rate) AS BIGINT)
+                      + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END
+                      AS n_copies
+                  FROM d JOIN r USING (domain))
+            SELECT doc_id,
+                   unnest(generate_series(0, n_copies - 1)) AS copy_idx,
+                   domain
+            FROM j WHERE n_copies > 0
+            ORDER BY doc_id, copy_idx
+        """,
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, source = 'src0' AS is_t,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            pos AS (
+              SELECT doc_id, is_t, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM toks WHERE len(w) >= 2),
+            stream AS (
+              SELECT doc_id, is_t,
+                ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT
+                  % 1024 AS feature
+              FROM pos),
+            model AS (
+              SELECT feature, count(*) AS n_raw,
+                     count(*) FILTER (WHERE is_t) AS n_target
+              FROM stream GROUP BY 1),
+            tot AS (SELECT sum(n_raw) AS tot_raw,
+                           sum(n_target) AS tot_target FROM model),
+            scored AS (
+              SELECT feature,
+                ln((n_target + 1) / (tot_target + 1024.0))
+                  - ln((n_raw + 1) / (tot_raw + 1024.0)) AS log_ratio
+              FROM model, tot)
+            SELECT s.doc_id, count(*) AS n_features,
+                   round(sum(log_ratio), 6) AS log_weight
+            FROM stream s JOIN scored USING (feature)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "bm25_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS dl,
+                len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+                  AS tf0,
+                len(list_filter(string_split(text, ' '), x -> x = 'merge'))
+                  AS tf1,
+                len(list_filter(string_split(text, ' '), x -> x = 'dup'))
+                  AS tf2
+              FROM documents),
+            st AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                     count(*) FILTER (WHERE tf0 > 0) AS df0,
+                     count(*) FILTER (WHERE tf1 > 0) AS df1,
+                     count(*) FILTER (WHERE tf2 > 0) AS df2
+              FROM toks),
+            sc AS (
+              SELECT doc_id, dl, round(
+                  ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                    * (CAST(tf0 AS DOUBLE) * (1.2 + 1))
+                    / (CAST(tf0 AS DOUBLE)
+                       + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                    * (CAST(tf1 AS DOUBLE) * (1.2 + 1))
+                    / (CAST(tf1 AS DOUBLE)
+                       + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                    * (CAST(tf2 AS DOUBLE) * (1.2 + 1))
+                    / (CAST(tf2 AS DOUBLE)
+                       + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                6) AS score
+              FROM toks, st)
+            SELECT doc_id, dl, score FROM sc
+            WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "ngram_jaccard": f"""
             WITH sh AS (

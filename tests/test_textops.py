@@ -496,3 +496,77 @@ def test_domain_mix_weights(spark):
     assert got["b"]["weight"] > got["b"]["p"]
     assert math.isclose(got["a"]["weight"] + got["b"]["weight"], 1.0,
                         abs_tol=2e-6)
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.selection import dsir_weights
+
+    # target domain speaks "alpha beta", raw background speaks "gamma delta";
+    # a held-out raw doc written in target language must score higher than
+    # one written in background language.
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta alpha beta alpha beta", "tgt"))
+    for i in range(40, 200):
+        rows.append((i, "gamma delta gamma delta gamma delta", "web"))
+    rows.append((900, "alpha beta alpha beta alpha beta", "web"))
+    rows.append((901, "gamma delta gamma delta gamma delta", "web2"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in
+           dsir_weights(docs, F.col("source") == "tgt").collect()}
+    assert got[900]["log_weight"] > got[901]["log_weight"]
+    # 6 words -> 5 bigram occurrences per doc
+    assert got[900]["n_features"] == 5
+    # single-word and empty docs produce no features
+    one = spark.createDataFrame(
+        [(0, "solo", "a"), (1, "", "a"), (2, "x y", "a")],
+        "doc_id long, text string, source string")
+    ids = [r["doc_id"] for r in
+           dsir_weights(one, F.col("source") == "a").collect()]
+    assert ids == [2]
+
+
+def test_bm25_search_ranking(spark):
+    from planetiler_openmaptiles_spark.textops.selection import bm25_search
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark filler filler"),
+         (1, "spark filler filler filler filler"),
+         (2, "filler filler filler filler filler"),
+         (3, "rare filler filler filler filler")],
+        "doc_id long, text string")
+    top = bm25_search(docs, ["spark", "rare"], limit=10).collect()
+    ids = [r["doc_id"] for r in top]
+    assert 2 not in ids            # no query term -> score 0 -> filtered
+    assert ids[0] == 3             # "rare" df=1 beats "spark" df=2 tf=3
+    assert ids.index(0) < ids.index(1)   # higher tf wins within a term
+    assert all(top[i]["score"] >= top[i + 1]["score"]
+               for i in range(len(top) - 1))
+
+
+def test_mix_sample_epoch_fractioning(spark):
+    from planetiler_openmaptiles_spark.textops.mixing import domain_mix_weights
+    from planetiler_openmaptiles_spark.textops.selection import mix_sample
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string")
+    weights = domain_mix_weights(docs, alpha=0.3)
+    out = mix_sample(docs, weights).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    w = {r["domain"]: r["weight"] for r in weights.collect()}
+    for dom, n_src in (("big", 900), ("small", 100)):
+        expect = w[dom] * 1000
+        got = len(by_dom[dom])
+        # within the bernoulli fractioning band: +/- n_src of target
+        assert abs(got - expect) <= n_src * 0.55, (dom, got, expect)
+    # minority domain is up-sampled: more copies than source docs
+    assert len(by_dom["small"]) > 100
+    # deterministic under repartitioning
+    again = mix_sample(docs.repartition(7), weights).collect()
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in out) == \
+        sorted((r["doc_id"], r["copy_idx"]) for r in again)
