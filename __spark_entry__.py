@@ -1101,6 +1101,29 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=2048).orderBy("doc_id")
 
 
+def _q_events_sessionize(spark, sf_dir):
+    from planetiler_openmaptiles_spark.eventops import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, "30 minutes").orderBy(
+        "user_id", "session_start_us"
+    )
+
+
+def _q_events_asof(spark, sf_dir):
+    from planetiler_openmaptiles_spark.eventops import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_join(events, "click", "error").orderBy("event_id")
+
+
+def _q_events_props_rollup(spark, sf_dir):
+    from planetiler_openmaptiles_spark.eventops import props_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_rollup(events)
+
+
 def _q_dsir_weights(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1362,6 +1385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "dsir_weights": _q_dsir_weights,
         "bm25_search": _q_bm25_search,
+        "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
+        "events_props_rollup": _q_events_props_rollup,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -1895,6 +1921,50 @@ def oracle_sql() -> dict[str, str]:
                    domain
             FROM j WHERE n_copies > 0
             ORDER BY doc_id, copy_idx
+        """,
+        "events_sessionize": r"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, value, event_type
+              FROM events),
+            m AS (
+              SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+            s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) + 1800000000 AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   count(DISTINCT event_type) AS n_types
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us
+        """,
+        "events_asof": r"""
+            WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'click'),
+            e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                  FROM events WHERE event_type = 'error')
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   e.event_id AS matched_event_id,
+                   e.ts_us AS matched_ts_us,
+                   e.value AS matched_value,
+                   c.ts_us - e.ts_us AS lag_us
+            FROM c ASOF LEFT JOIN e
+              ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+            ORDER BY c.event_id
+        """,
+        "events_props_rollup": r"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "dsir_weights": r"""
             WITH toks AS (

@@ -1,0 +1,160 @@
+"""Event-stream analytics: sessionization, as-of joins, JSON rollups.
+
+Classic event-table operators a telemetry/behavioral pipeline needs,
+each Spark-first:
+
+* ``sessionize`` — gap-based sessions via the NATIVE
+  ``F.session_window`` aggregate (Spark's dynamic-gap session operator,
+  the same one Structured Streaming uses for stateful sessionization);
+  one shuffle on the user key, windows merged JVM-side.
+
+* ``asof_join`` — the time-series "most recent prior row" join
+  (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` / kdb ``aj``), built as
+  the distributed union-and-carry pattern: tag both sides, union, ONE
+  shuffle+sort per user ordered by (ts, right-first), then
+  ``last_value(ignorenulls)`` carries the latest right-side attributes
+  onto each left row. No range join, no per-key quadratic blowup — a
+  key whose history is huge still costs one sort.
+
+* ``props_rollup`` — JSON property extraction (``get_json_object``)
+  with a numeric rollup per event type; stays in whole-stage codegen.
+
+All timestamps leave as epoch MICROSECONDS (bigint) so independent
+engines compare exactly (no timestamp-formatting drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(col: Column) -> Column:
+    """Epoch microseconds. Parquet timestamps arrive as TIMESTAMP_NTZ;
+    the session timezone is pinned to UTC (session.py:48), so the cast
+    is an identity reinterpretation, matching DuckDB's epoch_us."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user gap sessions: events within ``gap`` of the previous one
+    (INCLUSIVE — exactly-gap-apart still merges, Spark ``session_window``
+    semantics) chain into one session; the session window ends ``gap``
+    after its last event.
+
+    Returns (user_id, session_start_us, session_end_us, n_events,
+    sum_value, n_types).
+    """
+    return (
+        events.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            _us(F.col("w.start")).alias("session_start_us"),
+            _us(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+            "n_types",
+        )
+    )
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """For every ``left_type`` event, attach the most recent
+    ``right_type`` event of the same user with ``right.ts <= left.ts``
+    (inclusive, matching DuckDB/pandas asof semantics). Left rows with
+    no prior right row keep nulls.
+
+    Ties: a right row at exactly the left row's timestamp matches; among
+    multiple right rows sharing one timestamp the highest event_id wins
+    (the union sort is (ts, right-first, event_id), and last_value takes
+    the final carry).
+
+    Returns (event_id, user_id, ts_us, matched_event_id, matched_ts_us,
+    matched_value, lag_us).
+    """
+    tagged = events.where(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "event_id",
+        F.col(user_col).alias("user_id"),
+        _us(F.col(ts_col)).alias("ts_us"),
+        "value",
+        (F.col("event_type") == right_type).alias("is_right"),
+    )
+    # right rows sort BEFORE the left row at an equal timestamp so the
+    # inclusive (<=) match semantics hold.
+    order = [
+        F.col("ts_us"),
+        F.col("is_right").desc(),
+        F.col("event_id"),
+    ]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def carry(col):
+        return F.last(F.when(F.col("is_right"), col), ignorenulls=True).over(w)
+
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            "is_right",
+            carry(F.col("event_id")).alias("matched_event_id"),
+            carry(F.col("ts_us")).alias("matched_ts_us"),
+            carry(F.col("value")).alias("matched_value"),
+        )
+        .where(~F.col("is_right"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "matched_event_id",
+            "matched_ts_us",
+            "matched_value",
+            (F.col("ts_us") - F.col("matched_ts_us")).alias("lag_us"),
+        )
+    )
+
+
+def props_rollup(events: DataFrame, json_col: str = "props") -> DataFrame:
+    """Extract the numeric ``k`` property from the JSON blob and roll it
+    up per event type: (event_type, n_events, sum_k, n_with_k).
+    ``get_json_object`` is a JVM expression — the parse stays inside
+    whole-stage codegen; the rollup is one map-side-combined groupBy.
+    """
+    k = F.get_json_object(F.col(json_col), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
