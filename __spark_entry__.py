@@ -1101,6 +1101,22 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=2048).orderBy("doc_id")
 
 
+def _q_inverted_index(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.index import (
+        build_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_inverted_index(docs, max_postings=1000)
+
+
+def _q_corpus_stats(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.index import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs)
+
+
 def _q_events_sessionize(spark, sf_dir):
     from planetiler_openmaptiles_spark.eventops import sessionize
 
@@ -1388,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "events_props_rollup": _q_events_props_rollup,
+        "inverted_index": _q_inverted_index,
+        "corpus_stats": _q_corpus_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -1921,6 +1939,36 @@ def oracle_sql() -> dict[str, str]:
                    domain
             FROM j WHERE n_copies > 0
             ORDER BY doc_id, copy_idx
+        """,
+        "inverted_index": r"""
+            WITH tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS term
+                FROM documents)
+              GROUP BY 1, 2),
+            st AS (SELECT term, count(*) AS df, sum(tf) AS total_tf
+                   FROM tf GROUP BY 1),
+            cap AS (SELECT *, row_number() OVER
+                      (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+                    FROM tf),
+            po AS (SELECT term, count(*) AS n_postings,
+                     string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                       AS postings
+                   FROM cap WHERE rn <= 1000 GROUP BY term)
+            SELECT term, df, total_tf, n_postings, postings
+            FROM st JOIN po USING (term) ORDER BY term
+        """,
+        "corpus_stats": r"""
+            SELECT source AS domain,
+                   count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "events_sessionize": r"""
             WITH e AS (

@@ -570,3 +570,38 @@ def test_mix_sample_epoch_fractioning(spark):
     again = mix_sample(docs.repartition(7), weights).collect()
     assert sorted((r["doc_id"], r["copy_idx"]) for r in out) == \
         sorted((r["doc_id"], r["copy_idx"]) for r in again)
+
+
+def test_inverted_index_cap_and_order(spark):
+    from planetiler_openmaptiles_spark.textops.index import (
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b b"), (2, "a"), (3, "c")],
+        "doc_id long, text string")
+    got = {r["term"]: r for r in build_inverted_index(docs).collect()}
+    assert got["a"]["df"] == 3 and got["a"]["total_tf"] == 5
+    assert got["a"]["postings"] == "0:3,1:1,2:1"
+    assert got["b"]["postings"] == "0:1,1:2"
+    assert got["c"]["n_postings"] == 1
+    # cap keeps the highest-tf postings, output stays doc_id-ordered
+    capped = {r["term"]: r for r in
+              build_inverted_index(docs, max_postings=2).collect()}
+    assert capped["a"]["n_postings"] == 2
+    assert capped["a"]["df"] == 3          # df counts the UNCAPPED set
+    assert capped["a"]["postings"] == "0:3,1:1"  # tf3 and tf1(doc1) kept
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    from planetiler_openmaptiles_spark.textops.index import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", "s", (i + 1) * 10) for i in range(100)],
+        "doc_id long, lang string, source string, n_chars long")
+    r = corpus_stats(docs).collect()[0]
+    assert r["n_docs"] == 100 and r["n_langs"] == 2
+    # linear-interpolated exact percentiles over 10..1000 step 10
+    assert r["p50_chars"] == 505.0
+    assert r["p90_chars"] == 901.0
+    assert r["p99_chars"] == 990.1
