@@ -1101,6 +1101,20 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=2048).orderBy("doc_id")
 
 
+def _q_events_funnel(spark, sf_dir):
+    from planetiler_openmaptiles_spark.eventops import funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events, ["view", "click", "error"]).orderBy("user_id")
+
+
+def _q_events_cohorts(spark, sf_dir):
+    from planetiler_openmaptiles_spark.eventops import cohort_retention
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(events)
+
+
 def _q_inverted_index(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.index import (
         build_inverted_index,
@@ -1406,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_rollup": _q_events_props_rollup,
         "inverted_index": _q_inverted_index,
         "corpus_stats": _q_corpus_stats,
+        "events_funnel": _q_events_funnel,
+        "events_cohorts": _q_events_cohorts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -1939,6 +1955,41 @@ def oracle_sql() -> dict[str, str]:
                    domain
             FROM j WHERE n_copies > 0
             ORDER BY doc_id, copy_idx
+        """,
+        "events_funnel": r"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_type
+              FROM events
+              WHERE event_type IN ('view', 'click', 'error')),
+            t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(ts_us) AS t2
+                   FROM e JOIN t1 USING (user_id)
+                   WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(ts_us) AS t3
+                   FROM e JOIN t2 USING (user_id)
+                   WHERE event_type = 'error' AND ts_us > t2 GROUP BY 1),
+            u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                     AS stage_reached,
+                   t1 AS t_stage1_us, t2 AS t_stage2_us, t3 AS t_stage3_us
+            FROM u LEFT JOIN t1 USING (user_id)
+                   LEFT JOIN t2 USING (user_id)
+                   LEFT JOIN t3 USING (user_id)
+            ORDER BY user_id
+        """,
+        "events_cohorts": r"""
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+            SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+                   (day - cohort_day) AS day_offset,
+                   count(*) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "inverted_index": r"""
             WITH tf AS (

@@ -141,6 +141,100 @@ def asof_join(
     )
 
 
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: the first time each user completes
+    stage1 → stage2 → … in sequence (each stage strictly after the
+    previous stage's matched event; equal timestamps do NOT advance).
+
+    One shuffle (groupBy user), then a single JVM ``aggregate`` fold
+    over the user's time-sorted events — no iterative self-joins, no
+    per-stage passes. The per-user event list is bounded by that user's
+    history; a pathological power-user is one task, not a plan blowup.
+
+    Returns (user_id, stage_reached, t_stage1_us … t_stageK_us).
+    """
+    n = len(stages)
+    ev = events.where(F.col("event_type").isin(*stages)).select(
+        F.col(user_col).alias("user_id"),
+        _us(F.col(ts_col)).alias("ts_us"),
+        "event_type",
+    )
+    zero = F.struct(
+        *[F.lit(None).cast("long").alias(f"t{i}") for i in range(n)]
+    )
+
+    def step(acc, x):
+        fields = []
+        for i, stage in enumerate(stages):
+            prev_done = F.lit(True) if i == 0 else acc[f"t{i-1}"].isNotNull()
+            if i > 0:
+                prev_done = prev_done & (x["ts_us"] > acc[f"t{i-1}"])
+            take = (
+                acc[f"t{i}"].isNull()
+                & (x["event_type"] == F.lit(stage))
+                & prev_done
+            )
+            fields.append(
+                F.when(take, x["ts_us"]).otherwise(acc[f"t{i}"]).alias(f"t{i}")
+            )
+        return F.struct(*fields)
+
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_type"))),
+                zero,
+                step,
+            ).alias("f")
+        )
+    )
+    # deepest non-null t_i wins (t_i non-null implies t_{i-1} non-null)
+    stage_reached = F.lit(0)
+    for i in range(n):
+        stage_reached = F.when(
+            F.col(f"f.t{i}").isNotNull(), i + 1
+        ).otherwise(stage_reached)
+    return folded.select(
+        "user_id",
+        stage_reached.alias("stage_reached"),
+        *[F.col(f"f.t{i}").alias(f"t_stage{i + 1}_us") for i in range(n)],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort/retention grid: users grouped by first-active day,
+    counted on each later active day offset.
+
+    Two shuffles: first-day per user, then (cohort_day, offset) counts —
+    the user→cohort attach is a plain key join that co-partitions with
+    the first aggregate. Returns (cohort_day, day_offset, n_users).
+    """
+    days = events.select(
+        F.col(user_col).alias("user_id"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def props_rollup(events: DataFrame, json_col: str = "props") -> DataFrame:
     """Extract the numeric ``k`` property from the JSON blob and roll it
     up per event type: (event_type, n_events, sum_k, n_with_k).

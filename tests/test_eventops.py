@@ -102,3 +102,58 @@ def test_props_rollup(spark):
     assert got["click"]["sum_k"] == 10
     assert got["click"]["n_with_k"] == 2
     assert got["view"]["sum_k"] == 5
+
+
+def test_funnel_ordered_stages(spark):
+    from planetiler_openmaptiles_spark.eventops import funnel
+
+    ev = _ev(
+        spark,
+        [
+            # user 1 completes in order
+            (0, 1, "view", 0.0, "{}"),
+            (1, 1, "click", 0.0, "{}"),
+            (2, 1, "error", 0.0, "{}"),
+            # user 2: click BEFORE any view -> that click can't count;
+            # a later click does
+            (0, 2, "click", 0.0, "{}"),
+            (1, 2, "view", 0.0, "{}"),
+            (5, 2, "click", 0.0, "{}"),
+            # user 3: click at the SAME ts as view -> strict > blocks it
+            (0, 3, "view", 0.0, "{}"),
+            (0, 3, "click", 0.0, "{}"),
+            # user 4: only unrelated events -> excluded entirely
+            (0, 4, "other", 0.0, "{}"),
+        ],
+    )
+    got = {r["user_id"]: r for r in
+           funnel(ev, ["view", "click", "error"]).collect()}
+    assert got[1]["stage_reached"] == 3
+    assert (got[1]["t_stage1_us"], got[1]["t_stage3_us"])[1] is not None
+    assert got[2]["stage_reached"] == 2
+    assert got[2]["t_stage2_us"] - got[2]["t_stage1_us"] == 4_000_000
+    assert got[3]["stage_reached"] == 1
+    assert got[3]["t_stage2_us"] is None
+    assert 4 not in got
+
+
+def test_cohort_retention_grid(spark):
+    from planetiler_openmaptiles_spark.eventops import cohort_retention
+
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "view", 0.0, "{}"),                 # day 0
+            (86400, 1, "view", 0.0, "{}"),             # day 1
+            (86400 + 60, 1, "click", 0.0, "{}"),       # day 1 dup -> distinct
+            (86400, 2, "view", 0.0, "{}"),             # user 2 starts day 1
+            (3 * 86400, 2, "view", 0.0, "{}"),         # day 3 (offset 2)
+        ],
+    )
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-01", 0)] == 1
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-02", 0)] == 1
+    assert got[("2024-01-02", 2)] == 1
+    assert len(got) == 4
