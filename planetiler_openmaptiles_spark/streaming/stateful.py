@@ -72,6 +72,30 @@ def streaming_dedup_first_seen(docs: DataFrame, text_col: str = "text") -> DataF
     )
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization: the SAME ``session_window``
+    aggregate the batch `eventops.sessionize` uses, run incrementally —
+    Spark keeps per-(user, open-session) state, merges windows as events
+    arrive, and emits a session once the watermark passes its close.
+    State is bounded by watermark horizon × active users, not history.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "1 day"
 ) -> DataFrame:

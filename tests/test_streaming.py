@@ -115,3 +115,41 @@ def test_windowed_event_counts(spark, tmp_path):
     assert rows[("2026-01-01 00:00:00", "click")] == 2
     assert rows[("2026-01-01 01:00:00", "click")] == 1
     assert rows[("2026-01-01 00:00:00", "view")] == 1
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00",  # u1 session A
+            "2026-01-01 00:10",  # u1 session A (gap 10m < 30m)
+            "2026-01-01 01:00",  # u1 session B (gap 50m)
+            "2026-01-01 00:05",  # u2 session A
+        ]
+    ).astype("datetime64[us]")
+    pd.DataFrame({"ts": ts, "user_id": [1, 1, 1, 2]}).to_parquet(
+        os.path.join(src, "e1.parquet")
+    )
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    )
+    assert rows == [
+        (1, "2026-01-01 00:00:00", 2),
+        (1, "2026-01-01 01:00:00", 1),
+        (2, "2026-01-01 00:05:00", 1),
+    ]
