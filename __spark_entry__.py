@@ -1101,6 +1101,33 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=2048).orderBy("doc_id")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    from planetiler_openmaptiles_spark.textops.mixing import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, n_per_domain=20).orderBy(
+        "domain", "rank_in_domain"
+    )
+
+
+def _q_bpe_pair_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.bpe import (
+        _symbolize,
+        pair_counts,
+        word_freqs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = word_freqs(docs).select(
+        _symbolize(F.col("word")).alias("syms"), "n"
+    )
+    return pair_counts(wf).orderBy(F.desc("n"), "pair").limit(50)
+
+
 def _q_events_funnel(spark, sf_dir):
     from planetiler_openmaptiles_spark.eventops import funnel
 
@@ -1330,6 +1357,39 @@ def _q_ann_ivf(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def _q_ann_pq(spark, sf_dir):
+    """PQ/ADC top-k: the oracle trusts the trained codebooks (driver
+    numpy on a fixed sample, checkpointed to aux with Spark's exact cc
+    literals) and the JVM-computed codes, then independently replays
+    normalization, the per-(probe, subspace) distance table, the code
+    lookups, the ADC sum, and the top-k window."""
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        pq_encode_df, pq_topk, train_pq_codebooks)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    books = train_pq_codebooks(emb, dim=64, m=8, k=16)
+    _write_aux(pq_encode_df(emb, books, 64), sf_dir, "pq_codes")
+    cb_rows = [
+        (s, j, c, float(sum(v * v for v in c)))
+        for s, book in enumerate(books)
+        for j, c in enumerate(book)
+    ]
+    _write_aux(
+        spark.createDataFrame(
+            cb_rows, "s int, j int, c array<double>, cc double"
+        ),
+        sf_dir, "pq_codebooks",
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return pq_topk(emb, probes, books, dim=64, k=10).orderBy(
+        "probe_id", "rank"
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table: k-means clusters checkpoint to
     aux (the oracle trusts the trained centroids — driver numpy on a fixed
@@ -1422,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
+        "stratified_sample": _q_stratified_sample,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -1434,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_near_dups": _q_embedding_near_dups,
     }.items()}
@@ -1956,6 +2019,35 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE n_copies > 0
             ORDER BY doc_id, copy_idx
         """,
+        "stratified_sample": r"""
+            WITH b AS (
+              SELECT doc_id, source AS domain,
+                round(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0, 9) AS u
+              FROM documents),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY domain ORDER BY u, doc_id)
+                    AS rank_in_domain
+                  FROM b)
+            SELECT domain, rank_in_domain, doc_id, u
+            FROM r WHERE rank_in_domain <= 20
+            ORDER BY domain, rank_in_domain
+        """,
+        "bpe_pair_counts": r"""
+            WITH wf AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS word
+                FROM documents)
+              GROUP BY 1)
+            SELECT pair, sum(n) AS n FROM (
+              SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+                       AS pair, n
+              FROM (SELECT word, n,
+                           unnest(generate_series(1, length(word) - 1)) AS i
+                    FROM wf WHERE length(word) >= 2))
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+        """,
         "events_funnel": r"""
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS ts_us, event_type
@@ -2250,6 +2342,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY probe_id
                         ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
+        """,
+        "ann_pq_topk": f"""
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            en AS (SELECT vec_id,
+                     list_transform(v, x -> x /
+                       greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS u
+                   FROM e),
+            codes AS (SELECT vec_id, codes
+                      FROM read_parquet('{_aux_path("pq_codes")}/*.parquet')),
+            cb AS (SELECT s, j, c, cc
+                   FROM read_parquet('{_aux_path("pq_codebooks")}/*.parquet')),
+            probes AS (SELECT vec_id AS probe_id, u AS pu
+                       FROM en WHERE vec_id < 5),
+            pairs AS (
+              SELECT p.probe_id, cd.vec_id,
+                     cb.cc
+                     - 2 * list_dot_product(
+                         list_slice(p.pu, cb.s * 8 + 1, cb.s * 8 + 8), cb.c)
+                     + list_dot_product(
+                         list_slice(p.pu, cb.s * 8 + 1, cb.s * 8 + 8),
+                         list_slice(p.pu, cb.s * 8 + 1, cb.s * 8 + 8)) AS d
+              FROM probes p
+              CROSS JOIN codes cd
+              JOIN cb ON cb.j = cd.codes[cb.s + 1]),
+            sc AS (SELECT probe_id, vec_id, round(sum(d), 6) AS approx_dist
+                   FROM pairs GROUP BY 1, 2)
+            SELECT probe_id, vec_id, approx_dist, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY approx_dist, vec_id) AS rank
+              FROM sc) WHERE rank <= 10 ORDER BY probe_id, rank
         """,
         "semantic_dedup": f"""
             -- SemDeDup replay: trusts the aux cluster assignment (Spark's

@@ -8,7 +8,7 @@ per-row Python, no large shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,41 @@ def domain_mix_weights(
             F.round(F.col("pa") / F.col("z"), 6).alias("weight"),
         )
         .orderBy("domain")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_domain: int = 100,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_domain`` documents
+    with the lowest id-hash uniform per domain. A pure function of ids,
+    so the sample is reproducible and append-stable (a new doc enters
+    the sample only by displacing the current max-u member).
+
+    Skew shape: top-N per domain is distributive, so a salted
+    (domain, doc_id%64) pre-cap bounds every sort — a domain holding
+    half the corpus never lands its full row set in one partition.
+    """
+    u = split_fraction(id_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.round(u, 9).alias("u"),
+    )
+    pre_rn = F.row_number().over(
+        Window.partitionBy("domain", F.pmod("doc_id", F.lit(64))).orderBy(
+            "u", "doc_id"
+        )
+    )
+    pre = base.withColumn("rn", pre_rn).where(F.col("rn") <= n_per_domain)
+    rn = F.row_number().over(
+        Window.partitionBy("domain").orderBy("u", "doc_id")
+    )
+    return (
+        pre.withColumn("rank_in_domain", rn)
+        .where(F.col("rank_in_domain") <= n_per_domain)
+        .select("domain", "rank_in_domain", "doc_id", "u")
     )

@@ -605,3 +605,111 @@ def test_corpus_stats_exact_percentiles(spark):
     assert r["p50_chars"] == 505.0
     assert r["p90_chars"] == 901.0
     assert r["p99_chars"] == 990.1
+
+
+def test_stratified_sample_deterministic(spark):
+    from planetiler_openmaptiles_spark.textops.mixing import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "doc_id long, source string")
+    got = stratified_sample(docs, n_per_domain=10).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert {d: len(v) for d, v in by_dom.items()} == {"a": 10, "b": 10}
+    for rows in by_dom.values():
+        us = [r["u"] for r in sorted(rows, key=lambda r: r["rank_in_domain"])]
+        assert us == sorted(us)
+    # stable under repartitioning
+    again = stratified_sample(docs.repartition(13), n_per_domain=10).collect()
+    assert sorted((r["domain"], r["rank_in_domain"], r["doc_id"])
+                  for r in got) == \
+        sorted((r["domain"], r["rank_in_domain"], r["doc_id"])
+               for r in again)
+    # small domains return all their docs
+    tiny = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "doc_id long, source string")
+    assert len(stratified_sample(tiny, n_per_domain=10).collect()) == 2
+
+
+def _ref_bpe(vocab: dict, n_merges: int):
+    """Python reference BPE (Sennrich alg. 1) with the engine's rules:
+    ties break on pair string, stop when best count < 2."""
+    import re as _re
+
+    words = {" ".join(w): n for w, n in vocab.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in words.items():
+            parts = syms.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append(f"{a} {b}")
+        pat = _re.compile(
+            r"(?<![^ ])" + _re.escape(a) + " " + _re.escape(b) + r"(?![^ ])")
+        words = {pat.sub(a + b, s): n for s, n in words.items()}
+    return merges
+
+
+def test_learn_bpe_matches_reference(spark):
+    from planetiler_openmaptiles_spark.textops.bpe import learn_bpe
+
+    corpus = ["low low low lower lowest", "new newer newest low",
+              "wide wider widest new new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    vocab = {}
+    for t in corpus:
+        for w in t.split():
+            vocab[w] = vocab.get(w, 0) + 1
+    got = learn_bpe(docs, n_merges=8)
+    assert got == _ref_bpe(vocab, 8)
+    assert len(got) >= 4  # the toy corpus supports several merges
+
+
+def test_pq_encode_and_adc_topk(spark):
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        pq_encode, pq_topk, train_pq_codebooks)
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(80, 16).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(emb, dim=16, m=4, k=8, sample=80)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    # codes are deterministic and in range
+    codes = {r["vec_id"]: r["c"] for r in emb.select(
+        "vec_id", pq_encode(F.col("embedding"), books, 16).alias("c")
+    ).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in codes.values())
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"))
+    top = pq_topk(emb, probes, books, dim=16, k=5).collect()
+    by_probe = {}
+    for r in top:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rows in by_probe.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) == 5
+        dists = [r["approx_dist"] for r in rows]
+        assert dists == sorted(dists)
+        # ADC distance of the probe against its own code is the
+        # quantization error -- the probe itself ranks at/near the top;
+        # with 8 codes x 4 subspaces over 80 points it must make top-5
+        assert pid in {r["vec_id"] for r in rows}
