@@ -1101,6 +1101,19 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=2048).orderBy("doc_id")
 
 
+def _q_train_logreg(spark, sf_dir):
+    """In-engine distributed logistic regression (3 full-batch GD
+    iterations). The DuckDB oracle UNROLLS the same three iterations as
+    chained CTEs over identical integer-ratio features — both engines
+    re-derive the weights end-to-end from raw text; nothing is trusted."""
+    from planetiler_openmaptiles_spark.textops.classifier import (
+        trained_weights_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return trained_weights_df(docs, iters=3, lr=1.0)
+
+
 def _q_stratified_sample(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.mixing import (
         stratified_sample,
@@ -1484,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohorts": _q_events_cohorts,
         "stratified_sample": _q_stratified_sample,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "train_logreg": _q_train_logreg,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -2018,6 +2032,55 @@ def oracle_sql() -> dict[str, str]:
                    domain
             FROM j WHERE n_copies > 0
             ORDER BY doc_id, copy_idx
+        """,
+        "train_logreg": r"""
+            WITH f AS (
+              SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                     1.0 AS f0,
+                     nw / 100.0 AS f1,
+                     CASE WHEN nw > 0 THEN (tc * 1.0 / nw) / 10.0
+                          ELSE 0.0 END AS f2,
+                     CASE WHEN nw > 0 THEN sw * 1.0 / nw
+                          ELSE 0.0 END AS f3
+              FROM (SELECT lang, len(w) AS nw,
+                           coalesce(list_sum(
+                             list_transform(w, x -> length(x))), 0) AS tc,
+                           len(list_filter(w, x -> x IN ('the', 'a'))) AS sw
+                    FROM (SELECT lang,
+                                 list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                          FROM documents))),
+            w1 AS (SELECT -avg((0.5 - y) * f0) AS a,
+                          -avg((0.5 - y) * f1) AS b,
+                          -avg((0.5 - y) * f2) AS c,
+                          -avg((0.5 - y) * f3) AS d FROM f),
+            p2 AS (SELECT f.*, a, b, c, d,
+                     1.0 / (1.0 + exp(-(a * f0 + b * f1 + c * f2 + d * f3)))
+                       AS p
+                   FROM f, w1),
+            w2 AS (SELECT a - avg((p - y) * f0) AS a,
+                          b - avg((p - y) * f1) AS b,
+                          c - avg((p - y) * f2) AS c,
+                          d - avg((p - y) * f3) AS d
+                   FROM p2 GROUP BY a, b, c, d),
+            p3 AS (SELECT f.*, a, b, c, d,
+                     1.0 / (1.0 + exp(-(a * f0 + b * f1 + c * f2 + d * f3)))
+                       AS p
+                   FROM f, w2),
+            w3 AS (SELECT a - avg((p - y) * f0) AS a,
+                          b - avg((p - y) * f1) AS b,
+                          c - avg((p - y) * f2) AS c,
+                          d - avg((p - y) * f3) AS d
+                   FROM p3 GROUP BY a, b, c, d)
+            SELECT feature, weight FROM (
+              SELECT 'bias' AS feature, round(a, 6) AS weight FROM w3
+              UNION ALL
+              SELECT 'n_words', round(b, 6) FROM w3
+              UNION ALL
+              SELECT 'avg_word_len', round(c, 6) FROM w3
+              UNION ALL
+              SELECT 'stopword_ratio', round(d, 6) FROM w3)
+            ORDER BY feature
         """,
         "stratified_sample": r"""
             WITH b AS (

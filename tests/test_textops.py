@@ -713,3 +713,41 @@ def test_pq_encode_and_adc_topk(spark):
         # quantization error -- the probe itself ranks at/near the top;
         # with 8 codes x 4 subspaces over 80 points it must make top-5
         assert pid in {r["vec_id"] for r in rows}
+
+
+def test_train_logreg_matches_numpy_reference(spark):
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.textops.classifier import (
+        train_logreg,
+    )
+
+    rows = []
+    for i in range(200):
+        lang = "en" if i % 2 else "fr"
+        # english docs get longer text + more stopwords
+        words = (["the", "a"] * 4 + ["word"] * 10) if lang == "en" else (
+            ["mot"] * 6)
+        rows.append((i, " ".join(words), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # numpy reference of the identical recipe
+    feats, ys = [], []
+    for _, text, lang in rows:
+        w = text.split()
+        nw = len(w)
+        tc = sum(len(x) for x in w)
+        sw = sum(1 for x in w if x in ("the", "a"))
+        feats.append([1.0, nw / 100.0, (tc / nw) / 10.0, sw / nw])
+        ys.append(1.0 if lang == "en" else 0.0)
+    X, y = np.array(feats), np.array(ys)
+    wv = np.zeros(4)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        wv -= (X * (p - y)[:, None]).mean(axis=0)
+
+    got = train_logreg(docs, iters=3, lr=1.0)
+    assert np.allclose(got, wv, atol=1e-9)
+    # the separating features must point the right way
+    assert got[3] > 0  # stopword ratio predicts english here
+    assert got[1] > 0  # longer docs predict english here
