@@ -1114,6 +1114,22 @@ def _q_train_logreg(spark, sf_dir):
     return trained_weights_df(docs, iters=3, lr=1.0)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter (Wenzek et al. 2020): a word-bigram
+    LM trained in-engine on the lang='en' slice scores every doc;
+    head/middle/tail buckets at the 1/3, 2/3 perplexity quantiles. The
+    DuckDB oracle re-derives vocab, bigram/context counts, smoothing,
+    perplexity, and quantile cuts end-to-end from raw text."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.lm import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_buckets(
+        docs, F.col("lang") == "en", vocab_size=256, alpha=1.0
+    ).orderBy("doc_id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.mixing import (
         stratified_sample,
@@ -1498,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "train_logreg": _q_train_logreg,
+        "lm_perplexity": _q_lm_perplexity,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -2081,6 +2098,55 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'stopword_ratio', round(d, 6) FROM w3)
             ORDER BY feature
+        """,
+        "lm_perplexity": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            vocab AS (
+              SELECT word FROM (
+                SELECT unnest(w) AS word FROM tok WHERE lang = 'en')
+              GROUP BY word
+              ORDER BY count(*) DESC, word ASC LIMIT 256),
+            pos AS (
+              SELECT doc_id, lang, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 2),
+            bgr AS (
+              SELECT p.doc_id, p.lang,
+                     CASE WHEN v1.word IS NULL THEN '<unk>'
+                          ELSE p.w[p.i] END AS w1,
+                     CASE WHEN v2.word IS NULL THEN '<unk>'
+                          ELSE p.w[p.i + 1] END AS w2
+              FROM pos p
+              LEFT JOIN vocab v1 ON v1.word = p.w[p.i]
+              LEFT JOIN vocab v2 ON v2.word = p.w[p.i + 1]),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgr
+                   WHERE lang = 'en' GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM bgr
+                   WHERE lang = 'en' GROUP BY w1),
+            vn AS (SELECT count(*) + 1 AS v1 FROM vocab),
+            scored AS (
+              SELECT b.doc_id,
+                     round(exp(-avg(ln(
+                       (coalesce(c2.c2, 0) + 1.0)
+                       / (coalesce(c1.c1, 0) + 1.0 * vn.v1)))), 6) AS ppl
+              FROM bgr b
+              LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+              LEFT JOIN c1 ON c1.w1 = b.w1
+              CROSS JOIN vn
+              GROUP BY b.doc_id),
+            cuts AS (
+              SELECT round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+                     round(quantile_cont(ppl, 2.0/3), 6) AS t2
+              FROM scored)
+            SELECT doc_id, ppl,
+                   CASE WHEN ppl <= t1 THEN 'head'
+                        WHEN ppl <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored, cuts
+            ORDER BY doc_id
         """,
         "stratified_sample": r"""
             WITH b AS (

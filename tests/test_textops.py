@@ -751,3 +751,74 @@ def test_train_logreg_matches_numpy_reference(spark):
     # the separating features must point the right way
     assert got[3] > 0  # stopword ratio predicts english here
     assert got[1] > 0  # longer docs predict english here
+
+
+def test_perplexity_buckets_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.lm import perplexity_buckets
+
+    rows = []
+    for i in range(90):
+        if i % 3 == 0:
+            text = "the cat sat on the mat " * 3  # fluent: in-model
+            lang = "en"
+        elif i % 3 == 1:
+            text = f"the mat sat on oddword{i} the cat"  # one OOV token
+            lang = "en"
+        else:
+            text = f"zz{i} qq{i} xx{i} vv{i}"  # all OOV: high ppl
+            lang = "xx"
+        rows.append((i, text.strip(), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # --- python reference of the identical recipe -------------------
+    vocab_size, alpha = 8, 1.0
+    ref_toks = [t for i, text, lg in rows if lg == "en" for t in text.split()]
+    counts = Counter(ref_toks)
+    vocab = [
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:vocab_size]
+    vs = set(vocab)
+
+    def mapped(text):
+        return [t if t in vs else "<unk>" for t in text.split()]
+
+    c2, c1 = Counter(), Counter()
+    for i, text, lg in rows:
+        if lg != "en":
+            continue
+        tk = mapped(text)
+        for a, b in zip(tk, tk[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    v1 = len(vocab) + 1
+
+    expect = {}
+    for i, text, _ in rows:
+        tk = mapped(text)
+        if len(tk) < 2:
+            continue
+        lps = [
+            math.log((c2[(a, b)] + alpha) / (c1[a] + alpha * v1))
+            for a, b in zip(tk, tk[1:])
+        ]
+        expect[i] = round(math.exp(-sum(lps) / len(lps)), 6)
+
+    got = {
+        r["doc_id"]: (r["ppl"], r["bucket"])
+        for r in perplexity_buckets(
+            docs, F.col("lang") == "en", vocab_size=vocab_size, alpha=alpha
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for i, ppl in expect.items():
+        assert abs(got[i][0] - ppl) < 1e-6, (i, got[i][0], ppl)
+
+    # fluent docs land in head, OOV-gibberish docs in tail
+    assert all(got[i][1] == "head" for i in range(0, 90, 3))
+    assert all(got[i][1] == "tail" for i in range(2, 90, 3))
+    assert all(got[i][1] == "middle" for i in range(1, 90, 3))
