@@ -1114,6 +1114,35 @@ def _q_train_logreg(spark, sf_dir):
     return trained_weights_df(docs, iters=3, lr=1.0)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Distributed BPE tokenization: merges learned in-engine
+    (learn_bpe — its pair-count step has its own oracle), then applied
+    to the whole corpus. The learned merges are checkpointed as aux
+    parquet; DuckDB independently replays the ENCODE — char split,
+    greedy rank-order merge application via a recursive-CTE state
+    machine, per-doc stream reassembly — from raw text."""
+    from planetiler_openmaptiles_spark.textops.bpe import (
+        bpe_encode,
+        learn_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe(docs, n_merges=12)
+    _write_aux(
+        spark.createDataFrame(
+            list(enumerate(merges)), "merge_idx int, pair string"
+        ),
+        sf_dir,
+        "bpe_merges",
+    )
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", "|").alias("tokens_str"),
+    ).orderBy("doc_id")
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter (Wenzek et al. 2020): a word-bigram
     LM trained in-engine on the lang='en' slice scores every doc;
@@ -1515,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "train_logreg": _q_train_logreg,
         "lm_perplexity": _q_lm_perplexity,
+        "bpe_encode": _q_bpe_encode,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -2098,6 +2128,55 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'stopword_ratio', round(d, 6) FROM w3)
             ORDER BY feature
+        """,
+        "bpe_encode": f"""
+            WITH RECURSIVE
+            mg AS (SELECT merge_idx,
+                          split_part(pair, ' ', 1) AS a,
+                          split_part(pair, ' ', 2) AS b
+                   FROM read_parquet('{_aux_path("bpe_merges")}/*.parquet')),
+            nm AS (SELECT count(*) AS n FROM mg),
+            tok AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS w
+                    FROM documents),
+            vocab AS (SELECT DISTINCT unnest(w) AS word FROM tok),
+            -- greedy rank-order merge application as a state machine:
+            -- (mi, acc, rest); empty rest advances to the next merge
+            enc AS (
+              SELECT word, 0 AS mi,
+                     CAST([] AS VARCHAR[]) AS acc,
+                     [substring(word, i, 1)
+                      FOR i IN generate_series(1, length(word))] AS rest
+              FROM vocab
+              UNION ALL
+              SELECT word,
+                     CASE WHEN len(rest) = 0 THEN mi + 1 ELSE mi END,
+                     CASE WHEN len(rest) = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN len(rest) >= 2 AND rest[1] = m.a
+                               AND rest[2] = m.b
+                            THEN list_append(acc, m.a || m.b)
+                          ELSE list_append(acc, rest[1]) END,
+                     CASE WHEN len(rest) = 0 THEN acc
+                          WHEN len(rest) >= 2 AND rest[1] = m.a
+                               AND rest[2] = m.b
+                            THEN rest[3:]
+                          ELSE rest[2:] END
+              FROM enc JOIN mg m ON m.merge_idx = enc.mi
+              WHERE enc.mi < (SELECT n FROM nm)),
+            fin AS (SELECT word, rest AS toks FROM enc
+                    WHERE mi = (SELECT n FROM nm)),
+            docw AS (SELECT doc_id,
+                            unnest(generate_series(1, len(w))) AS i, w
+                     FROM tok WHERE len(w) >= 1),
+            joined AS (SELECT d.doc_id, d.i, f.toks
+                       FROM docw d JOIN fin f ON f.word = d.w[d.i]),
+            assembled AS (SELECT doc_id,
+                                 flatten(list(toks ORDER BY i)) AS tokens
+                          FROM joined GROUP BY doc_id)
+            SELECT doc_id, len(tokens) AS n_tokens,
+                   array_to_string(tokens, '|') AS tokens_str
+            FROM assembled ORDER BY doc_id
         """,
         "lm_perplexity": r"""
             WITH tok AS (

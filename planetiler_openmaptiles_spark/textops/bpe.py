@@ -68,6 +68,74 @@ def pair_counts(words: DataFrame, syms_col: str = "syms") -> DataFrame:
     )
 
 
+def encode_words(
+    words: DataFrame, merges: list[str], word_col: str = "word"
+) -> DataFrame:
+    """(word, toks) mapping: the learned merges applied in rank order to
+    each distinct word. Sequential full application in rank order is
+    equivalent to the reference's priority-queue encode: a merge's
+    operands are tokens from strictly earlier merges, and fusing a pair
+    never creates a NEW adjacency of two older tokens, so by the time
+    merge k runs everything it can consume is fully formed. Each merge
+    is one JVM regexp_replace (zero-width boundary guards, so adjacent
+    merge sites in a run like 'a a a a' all fuse in one pass,
+    left-to-right greedy — BPE's application order)."""
+    cur = words.select(
+        F.col(word_col).alias("word"),
+        _symbolize(F.col(word_col)).alias("syms"),
+    )
+    for j, pair in enumerate(merges):
+        a, b = pair.split(" ")
+        pat = r"(?<![^ ])" + re.escape(a) + " " + re.escape(b) + r"(?![^ ])"
+        cur = cur.select(
+            "word", F.regexp_replace("syms", pat, a + b).alias("syms")
+        )
+        if (j + 1) % 16 == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select("word", F.split("syms", " ").alias("toks"))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with a learned merge list: (doc_id,
+    n_tokens, tokens). The merge chain runs over the DISTINCT-words
+    table only (tiny next to the corpus); the corpus-sized work is one
+    posexplode + one equi-join on word (AQE broadcasts when the vocab
+    is small) + one hash aggregate on doc_id that re-assembles the
+    token stream in word order via array_sort on (pos, toks) structs."""
+    vocab_map = encode_words(
+        docs.select(
+            F.explode(_words(text_col)).alias("word")
+        ).distinct(),
+        merges,
+    )
+    doc_words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_words(text_col)).alias("pos", "word"),
+    )
+    return (
+        doc_words.join(vocab_map, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "toks"))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id", F.size("tokens").alias("n_tokens"), "tokens"
+        )
+    )
+
+
 def learn_bpe(
     docs: DataFrame, n_merges: int = 10, text_col: str = "text"
 ) -> list[str]:

@@ -822,3 +822,43 @@ def test_perplexity_buckets_matches_python_reference(spark):
     assert all(got[i][1] == "head" for i in range(0, 90, 3))
     assert all(got[i][1] == "tail" for i in range(2, 90, 3))
     assert all(got[i][1] == "middle" for i in range(1, 90, 3))
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from planetiler_openmaptiles_spark.textops.bpe import (
+        bpe_encode,
+        learn_bpe,
+    )
+
+    def py_encode(word, merges):
+        toks = list(word)
+        for m in merges:
+            a, b = m.split(" ")
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    rows = [
+        (0, "the theme thethe aaaa"),
+        (1, "aaa aa a baab"),
+        (2, "the the the theme"),
+        (3, "x aaaaaa themethe"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # fixed merges incl. an adjacency run (greedy left-to-right pinned)
+    for merges in (["a a", "aa aa", "t h", "th e"], learn_bpe(docs, 6)):
+        got = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in bpe_encode(docs, merges).collect()
+        }
+        for i, text in rows:
+            want = [t for w in text.split() for t in py_encode(w, merges)]
+            assert got[i] == (len(want), want), (merges, i, got[i], want)
