@@ -1114,6 +1114,32 @@ def _q_train_logreg(spark, sf_dir):
     return trained_weights_df(docs, iters=3, lr=1.0)
 
 
+def _q_geo_layer_stats(spark, sf_dir):
+    """Layer-size statistics (planetiler core ``TileSizeStats`` /
+    ``--output-layerstats`` analog): per-(z,layer) tile/feature counts,
+    encoded-byte totals, and biggest-tile coordinates over a
+    water+waterway z0-8 build (polygon + line layers). The per-tile-layer sizes are
+    checkpointed as aux parquet (the MVT encoder itself is verified by
+    the geo_tiles_mvt round-trip oracle); DuckDB independently replays
+    the rollup including the max-struct biggest-tile tie-break."""
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+    from planetiler_openmaptiles_spark.tiling.stats import (
+        layer_stats,
+        tile_layer_sizes,
+    )
+
+    corpus = _corpus_dir(sf_dir)
+    tiles = build_tiles(
+        spark,
+        corpus,
+        Config(only_layers=("water", "waterway"), max_zoom=8),
+    )
+    sizes = tile_layer_sizes(tiles)
+    aux = _write_aux(sizes, sf_dir, "tile_layer_sizes")
+    return layer_stats(spark.read.parquet(aux)).orderBy("z", "layer")
+
+
 def _q_bpe_encode(spark, sf_dir):
     """Distributed BPE tokenization: merges learned in-engine
     (learn_bpe — its pair-count step has its own oracle), then applied
@@ -1545,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_logreg": _q_train_logreg,
         "lm_perplexity": _q_lm_perplexity,
         "bpe_encode": _q_bpe_encode,
+        "geo_layer_stats": _q_geo_layer_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -2128,6 +2155,26 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'stopword_ratio', round(d, 6) FROM w3)
             ORDER BY feature
+        """,
+        "geo_layer_stats": f"""
+            WITH s AS (SELECT * FROM
+                       read_parquet('{_aux_path("tile_layer_sizes")}/*.parquet')),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY z, layer
+                ORDER BY bytes DESC, x DESC, y DESC) AS rn
+              FROM s)
+            SELECT z, layer,
+                   count(*) AS n_tiles,
+                   sum(n_features) AS n_features,
+                   sum(bytes) AS total_bytes,
+                   sum(gz_bytes) AS total_gz_bytes,
+                   max(bytes) AS max_bytes,
+                   max(CASE WHEN rn = 1 THEN x END) AS big_x,
+                   max(CASE WHEN rn = 1 THEN y END) AS big_y
+            FROM ranked
+            GROUP BY z, layer
+            ORDER BY z, layer
         """,
         "bpe_encode": f"""
             WITH RECURSIVE

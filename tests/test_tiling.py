@@ -247,3 +247,32 @@ def test_simplify_tolerance_override_changes_geometry(spark):
     n_coarse = npts(5.0)
     assert n_exact == 41
     assert n_coarse < n_default <= n_exact
+
+
+def test_layer_stats_rollup_and_tiebreak(spark):
+    from planetiler_openmaptiles_spark.tiling.stats import layer_stats
+
+    rows = [
+        # (z, x, y, layer, n_features, bytes, gz_bytes)
+        (3, 1, 1, "water", 5, 100, None),
+        (3, 2, 7, "water", 2, 100, None),  # tie on bytes -> bigger x wins
+        (3, 0, 0, "water", 1, 40, None),
+        (3, 1, 1, "_tile", 5, 140, 90),
+        (4, 9, 3, "waterway", 7, 300, None),
+    ]
+    sizes = spark.createDataFrame(
+        rows,
+        "z int, x int, y int, layer string, n_features long, "
+        "bytes long, gz_bytes long",
+    )
+    got = {
+        (r["z"], r["layer"]): r
+        for r in layer_stats(sizes).collect()
+    }
+    w = got[(3, "water")]
+    assert (w["n_tiles"], w["n_features"], w["total_bytes"]) == (3, 8, 240)
+    assert (w["max_bytes"], w["big_x"], w["big_y"]) == (100, 2, 7)
+    assert w["total_gz_bytes"] is None
+    t = got[(3, "_tile")]
+    assert (t["total_gz_bytes"], t["max_bytes"]) == (90, 140)
+    assert got[(4, "waterway")]["n_tiles"] == 1
