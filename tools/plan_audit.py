@@ -107,6 +107,21 @@ def main():
         )
     )
 
+    # 8. LM perplexity scoring — the bigram/context model tables must come
+    # back as BroadcastHashJoins onto the exploded corpus bigrams, with the
+    # per-doc aggregate map-side-combined; token→unk mapping is a pure
+    # Column expression (vocab inlined), so no Python anywhere.
+    from planetiler_openmaptiles_spark.textops.lm import perplexity_buckets
+
+    sections.append(
+        (
+            "LM perplexity (broadcast model, codegen scoring)",
+            explain_str(
+                perplexity_buckets(sfdocs, F.col("lang") == "en", vocab_size=64)
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
         "Checks: PushedFilters / pruned ReadSchema on scans; BroadcastHashJoin"
