@@ -59,6 +59,11 @@ class Config:
     transportation_name_limit_merge: bool = False
     transportation_name_minor_refs: bool = False
     transliterate: bool = True  # name:latin fallback (reference default on)
+    # --languages (planetiler arg; OpenMapTilesMain.java:33): language
+    # codes whose name:<code> translation keys are emitted. None = the
+    # reference default list (OpenMapTilesSchema.LANGUAGES, see
+    # layers/util.OMT_LANGUAGES); () = no passthrough translations.
+    languages: "tuple | None" = None
     max_zoom: int = 14
     # --simplify-tolerance (reference README.md:33): px tolerance for
     # Douglas-Peucker at z<max; negative = keep all points; per-layer

@@ -76,16 +76,46 @@ def elevation_attrs(ele_col: Column) -> dict[str, Column]:
 _LATIN_ONLY = "^[\\u0020-\\u024F\\u1E00-\\u1EFF\\u2C60-\\u2C7F\\uA720-\\uA7FF]*$"
 _NAME_LANG_KEY = r"^name:[a-z]{2,3}(?:[-_][a-zA-Z]{2,4})?$"
 
+# The reference's default translation-language set
+# (generated/OpenMapTilesSchema.java:62-66, fed to
+# Planetiler.setDefaultLanguages in OpenMapTilesMain.java:33 and
+# overridable with planetiler's --languages arg).
+OMT_LANGUAGES = (
+    "af", "am", "ar", "az", "be", "bg", "bn", "br", "bs", "ca", "co",
+    "cs", "cy", "da", "de", "el", "en", "eo", "es", "et", "eu", "fa",
+    "fi", "fr", "fy", "ga", "gd", "he", "hi", "hr", "hu", "hy", "id",
+    "is", "it", "ja", "ja_kana", "ja_rm", "ja-Latn", "ja-Hira", "ka",
+    "kk", "kn", "ko", "ko-Latn", "ku", "la", "lb", "lt", "lv", "mk",
+    "mt", "ml", "nl", "no", "oc", "pa", "pnb", "pl", "pt", "rm", "ro",
+    "ru", "sk", "sl", "sq", "sr", "sr-Latn", "sv", "ta", "te", "th",
+    "tok", "tr", "uk", "ur", "vi", "zh", "zh-Hant", "zh-Hans",
+)
+
+
+def _lang_key_pred(e, languages: tuple | None):
+    """Predicate for a map entry being a translation key: name:xx shape
+    AND (when a language list applies) xx in the configured set."""
+    p = e["key"].rlike(_NAME_LANG_KEY)
+    if languages is not None:
+        p = p & e["key"].isin(*[f"name:{code}" for code in languages])
+    return p
+
 
 def _only_latin(c: Column) -> Column:
     return c.isNotNull() & (c != "") & c.rlike(_LATIN_ONLY)
 
 
 def names_map(
-    tags: Column | None = None, translations: bool = True, transliterate: bool = True
+    tags: Column | None = None,
+    translations: bool = True,
+    transliterate: bool = True,
+    languages: tuple | None = OMT_LANGUAGES,
 ) -> Column:
     """map<string,string> of name, name_en, name_de, name:latin,
-    name:nonlatin, name_int (+ passthrough name:xx translations).
+    name:nonlatin, name_int (+ passthrough name:xx translations for the
+    configured ``languages`` — default the reference's
+    OpenMapTilesSchema.LANGUAGES list; pass None to accept any
+    name:xx-shaped key).
 
     When no latin-script alias exists and `transliterate` is on (the
     reference's default — OmtLanguageUtils.java:90-93 →
@@ -100,7 +130,7 @@ def names_map(
     other_translations = F.transform(
         F.filter(
             F.map_entries(tags),
-            lambda e: e["key"].rlike(_NAME_LANG_KEY)
+            lambda e: _lang_key_pred(e, languages)
             & ~e["key"].isin("name:en", "name:de"),
         ),
         lambda e: e["value"],
@@ -144,7 +174,9 @@ def names_map(
     if translations:
         trans = F.filter(
             F.map_entries(tags),
-            lambda e: e["key"].rlike(_NAME_LANG_KEY) & e["value"].isNotNull() & (e["value"] != ""),
+            lambda e: _lang_key_pred(e, languages)
+            & e["value"].isNotNull()
+            & (e["value"] != ""),
         )
         base = F.concat(base, trans)
     return F.map_from_entries(base)

@@ -209,7 +209,15 @@ def _build_context(spark: SparkSession, corpus_dir: str, config: Config) -> Laye
 
     cfg = config or Config()
     feats = feats.withColumn(
-        "names", names_map(transliterate=cfg.transliterate)
+        "names",
+        names_map(
+            transliterate=cfg.transliterate,
+            **(
+                {}
+                if cfg.languages is None
+                else {"languages": cfg.languages}
+            ),
+        ),
     ).persist()
     return LayerContext(
         spark=spark,
@@ -589,6 +597,10 @@ def main(argv=None):
     ap.add_argument("--simplify-tolerance", type=float, default=0.1,
                     help="px simplification tolerance below max zoom"
                          " (reference README.md:33); negative disables")
+    ap.add_argument("--languages", default=None,
+                    help="comma-separated translation language codes"
+                         " (planetiler --languages; default the reference"
+                         " OpenMapTilesSchema.LANGUAGES list)")
     ap.add_argument("--mbtiles", default=None,
                     help="also write a gzipped-MVT mbtiles archive here")
     ap.add_argument("--pmtiles", default=None,
@@ -604,6 +616,11 @@ def main(argv=None):
         exclude_layers=tuple(x for x in args.exclude_layers.split(",") if x),
         max_zoom=args.max_zoom,
         simplify_tolerance=args.simplify_tolerance,
+        languages=(
+            None
+            if args.languages is None
+            else tuple(x for x in args.languages.split(",") if x)
+        ),
     )
     t0 = time.time()
     tiles = build_tiles(spark, args.corpus, config, args.checkpoints,

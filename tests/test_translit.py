@@ -49,3 +49,23 @@ def test_names_map_alias_beats_translit(spark):
 def test_names_map_translit_off(spark):
     n = _names(spark, {"name": "Москва"}, transliterate=False)
     assert n.get("name:latin") is None
+
+
+def test_names_map_languages_default_list(spark):
+    """Default = OpenMapTilesSchema.LANGUAGES: in-list codes pass
+    through, out-of-list (but name:xx-shaped) keys are dropped."""
+    tags = {"name": "Foo", "name:es": "Fu", "name:qqq": "Zz"}
+    n = _names(spark, tags)
+    assert n["name:es"] == "Fu"
+    assert "name:qqq" not in n
+
+
+def test_names_map_languages_override(spark):
+    tags = {"name": "Foo", "name:es": "Fu", "name:fr": "Fou"}
+    n = _names(spark, tags, languages=("fr",))
+    assert "name:es" not in n and n["name:fr"] == "Fou"
+    # () = no passthrough; None = accept any shaped key
+    n0 = _names(spark, tags, languages=())
+    assert "name:es" not in n0 and "name:fr" not in n0
+    nany = _names(spark, {"name": "Foo", "name:qqq": "Zz"}, languages=None)
+    assert nany["name:qqq"] == "Zz"
