@@ -1169,6 +1169,22 @@ def _q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_logreg_filter(spark, sf_dir):
+    """Classifier APPLY step: train the logreg quality classifier
+    in-engine (3 GD iterations) and score/filter every document — the
+    fastText-style quality-filter pass. The oracle re-derives the
+    weights with the same unrolled-CTE chain and replays the sigmoid
+    scoring + threshold cut per doc."""
+    from planetiler_openmaptiles_spark.textops.classifier import (
+        score_docs,
+        train_logreg,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = train_logreg(docs, iters=3, lr=1.0)
+    return score_docs(docs, w).orderBy("doc_id")
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter (Wenzek et al. 2020): a word-bigram
     LM trained in-engine on the lang='en' slice scores every doc;
@@ -1570,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "train_logreg": _q_train_logreg,
         "lm_perplexity": _q_lm_perplexity,
+        "logreg_filter": _q_logreg_filter,
         "bpe_encode": _q_bpe_encode,
         "geo_layer_stats": _q_geo_layer_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -2224,6 +2241,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "logreg_filter": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                     1.0 AS f0,
+                     nw / 100.0 AS f1,
+                     CASE WHEN nw > 0 THEN (tc * 1.0 / nw) / 10.0
+                          ELSE 0.0 END AS f2,
+                     CASE WHEN nw > 0 THEN sw * 1.0 / nw
+                          ELSE 0.0 END AS f3
+              FROM (SELECT doc_id, lang, len(w) AS nw,
+                           coalesce(list_sum(
+                             list_transform(w, x -> length(x))), 0) AS tc,
+                           len(list_filter(w, x -> x IN ('the', 'a'))) AS sw
+                    FROM (SELECT doc_id, lang,
+                                 list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                          FROM documents))),
+            w1 AS (SELECT -avg((0.5 - y) * f0) AS a,
+                          -avg((0.5 - y) * f1) AS b,
+                          -avg((0.5 - y) * f2) AS c,
+                          -avg((0.5 - y) * f3) AS d FROM f),
+            p2 AS (SELECT f.*, a, b, c, d,
+                     1.0 / (1.0 + exp(-(a * f0 + b * f1 + c * f2 + d * f3)))
+                       AS p
+                   FROM f, w1),
+            w2 AS (SELECT a - avg((p - y) * f0) AS a,
+                          b - avg((p - y) * f1) AS b,
+                          c - avg((p - y) * f2) AS c,
+                          d - avg((p - y) * f3) AS d
+                   FROM p2 GROUP BY a, b, c, d),
+            p3 AS (SELECT f.*, a, b, c, d,
+                     1.0 / (1.0 + exp(-(a * f0 + b * f1 + c * f2 + d * f3)))
+                       AS p
+                   FROM f, w2),
+            w3 AS (SELECT a - avg((p - y) * f0) AS a,
+                          b - avg((p - y) * f1) AS b,
+                          c - avg((p - y) * f2) AS c,
+                          d - avg((p - y) * f3) AS d
+                   FROM p3 GROUP BY a, b, c, d)
+            SELECT doc_id, score, score >= 0.5 AS keep FROM (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(
+                       -(a * f0 + b * f1 + c * f2 + d * f3))), 6) AS score
+              FROM f, w3)
+            ORDER BY doc_id
         """,
         "lm_perplexity": r"""
             WITH tok AS (

@@ -32,9 +32,10 @@ def feature_frame(
     docs: DataFrame,
     text_col: str = "text",
     label_pred=None,
+    id_cols: tuple = (),
 ) -> DataFrame:
-    """(y, f0..f3): label + the fixed feature vector. ``label_pred``
-    defaults to ``lang == 'en'``."""
+    """(*id_cols, y, f0..f3): label + the fixed feature vector.
+    ``label_pred`` defaults to ``lang == 'en'``."""
     if label_pred is None:
         label_pred = F.col("lang") == "en"
     w = _words(text_col)
@@ -44,6 +45,7 @@ def feature_frame(
     )
     sw = F.size(F.filter(w, lambda x: x.isin("the", "a")))
     return docs.select(
+        *id_cols,
         F.when(label_pred, 1.0).otherwise(0.0).alias("y"),
         F.lit(1.0).alias("f0"),
         (nw / 100.0).alias("f1"),
@@ -81,6 +83,30 @@ def train_logreg(
     finally:
         f.unpersist()
     return w
+
+
+def score_docs(
+    docs: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Apply a trained weight vector: (doc_id, score, keep) where score
+    is the rounded sigmoid probability and keep = score >= threshold
+    (compared on the ROUNDED value so the cut is engine-portable). One
+    codegen projection — the filter pass of a fastText-style quality
+    classifier over the full corpus."""
+    f = feature_frame(docs, text_col, id_cols=(id_col,))
+    margin = F.lit(weights[0]) * F.col("f0")
+    for i in range(1, len(weights)):
+        margin = margin + F.lit(weights[i]) * F.col(f"f{i}")
+    score = F.round(1.0 / (1.0 + F.exp(-margin)), 6)
+    return f.select(
+        F.col(id_col).alias("doc_id"),
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )
 
 
 def trained_weights_df(
