@@ -1169,6 +1169,36 @@ def _q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_training_pipeline(spark, sf_dir):
+    """The composite training-data pipeline — the engine's flagship
+    composition: exact dedup (keep-first) → Gopher-style quality gate
+    (≥ 0.5) → CCNet perplexity bucketing with the LM trained on the
+    SURVIVING corpus (stage chaining, not independent passes) → drop
+    the tail bucket → deterministic hash split. One Spark job graph;
+    the DuckDB oracle replays every stage in one chained CTE, so a
+    drift anywhere in the chain breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.dedup import exact_dedup
+    from planetiler_openmaptiles_spark.textops.lm import perplexity_buckets
+    from planetiler_openmaptiles_spark.textops.mixing import hash_split
+    from planetiler_openmaptiles_spark.textops.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = exact_dedup(docs).select("doc_id", "text", "lang")
+    q = kept.withColumn(
+        "quality", F.round(quality_score(F.col("text")), 6)
+    ).filter(F.col("quality") >= 0.5)
+    ppl = perplexity_buckets(q, F.col("lang") == "en", vocab_size=256)
+    sel = (
+        q.join(ppl, "doc_id")
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id", "quality", "ppl", "bucket")
+    )
+    split = hash_split(sel).select("doc_id", "split")
+    return sel.join(split, "doc_id").orderBy("doc_id")
+
+
 def _q_logreg_filter(spark, sf_dir):
     """Classifier APPLY step: train the logreg quality classifier
     in-engine (3 GD iterations) and score/filter every document — the
@@ -1587,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_logreg": _q_train_logreg,
         "lm_perplexity": _q_lm_perplexity,
         "logreg_filter": _q_logreg_filter,
+        "training_pipeline": _q_training_pipeline,
         "bpe_encode": _q_bpe_encode,
         "geo_layer_stats": _q_geo_layer_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -2241,6 +2272,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "training_pipeline": r"""
+            WITH nrm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS norm
+              FROM documents),
+            kept AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm),
+            d AS (SELECT doc.doc_id, doc.text, doc.lang
+                  FROM documents doc JOIN kept k ON k.doc_id = doc.doc_id),
+            qual AS (
+              SELECT doc_id, text, lang,
+                round((
+                  (CASE WHEN length(regexp_split_to_array(trim(text), '\s+'))
+                             BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(length(text) AS DOUBLE)
+                             / greatest(length(regexp_split_to_array(
+                                 trim(text), '\s+')), 1)
+                             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(length(regexp_replace(
+                                 text, '[^\.,;:!?]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1) <= 0.2
+                        THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(length(regexp_replace(
+                                 text, '[^0-9]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1) <= 0.3
+                        THEN 1.0 ELSE 0.0 END) +
+                  least(CAST(length(list_filter(
+                          regexp_split_to_array(lower(text), '\s+'),
+                          w -> list_contains(['the','and','of','to','in',
+                                              'is','you','that','it','for'],
+                                             w))) AS DOUBLE)
+                        / greatest(length(regexp_split_to_array(
+                            trim(text), '\s+')), 1) * 4.0, 1.0)
+                ) / 5.0, 6) AS quality
+              FROM d),
+            filt AS (SELECT * FROM qual WHERE quality >= 0.5),
+            tok AS (SELECT doc_id, lang, quality,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS w
+                    FROM filt),
+            vocab AS (
+              SELECT word FROM (
+                SELECT unnest(w) AS word FROM tok WHERE lang = 'en')
+              GROUP BY word
+              ORDER BY count(*) DESC, word ASC LIMIT 256),
+            pos AS (
+              SELECT doc_id, lang, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 2),
+            bgr AS (
+              SELECT p.doc_id, p.lang,
+                     CASE WHEN v1.word IS NULL THEN '<unk>'
+                          ELSE p.w[p.i] END AS w1,
+                     CASE WHEN v2.word IS NULL THEN '<unk>'
+                          ELSE p.w[p.i + 1] END AS w2
+              FROM pos p
+              LEFT JOIN vocab v1 ON v1.word = p.w[p.i]
+              LEFT JOIN vocab v2 ON v2.word = p.w[p.i + 1]),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgr
+                   WHERE lang = 'en' GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM bgr
+                   WHERE lang = 'en' GROUP BY w1),
+            vn AS (SELECT count(*) + 1 AS v1 FROM vocab),
+            scored AS (
+              SELECT b.doc_id,
+                     round(exp(-avg(ln(
+                       (coalesce(c2.c2, 0) + 1.0)
+                       / (coalesce(c1.c1, 0) + 1.0 * vn.v1)))), 6) AS ppl
+              FROM bgr b
+              LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+              LEFT JOIN c1 ON c1.w1 = b.w1
+              CROSS JOIN vn
+              GROUP BY b.doc_id),
+            cuts AS (
+              SELECT round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+                     round(quantile_cont(ppl, 2.0/3), 6) AS t2
+              FROM scored),
+            sel AS (
+              SELECT doc_id, quality, ppl, bucket FROM (
+                SELECT s.doc_id, f.quality, s.ppl,
+                       CASE WHEN s.ppl <= c.t1 THEN 'head'
+                            WHEN s.ppl <= c.t2 THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                FROM scored s JOIN filt f ON f.doc_id = s.doc_id
+                CROSS JOIN cuts c)
+              WHERE bucket <> 'tail')
+            SELECT doc_id, quality, ppl, bucket,
+                   CASE WHEN u < 0.98 THEN 'train'
+                        WHEN u < 0.99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT *,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT / 4294967296.0 AS u
+                  FROM sel)
+            ORDER BY doc_id
         """,
         "logreg_filter": r"""
             WITH f AS (
