@@ -1169,6 +1169,34 @@ def _q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_geo_tile_diff(spark, sf_dir):
+    """Archive regression diff: the water layer built at the default
+    simplification tolerance vs a coarse 2.0 px override (exercising
+    the --simplify-tolerance knob), compared tile-by-tile. Spark
+    checkpoints both signature tables (xxhash64 multiset fingerprints)
+    as aux parquet; DuckDB independently replays the full-outer-join
+    classification and per-(z,layer) rollup."""
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+    from planetiler_openmaptiles_spark.tiling.diff import (
+        tile_diff,
+        tile_signatures,
+    )
+
+    corpus = _corpus_dir(sf_dir)
+    a = build_tiles(
+        spark, corpus, Config(only_layers=("water",), max_zoom=8)
+    )
+    b = build_tiles(
+        spark,
+        corpus,
+        Config(only_layers=("water",), max_zoom=8, simplify_tolerance=2.0),
+    )
+    _write_aux(tile_signatures(a), sf_dir, "tile_sigs_a")
+    _write_aux(tile_signatures(b), sf_dir, "tile_sigs_b")
+    return tile_diff(a, b).orderBy("z", "layer")
+
+
 def _q_training_pipeline(spark, sf_dir):
     """The composite training-data pipeline — the engine's flagship
     composition: exact dedup (keep-first) → Gopher-style quality gate
@@ -1618,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "logreg_filter": _q_logreg_filter,
         "training_pipeline": _q_training_pipeline,
+        "geo_tile_diff": _q_geo_tile_diff,
         "bpe_encode": _q_bpe_encode,
         "geo_layer_stats": _q_geo_layer_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -2272,6 +2301,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "geo_tile_diff": f"""
+            WITH sa AS (SELECT z, x, y, layer, sig AS sig_a
+                        FROM read_parquet('{_aux_path("tile_sigs_a")}/*.parquet')),
+            sb AS (SELECT z, x, y, layer, sig AS sig_b
+                   FROM read_parquet('{_aux_path("tile_sigs_b")}/*.parquet')),
+            j AS (SELECT coalesce(sa.z, sb.z) AS z,
+                         coalesce(sa.layer, sb.layer) AS layer,
+                         sig_a, sig_b
+                  FROM sa FULL OUTER JOIN sb
+                    ON sa.z = sb.z AND sa.x = sb.x AND sa.y = sb.y
+                   AND sa.layer = sb.layer)
+            SELECT z, layer,
+                   sum(CASE WHEN sig_b IS NULL THEN 1 ELSE 0 END)
+                     AS n_only_a,
+                   sum(CASE WHEN sig_a IS NULL THEN 1 ELSE 0 END)
+                     AS n_only_b,
+                   sum(CASE WHEN sig_a IS NOT NULL AND sig_b IS NOT NULL
+                                 AND sig_a <> sig_b THEN 1 ELSE 0 END)
+                     AS n_changed,
+                   sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END)
+                     AS n_same
+            FROM j GROUP BY z, layer ORDER BY z, layer
         """,
         "training_pipeline": r"""
             WITH nrm AS (

@@ -276,3 +276,38 @@ def test_layer_stats_rollup_and_tiebreak(spark):
     t = got[(3, "_tile")]
     assert (t["total_gz_bytes"], t["max_bytes"]) == (90, 140)
     assert got[(4, "waterway")]["n_tiles"] == 1
+
+
+def test_tile_diff_classification(spark):
+    from planetiler_openmaptiles_spark.tiling.diff import tile_diff
+
+    schema = (
+        "z long, x int, y int, layer string, kind string, "
+        "geom_px binary, attrs map<string,string>"
+    )
+    a = spark.createDataFrame(
+        [
+            (3, 0, 0, "water", "polygon", bytearray(b"g1"), {"class": "lake"}),
+            (3, 0, 0, "water", "polygon", bytearray(b"g2"), {"class": "sea"}),
+            (3, 1, 0, "water", "polygon", bytearray(b"g3"), {}),  # only_a
+            (3, 2, 2, "water", "polygon", bytearray(b"g4"), {}),  # changes
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            # same tile, features in DIFFERENT order -> multiset sig equal
+            (3, 0, 0, "water", "polygon", bytearray(b"g2"), {"class": "sea"}),
+            (3, 0, 0, "water", "polygon", bytearray(b"g1"), {"class": "lake"}),
+            (3, 2, 2, "water", "polygon", bytearray(b"g4x"), {}),  # changed
+            (3, 3, 3, "water", "polygon", bytearray(b"g5"), {}),  # only_b
+        ],
+        schema,
+    )
+    r = tile_diff(a, b).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["z"], row["layer"]) == (3, "water")
+    assert (
+        row["n_only_a"], row["n_only_b"], row["n_changed"], row["n_same"]
+    ) == (1, 1, 1, 1)
