@@ -122,6 +122,21 @@ def main():
         )
     )
 
+    # 9. composite training pipeline — the four chained stages (dedup →
+    # quality gate → perplexity buckets → hash split) must fuse into one
+    # job graph: dedup's window is the only full-corpus sort, the LM model
+    # tables come back broadcast, and the split is a zero-shuffle map.
+    import __spark_entry__ as entry
+
+    sections.append(
+        (
+            "Composite training pipeline (one job graph)",
+            explain_str(
+                entry._q_training_pipeline(spark, "/root/testdata/sf0.001")
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
         "Checks: PushedFilters / pruned ReadSchema on scans; BroadcastHashJoin"
