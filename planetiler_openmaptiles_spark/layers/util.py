@@ -93,12 +93,15 @@ OMT_LANGUAGES = (
 
 
 def _lang_key_pred(e, languages: tuple | None):
-    """Predicate for a map entry being a translation key: name:xx shape
-    AND (when a language list applies) xx in the configured set."""
-    p = e["key"].rlike(_NAME_LANG_KEY)
+    """Predicate for a map entry being a translation key: when a
+    language list applies, an exact-key InSet (which subsumes the
+    name:xx shape — one hash probe per entry, regex skipped); with
+    languages=None, the name:xx shape regex."""
     if languages is not None:
-        p = p & e["key"].isin(*[f"name:{code}" for code in languages])
-    return p
+        if not languages:
+            return F.lit(False)
+        return e["key"].isin(*[f"name:{code}" for code in languages])
+    return e["key"].rlike(_NAME_LANG_KEY)
 
 
 def _only_latin(c: Column) -> Column:
