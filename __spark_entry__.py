@@ -1169,6 +1169,47 @@ def _q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_shard_dedup(spark, sf_dir):
+    """Incremental shard dedup (the daily-crawl append shape): docs with
+    doc_id >= 350 are the new shard, deduped against the existing corpus
+    exactly (normalized text anti-join) and fuzzily (MinHash LSH bucket
+    anti-join), then exact-deduped within the shard. DuckDB replays the
+    exact stage from raw text and the fuzzy/anti-join/keep-first logic
+    over the checkpointed band tables."""
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        dedup_against,
+        minhash_bands,
+        normalize_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") < 350)
+    new_shard = docs.filter(F.col("doc_id") >= 350)
+
+    # checkpoint the LSH band tables for the oracle (deterministic —
+    # identical to what dedup_against computes internally)
+    norm = normalize_text(F.col("text"))
+    ex_keys = existing.select(norm.alias("n")).distinct()
+    exact_survivors = (
+        new_shard.withColumn("n", norm)
+        .join(ex_keys, ["n"], "left_anti")
+        .drop("n")
+    )
+    _write_aux(
+        minhash_bands(exact_survivors), sf_dir, "shard_bands_new"
+    )
+    _write_aux(
+        minhash_bands(existing).select("band", "bucket").distinct(),
+        sf_dir,
+        "shard_bands_existing",
+    )
+
+    out = dedup_against(new_shard, existing, fuzzy=True)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
 def _q_geo_tile_diff(spark, sf_dir):
     """Archive regression diff: the water layer built at the default
     simplification tolerance vs a coarse 2.0 px override (exercising
@@ -1647,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_filter": _q_logreg_filter,
         "training_pipeline": _q_training_pipeline,
         "geo_tile_diff": _q_geo_tile_diff,
+        "shard_dedup": _q_shard_dedup,
         "bpe_encode": _q_bpe_encode,
         "geo_layer_stats": _q_geo_layer_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -2301,6 +2343,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "shard_dedup": f"""
+            WITH nrm AS (
+              SELECT doc_id, text,
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS norm
+              FROM documents),
+            ex AS (SELECT DISTINCT norm FROM nrm WHERE doc_id < 350),
+            exact_surv AS (
+              SELECT n.doc_id, n.text, n.norm FROM nrm n
+              WHERE n.doc_id >= 350
+                AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.norm = n.norm)),
+            colliding AS (
+              SELECT DISTINCT nb.doc_id
+              FROM read_parquet('{_aux_path("shard_bands_new")}/*.parquet') nb
+              JOIN read_parquet('{_aux_path("shard_bands_existing")}/*.parquet') eb
+                ON nb.band = eb.band AND nb.bucket = eb.bucket),
+            surv AS (
+              SELECT * FROM exact_surv
+              WHERE doc_id NOT IN (SELECT doc_id FROM colliding)),
+            keepfirst AS (
+              SELECT min(doc_id) AS doc_id FROM surv GROUP BY norm)
+            SELECT s.doc_id, md5(s.text) AS text_md5
+            FROM surv s JOIN keepfirst k ON k.doc_id = s.doc_id
+            ORDER BY s.doc_id
         """,
         "geo_tile_diff": f"""
             WITH sa AS (SELECT z, x, y, layer, sig AS sig_a

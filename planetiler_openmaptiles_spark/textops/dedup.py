@@ -61,6 +61,57 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_against(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    fuzzy: bool = False,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental shard dedup: drop from ``new_docs`` everything already
+    present in ``existing`` — the daily-crawl append shape, where the
+    existing corpus is only SCANNED for its keys, never re-grouped.
+
+    Exact stage: left_anti join on (xxhash64(norm), norm) — at 100 TB
+    the existing side is a column-pruned scan of two columns and the
+    anti-join shuffles each side once (or uses a pre-bucketed layout
+    for free co-location). With ``fuzzy=True`` a second left_anti on
+    MinHash LSH (band, bucket) keys also removes near-duplicates of
+    existing documents (recall bounded by the LSH band curve, same
+    signature parameters as ``minhash_lsh_pairs``). Survivors of BOTH
+    stages are then exact-deduped WITHIN the shard (keep-first), so the
+    output appends cleanly."""
+    norm = normalize_text(F.col(text_col))
+    ex_keys = existing.select(
+        F.xxhash64(norm).alias("content_hash"), norm.alias("_norm")
+    ).distinct()
+    survivors = (
+        new_docs.withColumn("content_hash", F.xxhash64(norm))
+        .withColumn("_norm", norm)
+        .join(ex_keys, ["content_hash", "_norm"], "left_anti")
+        .drop("content_hash", "_norm")
+    )
+    if fuzzy:
+        ex_bk = (
+            minhash_bands(
+                existing, text_col, num_hashes=num_hashes, bands=bands
+            )
+            .select("band", "bucket")
+            .distinct()
+        )
+        colliding = (
+            minhash_bands(
+                survivors, text_col, num_hashes=num_hashes, bands=bands
+            )
+            .join(ex_bk, ["band", "bucket"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = survivors.join(colliding, "doc_id", "left_anti")
+    return exact_dedup(survivors, text_col)
+
+
 # ------------------------------------------------------------------ shingles
 
 

@@ -862,3 +862,35 @@ def test_bpe_encode_matches_python_reference(spark):
         for i, text in rows:
             want = [t for w in text.split() for t in py_encode(w, merges)]
             assert got[i] == (len(want), want), (merges, i, got[i], want)
+
+
+def test_dedup_against_incremental_shard(spark):
+    from planetiler_openmaptiles_spark.textops.dedup import dedup_against
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter "
+    ) * 3
+    existing = spark.createDataFrame(
+        [(0, base), (1, "completely unrelated existing text about maps")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                      # exact dup of existing -> drop
+            (101, "  " + base.upper() + " "), # normalizes to same -> drop
+            (102, base.replace("fox", "cat")),  # near-dup -> fuzzy drop
+            (103, "fresh new document with totally different words here"),
+            (104, "fresh new document with totally different words here"),
+            (105, "another genuinely novel shard document full of news"),
+        ],
+        "doc_id long, text string",
+    )
+    exact_only = {r["doc_id"] for r in dedup_against(new, existing).collect()}
+    assert exact_only == {102, 103, 105}  # 104 dropped within-shard
+
+    fuzzy = {
+        r["doc_id"]
+        for r in dedup_against(new, existing, fuzzy=True).collect()
+    }
+    assert fuzzy == {103, 105}
