@@ -1508,6 +1508,38 @@ def _q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_cluster_dedup_best(spark, sf_dir):
+    """Quality-aware cluster dedup: within every LSH duplicate cluster
+    keep the member with the highest Gopher-style quality score (ties →
+    lowest doc_id). DuckDB recomputes reachability over the aux edge
+    list with a recursive CTE, re-derives quality from raw text, and
+    replays the per-cluster argmax."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.cluster import (
+        dedup_by_clusters_best,
+    )
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        minhash_bands,
+        minhash_pairs_from_bands,
+    )
+    from planetiler_openmaptiles_spark.textops.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_pairs_from_bands(minhash_bands(docs)).select(
+        "doc_a", "doc_b"
+    )
+    aux = _write_aux(pairs, sf_dir, "cluster_edges")
+    kept = dedup_by_clusters_best(
+        docs,
+        spark.read.parquet(aux),
+        F.round(quality_score(F.col("text")), 6),
+    )
+    return kept.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
 def _q_simhash(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.dedup import (
         simhash, simhash_pairs_from_sigs)
@@ -1696,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "cluster_dedup_best": _q_cluster_dedup_best,
         "paragraph_dedup": _q_paragraph_dedup,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "pii_redact": _q_pii_redact,
@@ -2343,6 +2376,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "cluster_dedup_best": f"""
+            WITH RECURSIVE edges AS (
+                SELECT doc_a AS a, doc_b AS b
+                FROM read_parquet('{_aux_path("cluster_edges")}/*.parquet')
+                UNION
+                SELECT doc_b AS a, doc_a AS b
+                FROM read_parquet('{_aux_path("cluster_edges")}/*.parquet')),
+            walk(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+            comp AS (SELECT node, MIN(label) AS component
+                     FROM walk GROUP BY node),
+            q AS (
+              SELECT doc_id,
+                round((
+                  (CASE WHEN length(regexp_split_to_array(trim(text), '\\s+'))
+                             BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(length(text) AS DOUBLE)
+                             / greatest(length(regexp_split_to_array(
+                                 trim(text), '\\s+')), 1)
+                             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(length(regexp_replace(
+                                 text, '[^\\.,;:!?]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1) <= 0.2
+                        THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN CAST(length(regexp_replace(
+                                 text, '[^0-9]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1) <= 0.3
+                        THEN 1.0 ELSE 0.0 END) +
+                  least(CAST(length(list_filter(
+                          regexp_split_to_array(lower(text), '\\s+'),
+                          w -> list_contains(['the','and','of','to','in',
+                                              'is','you','that','it','for'],
+                                             w))) AS DOUBLE)
+                        / greatest(length(regexp_split_to_array(
+                            trim(text), '\\s+')), 1) * 4.0, 1.0)
+                ) / 5.0, 6) AS quality
+              FROM documents),
+            ranked AS (
+              SELECT c.node AS doc_id, c.component, q.quality,
+                     row_number() OVER (PARTITION BY c.component
+                       ORDER BY q.quality DESC, c.node ASC) AS rn
+              FROM comp c JOIN q ON q.doc_id = c.node),
+            losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+            SELECT q.doc_id, q.quality
+            FROM q
+            WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+            ORDER BY q.doc_id
         """,
         "shard_dedup": f"""
             WITH nrm AS (

@@ -118,6 +118,43 @@ def cluster_sizes(components: DataFrame) -> DataFrame:
     )
 
 
+def dedup_by_clusters_best(
+    docs: DataFrame,
+    edges: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup: keep the HIGHEST-``score`` member of
+    every duplicate cluster (ties → lowest id), pass unclustered docs
+    through — the production form, where you keep the cleanest copy
+    rather than an arbitrary one. ``score`` is a Column over ``docs``.
+
+    Shape: one argmax aggregate per component (max over a
+    (score, -id) struct — no window, map-side combinable) + one
+    left_anti on the loser ids; scales exactly like
+    ``dedup_by_clusters``."""
+    comps = connected_components(edges, src=src, dst=dst)
+    scored = docs.select(F.col(id_col).alias("_id"), score.alias("_s"))
+    members = comps.join(scored, comps.node == scored._id).select(
+        "component", F.col("node"), "_s"
+    )
+    winners = (
+        members.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("_s"), (-F.col("node")).alias("_nid"))
+            ).alias("b")
+        )
+        .select((-F.col("b._nid")).alias("_win"))
+    )
+    losers = members.join(
+        winners, members.node == winners._win, "left_anti"
+    ).select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")
+
+
 def dedup_by_clusters(
     docs: DataFrame,
     edges: DataFrame,

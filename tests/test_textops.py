@@ -894,3 +894,26 @@ def test_dedup_against_incremental_shard(spark):
         for r in dedup_against(new, existing, fuzzy=True).collect()
     }
     assert fuzzy == {103, 105}
+
+
+def test_dedup_by_clusters_best_keeps_highest_quality(spark):
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.cluster import (
+        dedup_by_clusters_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 1.0), (1, 3.0), (2, 3.0), (3, 9.9), (9, 0.1)],
+        "doc_id long, s double",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2)],  # cluster {0,1,2}; 3 and 9 unclustered
+        "doc_a long, doc_b long",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_by_clusters_best(docs, edges, F.col("s")).collect()
+    }
+    # 1 and 2 tie on score -> lowest id (1) wins; 0 loses; others pass
+    assert kept == {1, 3, 9}
