@@ -153,3 +153,63 @@ def test_streaming_sessionize(spark, tmp_path):
         (1, "2026-01-01 01:00:00", 1),
         (2, "2026-01-01 00:05:00", 1),
     ]
+
+
+def test_windowed_counts_append_mode_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics pinned: a row arriving in a later
+    batch with an event time older than (max seen ts - watermark) is
+    DROPPED, and windows emit only once finalized — the behavior that
+    bounds state at 100 TB stream scale. Two availableNow runs against
+    one checkpoint (a parquet sink supports recovery) model a restarted
+    job consuming a late shard."""
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.streaming.stateful import (
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "late_in")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src)
+
+    def write(name, times, kinds):
+        ts = pd.to_datetime(times).astype("datetime64[us]")
+        pd.DataFrame({"ts": ts, "event_type": kinds}).to_parquet(
+            os.path.join(src, name)
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string"
+        ).parquet(src)
+        q = (
+            windowed_event_counts(
+                stream, window="1 hour", watermark="1 hour"
+            )
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: events up to 03:30 -> watermark (1h) finalizes 00:xx
+    write("b1.parquet",
+          ["2026-01-01 00:10", "2026-01-01 00:20", "2026-01-01 03:30"],
+          ["click", "click", "click"])
+    run_once()
+    # batch 2: one late event (3h+ behind the watermark) + one in-time
+    write("b2.parquet",
+          ["2026-01-01 00:30", "2026-01-01 03:45"], ["click", "click"])
+    run_once()
+
+    rows = {
+        str(r["window_start"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 00:00 window finalized with the ORIGINAL 2 clicks; the late
+    # 00:30 row never mutates it
+    assert rows.get("2026-01-01 00:00:00") == 2
+    # the 03:00 window is still open (watermark has not passed it), so
+    # append mode has not emitted it yet
+    assert "2026-01-01 03:00:00" not in rows
