@@ -1508,6 +1508,29 @@ def _q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_ann_recall(spark, sf_dir):
+    """ANN evaluation harness: recall@10 of each approximate index
+    (LSH / IVF / PQ-ADC) against the exact brute-force top-k, the
+    measurement loop a team runs to tune index parameters before a
+    100 TB build. Reuses the four ANN queries (each already
+    oracle-verified); DuckDB recomputes all four result sets and the
+    overlap ratios independently."""
+    exact = _q_ann_topk(spark, sf_dir).select("probe_id", "vec_id")
+    total = exact.count()
+    rows = []
+    for method, fn in (
+        ("lsh", _q_ann_lsh),
+        ("ivf", _q_ann_ivf),
+        ("pq", _q_ann_pq),
+    ):
+        approx = fn(spark, sf_dir).select("probe_id", "vec_id")
+        hits = approx.join(exact, ["probe_id", "vec_id"]).count()
+        rows.append((method, round(hits / total, 6)))
+    return spark.createDataFrame(
+        sorted(rows), "method string, recall double"
+    )
+
+
 def _q_cluster_dedup_best(spark, sf_dir):
     """Quality-aware cluster dedup: within every LSH duplicate cluster
     keep the member with the highest Gopher-style quality score (ties →
@@ -1729,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_dedup_best": _q_cluster_dedup_best,
+        "ann_recall": _q_ann_recall,
         "paragraph_dedup": _q_paragraph_dedup,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "pii_redact": _q_pii_redact,
@@ -2376,6 +2400,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "ann_recall": f"""
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            probes AS (SELECT vec_id AS probe_id, v AS pv
+                       FROM e WHERE vec_id < 5),
+            ex_scored AS (
+              SELECT probe_id, e.vec_id,
+                     round(list_dot_product(e.v, pv) /
+                           greatest(sqrt(list_dot_product(e.v, e.v))
+                                    * sqrt(list_dot_product(pv, pv)),
+                                    1e-12), 6) AS cosine
+              FROM e CROSS JOIN probes),
+            ex AS (SELECT probe_id, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY probe_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+                     FROM ex_scored) WHERE rank <= 10),
+            bk AS (SELECT vec_id, bucket
+                   FROM read_parquet('{_aux_path("emb_buckets8")}/*.parquet')),
+            eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+            lprobes AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+                        FROM eb WHERE vec_id < 5),
+            l_scored AS (
+              SELECT probe_id, eb.vec_id,
+                     round(list_dot_product(eb.v, pv) /
+                           greatest(sqrt(list_dot_product(eb.v, eb.v))
+                                    * sqrt(list_dot_product(pv, pv)),
+                                    1e-12), 6) AS cosine
+              FROM eb JOIN lprobes ON eb.bucket = lprobes.pbucket),
+            lsh AS (SELECT probe_id, vec_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                      FROM l_scored) WHERE rank <= 10),
+            cl AS (SELECT vec_id, cl
+                   FROM read_parquet('{_aux_path("emb_ivf_clusters")}/*.parquet')),
+            ec AS (SELECT e.vec_id, v, cl FROM e JOIN cl USING (vec_id)),
+            iprobes AS (SELECT vec_id AS probe_id, v AS pv, cl AS pcl
+                        FROM ec WHERE vec_id < 5),
+            i_scored AS (
+              SELECT probe_id, ec.vec_id,
+                     round(list_dot_product(ec.v, pv) /
+                           greatest(sqrt(list_dot_product(ec.v, ec.v))
+                                    * sqrt(list_dot_product(pv, pv)),
+                                    1e-12), 6) AS cosine
+              FROM ec JOIN iprobes ON ec.cl = iprobes.pcl),
+            ivf AS (SELECT probe_id, vec_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                      FROM i_scored) WHERE rank <= 10),
+            en AS (SELECT vec_id,
+                     list_transform(v, x -> x /
+                       greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS u
+                   FROM e),
+            codes AS (SELECT vec_id, codes
+                      FROM read_parquet('{_aux_path("pq_codes")}/*.parquet')),
+            cb AS (SELECT s, j, c, cc
+                   FROM read_parquet('{_aux_path("pq_codebooks")}/*.parquet')),
+            pprobes AS (SELECT vec_id AS probe_id, u AS pu
+                        FROM en WHERE vec_id < 5),
+            ppairs AS (
+              SELECT p.probe_id, cd.vec_id,
+                     cb.cc
+                     - 2 * list_dot_product(
+                         list_slice(p.pu, cb.s * 8 + 1, cb.s * 8 + 8), cb.c)
+                     + list_dot_product(
+                         list_slice(p.pu, cb.s * 8 + 1, cb.s * 8 + 8),
+                         list_slice(p.pu, cb.s * 8 + 1, cb.s * 8 + 8)) AS d
+              FROM pprobes p
+              CROSS JOIN codes cd
+              JOIN cb ON cb.j = cd.codes[cb.s + 1]),
+            psc AS (SELECT probe_id, vec_id, round(sum(d), 6) AS approx_dist
+                    FROM ppairs GROUP BY 1, 2),
+            pq AS (SELECT probe_id, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY probe_id
+                       ORDER BY approx_dist, vec_id) AS rank
+                     FROM psc) WHERE rank <= 10),
+            tot AS (SELECT count(*) AS n FROM ex)
+            SELECT method, recall FROM (
+              SELECT 'lsh' AS method,
+                     round((SELECT count(*) FROM lsh JOIN ex
+                            USING (probe_id, vec_id)) * 1.0 / tot.n, 6)
+                       AS recall FROM tot
+              UNION ALL
+              SELECT 'ivf',
+                     round((SELECT count(*) FROM ivf JOIN ex
+                            USING (probe_id, vec_id)) * 1.0 / tot.n, 6)
+                     FROM tot
+              UNION ALL
+              SELECT 'pq',
+                     round((SELECT count(*) FROM pq JOIN ex
+                            USING (probe_id, vec_id)) * 1.0 / tot.n, 6)
+                     FROM tot)
+            ORDER BY method
         """,
         "cluster_dedup_best": f"""
             WITH RECURSIVE edges AS (
