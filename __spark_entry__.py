@@ -411,6 +411,38 @@ def _q_geo_rel_min_admin(spark, sf_dir):
     )
 
 
+def _q_geo_tag_stats(spark, sf_dir):
+    """Taginfo-style tag statistics over the decoded corpus: per tag key,
+    total occurrences, distinct values, and the dominant value (ties →
+    greater value, byte order). The schema-design feedback loop: at
+    planet scale this is how you decide which tags deserve typed columns.
+    One explode + two map-side-combined aggregates, argmax via a
+    (count, value) struct max — no window on the big side."""
+    feats = _decoded(spark, sf_dir)
+    per_kv = (
+        feats.select(F.explode("tags").alias("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    return (
+        per_kv.groupBy("k")
+        .agg(
+            F.sum("nv").alias("n"),
+            F.count(F.lit(1)).alias("n_values"),
+            F.max(F.struct("nv", "v")).alias("top"),
+        )
+        .filter(F.col("n") >= 10)
+        .select(
+            F.col("k").alias("key"),
+            "n",
+            "n_values",
+            F.col("top.v").alias("top_value"),
+            F.col("top.nv").alias("top_n"),
+        )
+        .orderBy(F.desc("n"), "key")
+    )
+
+
 def _q_geo_media_refs(spark, sf_dir):
     feats = _decoded(spark, sf_dir)
     return (
@@ -1705,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_label_grid": _q_geo_label_grid,
         "geo_rel_min_admin": _q_geo_rel_min_admin,
         "geo_media_refs": _q_geo_media_refs,
+        "geo_tag_stats": _q_geo_tag_stats,
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
@@ -1870,6 +1903,20 @@ def oracle_sql() -> dict[str, str]:
             , matches AS (SELECT unnest([{table_cases}]) AS tbl FROM feat2)
             SELECT tbl, count(*) AS n FROM matches WHERE tbl IS NOT NULL
             GROUP BY tbl ORDER BY tbl
+        """,
+        "geo_tag_stats": decode + """
+            , kv AS (SELECT x.e.key AS k, x.e.value AS v
+                     FROM feat2, unnest(map_entries(tags)) AS x(e)),
+            pkv AS (SELECT k, v, count(*) AS nv FROM kv GROUP BY k, v),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY k
+                      ORDER BY nv DESC, v DESC) AS rn,
+                    sum(nv) OVER (PARTITION BY k) AS n,
+                    count(*) OVER (PARTITION BY k) AS n_values
+                  FROM pkv)
+            SELECT k AS key, n, n_values, v AS top_value, nv AS top_n
+            FROM r WHERE rn = 1 AND n >= 10
+            ORDER BY n DESC, key
         """,
         "geo_tile_assignment": decode + f"""
             SELECT tx, ty, count(*) AS n FROM (
