@@ -411,6 +411,16 @@ def _q_geo_rel_min_admin(spark, sf_dir):
     )
 
 
+def _q_events_top_paths(spark, sf_dir):
+    """Event-path mining: the 20 most common consecutive event-type
+    transitions across users (funnel discovery). DuckDB replays the
+    per-user lead window + global count."""
+    from planetiler_openmaptiles_spark.eventops import top_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return top_transitions(ev, k=20)
+
+
 def _q_geo_tag_stats(spark, sf_dir):
     """Taginfo-style tag statistics over the decoded corpus: per tag key,
     total occurrences, distinct values, and the dominant value (ties →
@@ -1738,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rel_min_admin": _q_geo_rel_min_admin,
         "geo_media_refs": _q_geo_media_refs,
         "geo_tag_stats": _q_geo_tag_stats,
+        "events_top_paths": _q_events_top_paths,
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
@@ -2447,6 +2458,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "events_top_paths": """
+            WITH s AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+              FROM events)
+            SELECT src, dst, count(*) AS n FROM s
+            WHERE dst IS NOT NULL
+            GROUP BY src, dst
+            ORDER BY n DESC, src, dst LIMIT 20
         """,
         "ann_recall": f"""
             WITH e AS (SELECT vec_id,

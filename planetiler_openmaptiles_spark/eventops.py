@@ -235,6 +235,27 @@ def cohort_retention(
     )
 
 
+def top_transitions(events: DataFrame, k: int = 20) -> DataFrame:
+    """Path mining: the k most common consecutive event-type transitions
+    (src → dst) across all users — funnel DISCOVERY, where ``funnel``
+    checks a known sequence. One shuffle+sort per user key (the lead
+    window), then a map-side-combined global count; deterministic order
+    (n desc, src, dst). At 100 TB the per-user sort is the same exchange
+    ``sessionize``/``asof_join`` already pay — no per-user arrays are
+    materialized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "src", "dst")
+        .limit(k)
+    )
+
+
 def props_rollup(events: DataFrame, json_col: str = "props") -> DataFrame:
     """Extract the numeric ``k`` property from the JSON blob and roll it
     up per event type: (event_type, n_events, sum_k, n_with_k).
