@@ -411,6 +411,28 @@ def _q_geo_rel_min_admin(spark, sf_dir):
     )
 
 
+def _q_hash_embed(spark, sf_dir):
+    """In-engine hashing-trick document embeddings (the featurizer that
+    feeds ANN/SemDeDup without an external model). Components are
+    emitted as 1e6-scaled integers joined with '|' so the comparison is
+    integer-exact; DuckDB re-derives the md5 buckets, counts, L2 norm,
+    and scaling from raw text."""
+    from planetiler_openmaptiles_spark.textops.selection import (
+        hash_embed_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = hash_embed_docs(docs, dim=64)
+    vec_str = F.array_join(
+        F.transform(
+            F.col("vec"),
+            lambda v: F.round(v * 1000000.0).cast("long").cast("string"),
+        ),
+        "|",
+    )
+    return emb.select("doc_id", vec_str.alias("vec_str")).orderBy("doc_id")
+
+
 def _q_events_top_paths(spark, sf_dir):
     """Event-path mining: the 20 most common consecutive event-type
     transitions across users (funnel discovery). DuckDB replays the
@@ -1749,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_media_refs": _q_geo_media_refs,
         "geo_tag_stats": _q_geo_tag_stats,
         "events_top_paths": _q_events_top_paths,
+        "hash_embed": _q_hash_embed,
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
@@ -2458,6 +2481,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "hash_embed": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            kv AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(x.t), 1, 8))::BIGINT % 64 AS b
+              FROM toks, unnest(w) AS x(t)),
+            counts AS (SELECT doc_id, b, count(*) AS c
+                       FROM kv GROUP BY doc_id, b),
+            dense AS (
+              SELECT d.doc_id, gs.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
+              FROM (SELECT DISTINCT doc_id FROM counts) d
+              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) gs
+              LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = gs.i),
+            nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n
+                    FROM dense GROUP BY doc_id)
+            SELECT d.doc_id,
+                   string_agg(
+                     CAST(CAST(round(d.v / n.n * 1000000.0) AS BIGINT)
+                          AS VARCHAR), '|' ORDER BY d.i) AS vec_str
+            FROM dense d JOIN nrm n USING (doc_id)
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
         """,
         "events_top_paths": """
             WITH s AS (

@@ -71,6 +71,53 @@ def doc_features(
     )
 
 
+def hash_embed_docs(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick document embedding, entirely in-engine: unigram
+    counts hashed into ``dim`` buckets (the engine-portable md5 bucket),
+    L2-normalized — the deterministic featurizer that feeds the ANN /
+    near-dup / SemDeDup operators when no external model is available.
+
+    Returns (doc_id, vec) with vec an array<double>. Shape: one explode
+    + one (doc_id, bucket) count + one per-doc map build; the dense
+    projection is a pure Column transform over ``sequence(0, dim-1)``
+    (no pivot, no Python). Docs with zero tokens are excluded."""
+    kv = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(text_col)).alias("word"),
+    ).select("doc_id", _bucket_expr(F.col("word"), dim).alias("b"))
+    m = (
+        kv.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "c"))
+            ).alias("m")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    withd = m.select("doc_id", dense.alias("d"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("d"), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    return withd.select(
+        "doc_id",
+        F.transform(F.col("d"), lambda v: v / nrm).alias("vec"),
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_pred: Column,

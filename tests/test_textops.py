@@ -917,3 +917,29 @@ def test_dedup_by_clusters_best_keeps_highest_quality(spark):
     }
     # 1 and 2 tie on score -> lowest id (1) wins; 0 loses; others pass
     assert kept == {1, 3, 9}
+
+
+def test_hash_embed_unit_norm_and_similarity(spark):
+    import math
+
+    from planetiler_openmaptiles_spark.textops.selection import (
+        hash_embed_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha"),
+            (1, "alpha beta gamma alpha"),   # identical -> same vector
+            (2, "zz yy xx ww vv uu tt ss"),  # disjoint vocab
+        ],
+        "doc_id long, text string",
+    )
+    vecs = {
+        r["doc_id"]: r["vec"]
+        for r in hash_embed_docs(docs, dim=32).collect()
+    }
+    for v in vecs.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    assert vecs[0] == vecs[1]
+    cos = sum(a * b for a, b in zip(vecs[0], vecs[2]))
+    assert cos < 0.9  # disjoint vocab -> far from identical direction
