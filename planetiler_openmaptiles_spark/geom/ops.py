@@ -258,11 +258,54 @@ def centroid_if_convex(geom) -> np.ndarray:
 # ------------------------------------------------------------------- simplify
 
 
+def _dp_scalar(coords: np.ndarray, n: int, tol2: float) -> np.ndarray:
+    """Scalar DP for short lines: bit-identical to the numpy path (same
+    expression order per IEEE-754, same first-max tie rule) but without
+    per-call ndarray-temporary overhead — the merge kernels simplify tens
+    of thousands of 3-10 point segments per tile, where numpy setup costs
+    ~50x the arithmetic."""
+    xs = coords[:, 0].tolist()
+    ys = coords[:, 1].tolist()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        xi, yi, sx, sy = xs[i], ys[i], xs[j] - xs[i], ys[j] - ys[i]
+        seg_len2 = sx * sx + sy * sy
+        best = -1.0
+        bk = -1
+        for k in range(i + 1, j):
+            dx, dy = xs[k] - xi, ys[k] - yi
+            if seg_len2 == 0:
+                d2 = dx * dx + dy * dy
+            else:
+                t = (dx * sx + dy * sy) / seg_len2
+                if t < 0.0:
+                    t = 0.0
+                elif t > 1.0:
+                    t = 1.0
+                ex, ey = xs[k] - (xi + t * sx), ys[k] - (yi + t * sy)
+                d2 = ex * ex + ey * ey
+            if d2 > best:
+                best = d2
+                bk = k
+        if best > tol2:
+            keep[bk] = True
+            stack.append((i, bk))
+            stack.append((bk, j))
+    return coords[keep]
+
+
 def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
     coords = np.asarray(coords, dtype=np.float64)
     n = len(coords)
     if n <= 2 or tol <= 0:
         return coords
+    if n <= 16:
+        return _dp_scalar(coords, n, tol * tol)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
     stack = [(0, n - 1)]
@@ -624,7 +667,12 @@ def merge_lines(lines: list[np.ndarray], quantum: float = 1e-9) -> list[np.ndarr
     Deterministic: inputs processed in given order, endpoints quantized."""
 
     def key(pt):
-        return (round(pt[0] / quantum), round(pt[1] / quantum))
+        # float() first: round() on a raw C double skips the ndarray
+        # scalar protocol (~3x — this runs 8x per input line)
+        return (
+            round(float(pt[0]) / quantum),
+            round(float(pt[1]) / quantum),
+        )
 
     lines = [np.asarray(l, dtype=np.float64) for l in lines if len(l) >= 2]
     endpoints: dict[tuple, list[tuple[int, bool]]] = {}

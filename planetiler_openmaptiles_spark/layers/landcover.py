@@ -111,11 +111,12 @@ def _post_process(zoom: int, pdf: pd.DataFrame) -> pd.DataFrame:
         ]
         return out
     keep_rows, merge_rows = [], []
-    for i in range(len(pdf)):
-        attrs = postprocess._as_dict(pdf["attrs"].iloc[i])
+    # to_dict("records") once: per-row .iloc costs ~100µs each and this
+    # loop runs over 10k+ rows on a fat landcover tile
+    for row in pdf.to_dict("records"):
+        attrs = postprocess._as_dict(row["attrs"])
         n = int(attrs.pop("_numpoints", "0") or 0)
         sub = attrs.get("subclass")
-        row = dict(pdf.iloc[i])
         if zoom >= 10:
             if sub in WOOD_OR_FOREST and n < 300:
                 attrs["_group"] = "<300"
