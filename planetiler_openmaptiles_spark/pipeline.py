@@ -330,7 +330,22 @@ def build_tiles(
         lambda: render_tiles(rendered, config.max_zoom, config.simplify_tolerance),
         spark, lineage=["rendered_features"],
     )
-    tiles = finalize_tiles(tile_feats)
+    # reduce-exchange width hint from the corpus size on disk (stat only,
+    # no job): ~one partition per 256 KB of compressed input (the exploded
+    # tile-feature table is ~3.5x the corpus bytes) keeps the pandas
+    # dispatch straggler-proof on fresh builds, where the cached plan
+    # hides inputFiles() from finalize_tiles' own probe. Small corpora
+    # fall back to the session default inside finalize_tiles.
+    try:
+        doc_dir = os.path.join(corpus_dir, "documents.parquet")
+        sz = sum(
+            os.path.getsize(os.path.join(doc_dir, f))
+            for f in os.listdir(doc_dir)
+        ) if os.path.isdir(doc_dir) else os.path.getsize(doc_dir)
+        size_hint = int(sz // (256 * 1024))
+    except OSError:
+        size_hint = 0
+    tiles = finalize_tiles(tile_feats, size_hint=size_hint)
     return tiles
 
 

@@ -759,7 +759,7 @@ def identity_reduce_sql(df: DataFrame) -> DataFrame:
     )
 
 
-def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
+def finalize_tiles(tile_feats: DataFrame, size_hint: int = 0) -> DataFrame:
     """windows + per-layer reduce (the full tile reduction).
 
     Routing: layers whose post-process is a pure concatenation or identity
@@ -781,8 +781,24 @@ def finalize_tiles(tile_feats: DataFrame) -> DataFrame:
     # doc_id is render-stage lineage only — dead weight in the reduce.
     # _tile_rows: count window on the same partitioning (no extra exchange)
     # routes fat z13 building tiles to the distributed component merge.
+    #
+    # Exchange width scales with INPUT SIZE (the ``size_hint`` the
+    # pipeline derives from corpus bytes on disk), not just the session
+    # default: the pandas dispatch is Python-CPU-bound per merge GROUP,
+    # so at one wave per core on a 1M-doc corpus each task holds ~14
+    # megacity merge groups and runs ~30 s (measured via
+    # tools/profile_tile_phase — max task 32.9 s at 32 partitions vs
+    # 6.7 s at ~1000). Small corpora keep the lean session default; a
+    # file-count probe was rejected because checkpoint-resume scans
+    # count many tiny part files and over-partition small builds.
+    session_parts = int(
+        tile_feats.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    n_parts = max(session_parts, min(4096, size_hint))
     tf = grid_windows(
-        tile_feats.drop("doc_id").repartition("z", "x", "y", "layer")
+        tile_feats.drop("doc_id").repartition(
+            n_parts, "z", "x", "y", "layer"
+        )
     ).withColumn(
         "_tile_rows", F.count("*").over(Window.partitionBy("z", "x", "y", "layer"))
     ).persist()
