@@ -411,6 +411,17 @@ def _q_geo_rel_min_admin(spark, sf_dir):
     )
 
 
+def _q_events_anomalies(spark, sf_dir):
+    """Trailing-window volume anomalies over hourly event counts (the
+    monitoring query of a streaming deployment, batch-replayable).
+    DuckDB replays the hour rollup, the 24-row trailing mean/stddev
+    window, and the rounded z-score cut."""
+    from planetiler_openmaptiles_spark.eventops import hourly_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hourly_anomalies(ev).orderBy("hour", "event_type")
+
+
 def _q_hash_embed(spark, sf_dir):
     """In-engine hashing-trick document embeddings (the featurizer that
     feeds ANN/SemDeDup without an external model). Components are
@@ -1772,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tag_stats": _q_geo_tag_stats,
         "events_top_paths": _q_events_top_paths,
         "hash_embed": _q_hash_embed,
+        "events_anomalies": _q_events_anomalies,
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
@@ -2481,6 +2493,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "events_anomalies": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            scored AS (
+              SELECT hour, event_type, n,
+                     avg(n) OVER w AS mu,
+                     stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT hour, event_type, n,
+                   round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 4) AS z,
+                   abs(round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 4))
+                     >= 3.0 AS is_anomaly
+            FROM scored
+            ORDER BY hour, event_type
         """,
         "hash_embed": r"""
             WITH toks AS (

@@ -256,6 +256,40 @@ def top_transitions(events: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def hourly_anomalies(
+    events: DataFrame, trailing: int = 24, z_thresh: float = 3.0
+) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type scored
+    against the trailing ``trailing``-row mean/stddev (ROWS window, so
+    gaps don't stretch the baseline), flagged at |z| ≥ ``z_thresh``.
+    Two shuffles total (hour rollup, per-type window); z is rounded to
+    4 decimals and the flag is computed on the ROUNDED value so the
+    cut is engine-portable."""
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-trailing, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    z = F.round(
+        F.when(sd > 0, (F.col("n") - mu) / sd), 4
+    )
+    return hourly.select(
+        "hour",
+        "event_type",
+        "n",
+        z.alias("z"),
+        (F.abs(z) >= F.lit(z_thresh)).alias("is_anomaly"),
+    )
+
+
 def props_rollup(events: DataFrame, json_col: str = "props") -> DataFrame:
     """Extract the numeric ``k`` property from the JSON blob and roll it
     up per event type: (event_type, n_events, sum_k, n_with_k).
