@@ -411,6 +411,52 @@ def _q_geo_rel_min_admin(spark, sf_dir):
     )
 
 
+def _q_media_phash_dedup(spark, sf_dir):
+    """Multimodal perceptual dedup: per doc, synthesize a BMP whose
+    column values follow doc_id arithmetic (v_j = (p*29 + j*q*47) % 256,
+    p = doc_id%7, q = doc_id%11 — docs sharing (p, q) are true image
+    dups; the wraparound makes the hash space diverse), decode with the
+    REAL codec in strict mode, aHash the
+    block-mean embedding JVM-side, and group. DuckDB re-derives the
+    entire chain — column values, f32 block-mean embedding (incl. the
+    float32 rounding), mean, bit pack, groups — from doc_id arithmetic;
+    any defect in decode, embedding, or hash breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images,
+        image_phash_groups,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 2000)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p, q = d % 7, d % 11
+                cols = (p * 29 + np.arange(16) * q * 47) % 256
+                img = np.tile(cols.astype(np.uint8), (8, 1))
+                rows.append(
+                    (f"img{d}", str(d), "image", codecs.encode_bmp(img), None)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    imgs = decode_images(media, strict=True)
+    return image_phash_groups(imgs).orderBy("phash")
+
+
 def _q_events_anomalies(spark, sf_dir):
     """Trailing-window volume anomalies over hourly event counts (the
     monitoring query of a streaming deployment, batch-replayable).
@@ -1784,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": _q_events_top_paths,
         "hash_embed": _q_hash_embed,
         "events_anomalies": _q_events_anomalies,
+        "media_phash_dedup": _q_media_phash_dedup,
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
@@ -2493,6 +2540,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "media_phash_dedup": """
+            WITH d AS (SELECT doc_id, doc_id % 7 AS p, doc_id % 11 AS q
+                       FROM documents WHERE doc_id < 2000),
+            e AS (SELECT doc_id,
+                    [CAST(CAST(CAST((
+                        ((p * 29 + (2 * (j - 1)) * q * 47) % 256)
+                      + ((p * 29 + (2 * (j - 1) + 1) * q * 47) % 256)
+                     ) / 2.0 AS REAL) / CAST(255.0 AS REAL) AS REAL)
+                     AS DOUBLE)
+                     FOR j IN generate_series(1, 8)] AS emb
+                  FROM d),
+            m AS (SELECT doc_id, emb,
+                    ((((((((0.0 + emb[1]) + emb[2]) + emb[3]) + emb[4])
+                      + emb[5]) + emb[6]) + emb[7]) + emb[8]) / 8.0 AS mu
+                  FROM e),
+            ph AS (SELECT doc_id,
+                     (CASE WHEN emb[1] > mu THEN 1 ELSE 0 END)
+                   + (CASE WHEN emb[2] > mu THEN 2 ELSE 0 END)
+                   + (CASE WHEN emb[3] > mu THEN 4 ELSE 0 END)
+                   + (CASE WHEN emb[4] > mu THEN 8 ELSE 0 END)
+                   + (CASE WHEN emb[5] > mu THEN 16 ELSE 0 END)
+                   + (CASE WHEN emb[6] > mu THEN 32 ELSE 0 END)
+                   + (CASE WHEN emb[7] > mu THEN 64 ELSE 0 END)
+                   + (CASE WHEN emb[8] > mu THEN 128 ELSE 0 END) AS phash
+                   FROM m)
+            SELECT phash, count(*) AS n, min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM ph GROUP BY phash ORDER BY phash
         """,
         "events_anomalies": """
             WITH hourly AS (

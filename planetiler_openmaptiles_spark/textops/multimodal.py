@@ -120,6 +120,41 @@ def decode_images(media: DataFrame, strict: bool = False, embed_dim: int = 8) ->
     return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+def phash_from_embedding(emb_col) -> "F.Column":
+    """Perceptual hash from a block-mean embedding: bit j set iff
+    embedding[j] > mean(embedding) — the aHash recipe over the engine's
+    deterministic image embedding. Pure Column expressions (left-fold
+    mean, then a bit pack), so dedup over decoded media stays JVM-side
+    after the one Arrow decode pass. Elements are widened f32→f64
+    before arithmetic, which an independent engine can replay exactly."""
+    d = F.transform(emb_col, lambda v: v.cast("double"))
+    mu = F.aggregate(d, F.lit(0.0), lambda a, v: a + v) / F.size(d).cast(
+        "double"
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.size(d) - 1),
+        lambda j: F.when(
+            F.element_at(d, j + 1) > mu,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def image_phash_groups(images: DataFrame) -> DataFrame:
+    """Perceptual-duplicate groups over decoded images: (phash, n,
+    min_doc, max_doc) — one groupBy on the 64-bit hash."""
+    ph = images.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        phash_from_embedding(F.col("embedding")).alias("phash"),
+    )
+    return ph.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
