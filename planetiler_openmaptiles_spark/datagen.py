@@ -371,15 +371,24 @@ def generate_corpus(n_docs: int = 2000, seed: int = 42):
 
 
 def write_corpus(out_dir: str, n_docs: int = 2000, seed: int = 42) -> str:
-    """Write documents.parquet + side tables; cached by (n_docs, seed)."""
-    tag = f"n{n_docs}_s{seed}_v2"
+    """Write documents.parquet + side tables; cached by (n_docs, seed).
+
+    documents.parquet is written with bounded row groups (16 Ki rows): a
+    single-row-group file defeats Spark's byte-range splitting (all rows
+    land in the split containing the row-group start, every downstream
+    narrow stage runs one task), which is a fixture artifact no real
+    many-file table exhibits — v2 corpora wrote 1M rows into ONE row group
+    and serialized the whole span decode.
+    """
+    tag = f"n{n_docs}_s{seed}_v3"
     d = os.path.join(out_dir, tag)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d
     os.makedirs(d, exist_ok=True)
     docs, side = generate_corpus(n_docs, seed)
-    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    pq.write_table(docs, os.path.join(d, "documents.parquet"),
+                   row_group_size=16384)
     for name, t in side.items():
         pq.write_table(t, os.path.join(d, f"{name}.parquet"))
     with open(marker, "w") as f:

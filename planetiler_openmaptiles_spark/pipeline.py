@@ -37,8 +37,45 @@ from .tiling.explode import render_tiles
 from .tiling.postprocess import finalize_tiles
 
 
+def _parquet_row_groups(path: str) -> int:
+    """Estimated total row groups under a local parquet file/dir (sampled
+    driver-side footer probe). Returns a large sentinel when the layout
+    cannot be inspected (remote filesystem, corrupt footer, ...)."""
+    try:
+        import pyarrow.parquet as _pq
+
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        if not files:
+            return 1 << 30
+        sample = files[:16]
+        rgs = sum(_pq.ParquetFile(f).metadata.num_row_groups for f in sample)
+        return int(rgs * (len(files) / len(sample)))
+    except Exception:
+        return 1 << 30
+
+
 def load_documents(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    path = os.path.join(corpus_dir, "documents.parquet")
+    df = spark.read.parquet(path)
+    # Layout-robustness guard: Spark plans byte-range splits, but parquet
+    # rows land in whole row groups — a corpus written as a few giant row
+    # groups collapses the span decode and every narrow layer transform
+    # onto that many tasks no matter how many executors exist (measured:
+    # the 1M-doc single-row-group fixture ran the whole decode on ONE core
+    # in the multi-JVM bench). One explicit exchange of the raw documents
+    # is far cheaper than a serialized decode. At production scale the
+    # input has thousands of files/row groups and this never fires.
+    cores = spark.sparkContext.defaultParallelism
+    if _parquet_row_groups(path) < cores:
+        df = df.repartition(cores)
+    return df
 
 
 def load_side_tables(spark: SparkSession, corpus_dir: str) -> dict:
