@@ -196,7 +196,7 @@ def main():
     ap.add_argument("--exec-cores", type=int, default=8)
     args = ap.parse_args()
 
-    corpus = os.path.join(REPO, ".gendata", f"n{args.docs}_s42_v2")
+    corpus = os.path.join(REPO, ".gendata", f"n{args.docs}_s42_v3")
     assert os.path.exists(corpus), corpus
     assert os.path.exists(args.warm_ckpt), args.warm_ckpt
     shutil.rmtree(args.work, ignore_errors=True)
