@@ -144,3 +144,33 @@ def test_ansi_session_hardening(spark, corpus_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_single_row_group_corpus_is_resplit(spark, tmp_path):
+    """A corpus file written as ONE parquet row group defeats byte-range
+    splitting (every row lands in the split holding the row-group start),
+    serializing the span decode and each narrow layer transform onto one
+    task no matter how many executors exist — measured on the 1M-doc
+    multi-JVM bench. load_documents' footer probe must repartition such
+    inputs to cluster parallelism; a well-laid-out corpus (row groups >=
+    cores) must pass through untouched with zero added exchange."""
+    import pyarrow.parquet as pq
+
+    from planetiler_openmaptiles_spark.datagen import generate_corpus
+
+    docs, _ = generate_corpus(500, seed=7)
+    cores = spark.sparkContext.defaultParallelism
+
+    pathological = tmp_path / "bad" / "documents.parquet"
+    pathological.parent.mkdir()
+    pq.write_table(docs, str(pathological))  # single row group
+    df = load_documents(spark, str(tmp_path / "bad"))
+    assert df.rdd.getNumPartitions() >= cores
+    assert df.count() == docs.num_rows
+
+    healthy = tmp_path / "good" / "documents.parquet"
+    healthy.parent.mkdir()
+    pq.write_table(docs, str(healthy), row_group_size=docs.num_rows // (cores * 2))
+    df2 = load_documents(spark, str(tmp_path / "good"))
+    assert "Exchange" not in df2._jdf.queryExecution().executedPlan().toString()
+    assert df2.count() == docs.num_rows
