@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -116,8 +117,18 @@ class CheckpointManager:
                 # plans land on spark.sql.shuffle.partitions (>= target
                 # here) and are left alone; only narrow scan->map plans —
                 # whose parallelism is the leaf split count — get widened.
+                # Match SHUFFLE exchanges only ("Exchange hashpartitioning
+                # (...)" etc.) — a broadcast-join-only plan prints
+                # "BroadcastExchange" yet is still narrow on the probe
+                # side, so a bare "Exchange" substring test would leave a
+                # one-split scan unwidened (single-task collapse).
                 plan = df._jdf.queryExecution().executedPlan().toString()
-                if "Exchange" not in plan and len(df.inputFiles()) < target:
+                shuffling = re.search(
+                    r"(?<![A-Za-z])Exchange "
+                    r"(hash|range|RoundRobin|SinglePartition)",
+                    plan,
+                )
+                if not shuffling and len(df.inputFiles()) < target:
                     df = df.repartition(target)
         writer = df.write.mode("overwrite")
         if partition_by:

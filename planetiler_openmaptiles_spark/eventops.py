@@ -114,19 +114,32 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    def carry(col):
-        return F.last(F.when(F.col("is_right"), col), ignorenulls=True).over(w)
+    # Carry the matched right row as ONE struct: per-column carries would
+    # tear a match whose value is NULL (ignorenulls skips the NULL value
+    # column but still advances event_id/ts_us, mixing two events).
+    carried = F.last(
+        F.when(
+            F.col("is_right"),
+            F.struct(
+                F.col("event_id").alias("e"),
+                F.col("ts_us").alias("t"),
+                F.col("value").alias("v"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
 
     return (
-        tagged.select(
+        tagged.withColumn("_m", carried)
+        .select(
             "event_id",
             "user_id",
             "ts_us",
             "value",
             "is_right",
-            carry(F.col("event_id")).alias("matched_event_id"),
-            carry(F.col("ts_us")).alias("matched_ts_us"),
-            carry(F.col("value")).alias("matched_value"),
+            F.col("_m.e").alias("matched_event_id"),
+            F.col("_m.t").alias("matched_ts_us"),
+            F.col("_m.v").alias("matched_value"),
         )
         .where(~F.col("is_right"))
         .select(

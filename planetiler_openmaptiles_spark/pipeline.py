@@ -23,6 +23,7 @@ import argparse
 import hashlib
 import json
 import os
+from collections import OrderedDict
 import sys
 import time
 
@@ -196,8 +197,14 @@ def apply_required_confs(spark: SparkSession) -> None:
 # (bench loops, incremental/streaming drivers, resume) reuse the plans;
 # the corpus mtime keys out stale schemas if files are regenerated in
 # place. Execution state is NOT cached beyond the persist marker, which
-# build_tiles re-arms below.
-_CTX_CACHE: dict = {}
+# build_tiles re-arms below. Bounded LRU: each entry pins hundreds of
+# py4j-backed plan objects (and, via ctx.features, a persist marker), so
+# an unbounded dict leaks in long-lived drivers that vary configs — the
+# oracle board alone builds water-only / tolerance-override /
+# single-layer contexts in one session. Eviction unpersists the entry's
+# shared decode cache.
+_CTX_CACHE: "OrderedDict" = OrderedDict()
+_CTX_CACHE_MAX = 8
 
 
 def _corpus_mtime(corpus_dir: str) -> int:
@@ -218,7 +225,14 @@ def make_context(spark: SparkSession, corpus_dir: str, config: Config | None = N
     ctx = _CTX_CACHE.get(key)
     if ctx is None:
         _CTX_CACHE[key] = ctx = _build_context(spark, corpus_dir, cfg)
+        while len(_CTX_CACHE) > _CTX_CACHE_MAX:
+            _, old_ctx = _CTX_CACHE.popitem(last=False)
+            try:
+                old_ctx.features.unpersist()
+            except Exception:
+                pass
     else:
+        _CTX_CACHE.move_to_end(key)
         apply_required_confs(spark)
         sl = ctx.features.storageLevel
         if not (sl.useMemory or sl.useDisk):

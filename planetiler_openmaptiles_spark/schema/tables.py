@@ -37,14 +37,12 @@ from pyspark.sql import functions as F
 # parse each unique string once per process and reuse the Column.
 from functools import lru_cache
 
-
-@lru_cache(maxsize=4096)
-def _expr(sql: str) -> Column:
-    return F.expr(sql)
-
-
-def _q(s: str) -> str:
-    return str(s).replace("'", "''")
+# One process-wide parse cache: reuse exprs.expr / exprs.sql_quote
+# rather than keeping a second parallel lru_cache here (identical parsed
+# Columns pinned twice, and a future quoting fix applying to only one of
+# two SQL-render paths).
+from ..exprs import expr as _expr
+from ..exprs import sql_quote as _q
 
 
 def _tag_sql(key: str) -> str:

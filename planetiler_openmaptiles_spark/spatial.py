@@ -227,21 +227,31 @@ def point_distance_udf(pt_wkt: pd.Series, other_wkt: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# POINT WKT coordinate pair: accepts scientific notation — inter-stage
+# WKT is rendered with %.10g, which emits e-notation for |coord|<1e-4
+# (points within ~11 m of the prime meridian / equator); a plain
+# [-]?[\d.]+ pattern silently NULLs those coordinates.
+_PT_NUMS = (
+    r"\(\s*([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?)"
+    r"\s+([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?)"
+)
+
+
 def point_cell(lon_lat_wkt_col: Column, zoom: int = CELL_ZOOM) -> Column:
     """Cell key of a POINT WKT — JVM-side (regex coordinate extraction, no
     Python): for point-keyed joins the cell assignment stays in codegen."""
     from .tiling import cells
 
-    lon = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 1).cast("double")
-    lat = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 2).cast("double")
+    lon = F.regexp_extract(lon_lat_wkt_col, _PT_NUMS, 1).cast("double")
+    lat = F.regexp_extract(lon_lat_wkt_col, _PT_NUMS, 2).cast("double")
     return cells.cell_of_lonlat(lon, lat, zoom)
 
 
 def point_kring(lon_lat_wkt_col: Column, meters: float, zoom: int = CELL_ZOOM) -> Column:
     from .tiling import cells
 
-    lon = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 1).cast("double")
-    lat = F.regexp_extract(lon_lat_wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 2).cast("double")
+    lon = F.regexp_extract(lon_lat_wkt_col, _PT_NUMS, 1).cast("double")
+    lat = F.regexp_extract(lon_lat_wkt_col, _PT_NUMS, 2).cast("double")
     return cells.cells_within_meters(lon, lat, meters, zoom)
 
 
@@ -250,8 +260,8 @@ def _pt_world_cols(wkt_col: Column) -> tuple[Column, Column]:
     mercator.lonlat_to_world bit-for-bit via tiling.cells)."""
     from .tiling import cells
 
-    lon = F.regexp_extract(wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 1).cast("double")
-    lat = F.regexp_extract(wkt_col, r"\(\s*(-?[\d.]+)\s+(-?[\d.]+)", 2).cast("double")
+    lon = F.regexp_extract(wkt_col, _PT_NUMS, 1).cast("double")
+    lat = F.regexp_extract(wkt_col, _PT_NUMS, 2).cast("double")
     return cells.world_x(lon), cells.world_y(lat)
 
 

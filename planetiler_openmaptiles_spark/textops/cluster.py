@@ -131,23 +131,25 @@ def dedup_by_clusters_best(
     through — the production form, where you keep the cleanest copy
     rather than an arbitrary one. ``score`` is a Column over ``docs``.
 
-    Shape: one argmax aggregate per component (max over a
-    (score, -id) struct — no window, map-side combinable) + one
-    left_anti on the loser ids; scales exactly like
-    ``dedup_by_clusters``."""
+    Shape: two map-side-combinable aggregates on the same component
+    key (max score, then min id among max-scored members — the second
+    shuffle reuses the first's partitioning) + one left_anti on the
+    loser ids; scales exactly like ``dedup_by_clusters``. Works for
+    numeric AND string ids (a negated-id struct trick would NULL out
+    string ids under non-ANSI casts and silently disable the dedup).
+    """
     comps = connected_components(edges, src=src, dst=dst)
     scored = docs.select(F.col(id_col).alias("_id"), score.alias("_s"))
     members = comps.join(scored, comps.node == scored._id).select(
         "component", F.col("node"), "_s"
     )
+    best = members.groupBy("component").agg(F.max("_s").alias("_best"))
     winners = (
-        members.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(F.col("_s"), (-F.col("node")).alias("_nid"))
-            ).alias("b")
-        )
-        .select((-F.col("b._nid")).alias("_win"))
+        members.join(best, "component")
+        .filter(F.col("_s").eqNullSafe(F.col("_best")))
+        .groupBy("component")
+        .agg(F.min("node").alias("_win"))
+        .select("_win")
     )
     losers = members.join(
         winners, members.node == winners._win, "left_anti"

@@ -759,6 +759,24 @@ def identity_reduce_sql(df: DataFrame) -> DataFrame:
     )
 
 
+# Live finalize cache per session (id -> cached DataFrame): each new
+# finalize_tiles call releases the previous build's pinned grid-window
+# table, so drivers that build many tile sets in one session (bench
+# loops, the oracle board) hold at most ONE cache even if a consumer
+# never reaches pipeline.write_tiles' unpersist.
+_FINALIZE_CACHE: dict[int, DataFrame] = {}
+
+
+def release_finalize_cache(spark) -> None:
+    """Unpersist the session's live finalize cache, if any."""
+    prev = _FINALIZE_CACHE.pop(id(spark), None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+
+
 def finalize_tiles(tile_feats: DataFrame, size_hint: int = 0) -> DataFrame:
     """windows + per-layer reduce (the full tile reduction).
 
@@ -812,8 +830,11 @@ def finalize_tiles(tile_feats: DataFrame, size_hint: int = 0) -> DataFrame:
     # ~6x duplicated scan+shuffle+window work, tools/cluster_diag.py).
     # On a SINGLE executor (local mode) the block lock already dedupes, so
     # the extra pass is pure overhead — fill eagerly only when >1 executor.
+    # getExecutorInfos includes the DRIVER as one entry (local mode: just
+    # "driver" = 1; a 1-executor cluster: driver + executor = 2), so the
+    # multi-executor condition is strictly more than two entries.
     sc = tile_feats.sparkSession.sparkContext
-    if len(sc._jsc.sc().statusTracker().getExecutorInfos()) > 1:
+    if len(sc._jsc.sc().statusTracker().getExecutorInfos()) > 2:
         tf.count()
     mp_pred = (F.col("layer") == "building") & (F.col("z") != 13)
     bz13_pred = (
@@ -843,6 +864,12 @@ def finalize_tiles(tile_feats: DataFrame, size_hint: int = 0) -> DataFrame:
         out = out.unionByName(p)
     # hand the cache handle to the sink so it can unpersist after the
     # first materializing action (pipeline.write_tiles) instead of pinning
-    # the full ranked tile table through the mbtiles/read-back phases
+    # the full ranked tile table through the mbtiles/read-back phases;
+    # also register it per-session so the NEXT finalize_tiles (or an
+    # explicit release_finalize_cache) evicts it even when the consumer
+    # never writes — bounds pinned caches to one per session.
+    spark = tile_feats.sparkSession
+    release_finalize_cache(spark)
+    _FINALIZE_CACHE[id(spark)] = tf
     out._omt_cached = tf
     return out

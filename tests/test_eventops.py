@@ -87,6 +87,27 @@ def test_asof_join_inclusive_and_null(spark):
     assert got[6]["matched_event_id"] == 5 and got[6]["matched_value"] == 30.0
 
 
+def test_asof_join_null_value_not_torn(spark):
+    """A matched right event whose value is NULL must be reported whole:
+    event_id/ts_us/value all from THAT event, not value carried from an
+    older one (per-column ignorenulls carries tear the match)."""
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "error", 5.0, "{}"),    # id 0: value 5
+            (3, 1, "error", None, "{}"),   # id 1: value NULL (latest error)
+            (6, 1, "click", 1.0, "{}"),    # id 2 -> must match id 1 whole
+        ],
+    )
+    got = {r["event_id"]: r for r in asof_join(ev, "click", "error").collect()}
+    assert got[2]["matched_event_id"] == 1
+    assert (
+        got[2]["matched_ts_us"]
+        == 3_000_000 + int(T0.timestamp()) * 1_000_000
+    )
+    assert got[2]["matched_value"] is None
+
+
 def test_props_rollup(spark):
     ev = _ev(
         spark,

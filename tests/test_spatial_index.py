@@ -121,3 +121,22 @@ def test_raster_coverage_counts(spark):
     # max(w,h)/32 -> the shorter axis covers fewer than 32 columns of
     # centers; bound: full coverage on the long axis, >=60% on the short
     assert 32 * 19 <= n <= 32 * 32
+
+
+def test_point_cell_scientific_notation(spark):
+    """%.10g renders near-meridian coords as e-notation; the JVM-side
+    coordinate extraction must not silently NULL them."""
+    df = spark.createDataFrame(
+        [("a", "POINT (1.2e-05 3.4)"), ("b", "POINT (0.00123 -4.5e-03)")],
+        "pid string, wkt string",
+    )
+    rows = df.select(
+        spatial.point_cell(F.col("wkt"), 10).alias("cell")
+    ).collect()
+    assert all(r["cell"] is not None for r in rows)
+    # e-notation and plain rendering of the SAME point land in one cell
+    eq = spark.createDataFrame(
+        [("e", "POINT (1.2e-05 3.4)"), ("p", "POINT (0.000012 3.4)")],
+        "pid string, wkt string",
+    ).select(spatial.point_cell(F.col("wkt"), 10).alias("cell")).collect()
+    assert eq[0]["cell"] == eq[1]["cell"]

@@ -919,6 +919,30 @@ def test_dedup_by_clusters_best_keeps_highest_quality(spark):
     assert kept == {1, 3, 9}
 
 
+def test_dedup_by_clusters_best_string_ids(spark):
+    """String doc_ids must dedup too — a negated-id argmax trick casts
+    strings to NULL under non-ANSI and silently keeps every member."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.cluster import (
+        dedup_by_clusters_best,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("c", 3.0), ("z", 9.9)],
+        "doc_id string, s double",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_by_clusters_best(docs, edges, F.col("s")).collect()
+    }
+    # b/c tie -> lexicographically-lowest id b wins; a loses; z passes
+    assert kept == {"b", "z"}
+
+
 def test_hash_embed_unit_norm_and_similarity(spark):
     import math
 
