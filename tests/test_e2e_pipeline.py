@@ -174,3 +174,52 @@ def test_single_row_group_corpus_is_resplit(spark, tmp_path):
     df2 = load_documents(spark, str(tmp_path / "good"))
     assert "Exchange" not in df2._jdf.queryExecution().executedPlan().toString()
     assert df2.count() == docs.num_rows
+
+
+def test_ctx_cache_bounded_lru(spark, corpus_dir, monkeypatch):
+    """make_context must evict (and unpersist) old contexts beyond the
+    LRU bound — long-lived drivers vary configs per query and an
+    unbounded cache pins every build's plan objects forever."""
+    from planetiler_openmaptiles_spark import pipeline as P
+
+    monkeypatch.setattr(P, "_CTX_CACHE_MAX", 2)
+    ctxs = [
+        P.make_context(
+            spark, corpus_dir, Config(only_layers=("water",), max_zoom=z)
+        )
+        for z in (3, 4, 5)
+    ]
+    assert len(P._CTX_CACHE) == 2
+    # the evicted (oldest) context's shared decode cache is released
+    sl = ctxs[0].features.storageLevel
+    assert not (sl.useMemory or sl.useDisk)
+    # survivors share the identical decode plan, so the CacheManager
+    # drops their cached data too — the cache-hit path must RE-ARM it
+    again = P.make_context(
+        spark, corpus_dir, Config(only_layers=("water",), max_zoom=5)
+    )
+    assert again is ctxs[2]
+    sl2 = again.features.storageLevel
+    assert sl2.useMemory or sl2.useDisk
+
+
+def test_finalize_cache_released_on_next_build(spark, corpus_dir):
+    """Back-to-back finalize_tiles calls in one session must not stack
+    pinned grid-window caches (bench loops / the oracle board never call
+    write_tiles' unpersist)."""
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+    from planetiler_openmaptiles_spark.tiling import postprocess as PP
+
+    cfg = Config(only_layers=("water",), max_zoom=4)
+    t1 = build_tiles(spark, corpus_dir, cfg)
+    t1.count()
+    first = PP._FINALIZE_CACHE.get(id(spark))
+    assert first is not None
+    t2 = build_tiles(spark, corpus_dir, cfg)
+    t2.count()
+    second = PP._FINALIZE_CACHE.get(id(spark))
+    assert second is not None and second is not first
+    sl = first.storageLevel
+    assert not (sl.useMemory or sl.useDisk)
+    PP.release_finalize_cache(spark)
+    assert id(spark) not in PP._FINALIZE_CACHE
