@@ -62,7 +62,27 @@ def _parquet_row_groups(path: str) -> int:
         return 1 << 30
 
 
+# Corpus spec scheme for catalog-managed tables: "table:<namespace>"
+# reads documents/side tables via spark.read.table("<namespace>.<name>")
+# — catalog-agnostic, so the SAME code path serves an Iceberg catalog
+# (spark.sql.catalog.* configured + iceberg-spark-runtime jar, the
+# production deployment in SURVEY.md §7) and plain Hive/temp-view
+# catalogs in the sandbox. An empty namespace ("table:") resolves bare
+# table names (temp views). Path specs keep the parquet layout guard
+# below; catalog tables delegate split planning to the table format
+# (Iceberg plans splits from its own file manifests, so the single-row-
+# group pathology guarded below cannot occur there).
+TABLE_SCHEME = "table:"
+
+
+def _table_name(spec: str, name: str) -> str:
+    ns = spec[len(TABLE_SCHEME):]
+    return f"{ns}.{name}" if ns else name
+
+
 def load_documents(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    if corpus_dir.startswith(TABLE_SCHEME):
+        return spark.read.table(_table_name(corpus_dir, "documents"))
     path = os.path.join(corpus_dir, "documents.parquet")
     df = spark.read.parquet(path)
     # Layout-robustness guard: Spark plans byte-range splits, but parquet
@@ -82,6 +102,12 @@ def load_documents(spark: SparkSession, corpus_dir: str) -> DataFrame:
 def load_side_tables(spark: SparkSession, corpus_dir: str) -> dict:
     side = {}
     for name in ("natural_earth", "lake_centerlines", "wikidata"):
+        if corpus_dir.startswith(TABLE_SCHEME):
+            try:
+                side[name] = spark.read.table(_table_name(corpus_dir, name))
+            except Exception:
+                pass  # optional side table absent from the catalog
+            continue
         p = os.path.join(corpus_dir, f"{name}.parquet")
         if os.path.exists(p):
             side[name] = spark.read.parquet(p)

@@ -223,3 +223,36 @@ def test_finalize_cache_released_on_next_build(spark, corpus_dir):
     assert not (sl.useMemory or sl.useDisk)
     PP.release_finalize_cache(spark)
     assert id(spark) not in PP._FINALIZE_CACHE
+
+
+def test_table_scheme_corpus(spark, corpus_dir):
+    """'table:<namespace>' corpus specs read documents + side tables via
+    the session catalog (the Iceberg deployment path, SURVEY.md §7);
+    results must match the parquet-path form exactly."""
+    import glob as _glob
+
+    from planetiler_openmaptiles_spark.pipeline import (
+        load_documents,
+        load_side_tables,
+        make_context,
+    )
+
+    for name in ("documents", "natural_earth", "lake_centerlines", "wikidata"):
+        p = os.path.join(corpus_dir, f"{name}.parquet")
+        if os.path.exists(p) or _glob.glob(p):
+            spark.read.parquet(p).createOrReplaceTempView(name)
+
+    via_table = load_documents(spark, "table:")
+    via_path = load_documents(spark, corpus_dir)
+    assert via_table.count() == via_path.count()
+    assert set(load_side_tables(spark, "table:")) == set(
+        load_side_tables(spark, corpus_dir)
+    )
+
+    cfg = Config(only_layers=("water",), max_zoom=4)
+    t_tbl = build_tiles(spark, "table:", cfg)
+    t_path = build_tiles(spark, corpus_dir, cfg)
+    assert t_tbl.count() == t_path.count()
+    a = {tuple(r) for r in t_tbl.select("z", "x", "y", "layer").collect()}
+    b = {tuple(r) for r in t_path.select("z", "x", "y", "layer").collect()}
+    assert a == b
