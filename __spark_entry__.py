@@ -678,6 +678,102 @@ def _q_geo_span_roundtrip(spark, sf_dir):
     )
 
 
+def _q_geo_poly_merge_counts(spark, sf_dir):
+    """Cross-engine ABSOLUTE counts + areas for the geometric polygon
+    merge kernels (P2 mergeOverlappingPolygons / P3 mergeNearbyPolygons,
+    FeatureMerge.java parity) — the media-oracle pattern applied to
+    geometry: per document, synthesize a 6x6 px square whose cluster
+    membership and overlap structure follow doc_id arithmetic (cluster
+    c = doc_id % 50, member j = doc_id // 50, member spacing
+    s = [2,4,9,12][c % 4]; members overlap iff s < 6, a 3 px gap bridges
+    under min_dist 5 iff s == 9), run the REAL kernels through the
+    grouped dispatch, and count/measure the merged output blobs. DuckDB
+    re-derives every column by pure arithmetic — union count via the
+    overlap predicate, union area via inclusion-exclusion
+    (36 + 12*s for a chained pair-overlap run, 108 for pass-through) —
+    so a defect in bbox clustering, raster union, exact-singleton
+    passthrough, or morphological-closing connectivity breaks the hash.
+    P3's bridged-gap AREA is raster-closing-specific (not arithmetic),
+    so only its component COUNT is checked."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.geom import ops, packed
+    from planetiler_openmaptiles_spark.tiling.postprocess import (
+        merge_nearby_polygons,
+        merge_overlapping_polygons,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+    feat_schema = (
+        "z int, x int, y int, layer string, elem_id long, kind string, "
+        "geom_px binary, attrs map<string,string>, sort_key int, "
+        "grid_rank int"
+    )
+    spacings = (2, 4, 9, 12)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c, j = d % 50, d // 50
+                sp = spacings[c % 4]
+                x0 = float((c % 8) * 32 + j * sp)
+                y0 = float((c // 8) * 36)
+                sq = np.array(
+                    [[x0, y0], [x0 + 6, y0], [x0 + 6, y0 + 6],
+                     [x0, y0 + 6], [x0, y0]]
+                )
+                rows.append(
+                    (14, 0, 0, "building", d, "polygon",
+                     packed.from_polys([[sq]]), {"cluster": str(c)}, 0, 1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "x", "y", "layer", "elem_id", "kind",
+                         "geom_px", "attrs", "sort_key", "grid_rank"],
+            )
+
+    feats = docs.mapInPandas(synth, feat_schema)
+
+    def reduce_group(key, pdf):
+        per = {}
+        for label, out in (
+            ("overlap", merge_overlapping_polygons(pdf)),
+            ("nearby", merge_nearby_polygons(pdf, 0.0, 0.0, 5.0, 4.0)),
+        ):
+            for r in out.itertuples(index=False):
+                polys = packed.polys_of(r.geom_px)
+                c = int(r.attrs["cluster"])
+                e = per.setdefault(c, {})
+                e["n_" + label] = len(polys)
+                if label == "overlap":
+                    e["area_overlap"] = round(
+                        float(sum(ops.polygon_area(p) for p in polys)), 6
+                    )
+        return pd.DataFrame(
+            [
+                (c, v["n_overlap"], v["area_overlap"], v["n_nearby"])
+                for c, v in sorted(per.items())
+            ],
+            columns=["cluster", "n_overlap", "area_overlap", "n_nearby"],
+        )
+
+    return (
+        feats.groupBy("z", "x", "y", "layer")
+        .applyInPandas(
+            reduce_group,
+            "cluster int, n_overlap int, area_overlap double, n_nearby int",
+        )
+        .orderBy("cluster")
+    )
+
+
 def _q_geo_hn_z14_counts(spark, sf_dir):
     """Cross-engine ABSOLUTE per-tile counts at max zoom for a merge-light
     layer (the reference's pinned Monaco z14 count model,
@@ -1837,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
         "geo_hn_z14_counts": _q_geo_hn_z14_counts,
+        "geo_poly_merge_counts": _q_geo_poly_merge_counts,
         "geo_line_merge_graph": _q_geo_line_merge,
         "geo_pip_cells": _q_geo_pip_cells,
         "geo_knn_cells": _q_geo_knn_cells,
@@ -3453,6 +3550,24 @@ def oracle_sql() -> dict[str, str]:
         # math with the 8px buffer, dedup/merge replayed as per-tile
         # DISTINCT counts (the multipoint merge keys on the lone
         # `housenumber` attr; the J12 dedup keys on street||block||display)
+        "geo_poly_merge_counts": """
+            WITH m AS (
+              SELECT doc_id % 50 AS cluster,
+                     CASE (doc_id % 50) % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                          WHEN 2 THEN 9 ELSE 12 END AS s
+              FROM documents WHERE doc_id < 150
+            ),
+            cl AS (SELECT cluster, any_value(s) AS s, count(*) AS members
+                   FROM m GROUP BY cluster)
+            SELECT cluster,
+              CAST(CASE WHEN s < 6 THEN 1 ELSE members END AS INT)
+                AS n_overlap,
+              CAST(CASE WHEN s < 6 THEN 36 + (members - 1) * 6 * s
+                        ELSE members * 36 END AS DOUBLE) AS area_overlap,
+              CAST(CASE WHEN s < 6 OR s = 9 THEN 1 ELSE members END AS INT)
+                AS n_nearby
+            FROM cl ORDER BY cluster
+        """,
         "geo_hn_z14_counts": decode + f"""
             , hsrc AS (
               SELECT doc_id, geom_kind, {display_sql} AS display,
