@@ -678,6 +678,86 @@ def _q_geo_span_roundtrip(spark, sf_dir):
     )
 
 
+def _pbf_fixture_counts(sf_dir: str) -> tuple[int, int, int]:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_nodes = _SF_DOCS.get(name, 4000) // 2
+    n_ways = n_nodes // 10
+    n_rels = min(20, n_ways // 3)
+    return n_nodes, n_ways, n_rels
+
+
+def _pbf_fixture(sf_dir: str) -> str:
+    """Deterministic .osm.pbf extract whose every entity derives from
+    closed-form integer arithmetic on its index — so the DuckDB oracle can
+    regenerate the expected decode from `range()` with zero shared code.
+    Coordinates are exact: nanodegrees are multiples of the writer's
+    granularity (100), so encode→decode is lossless and both engines end at
+    the identical float64."""
+    from planetiler_openmaptiles_spark.sources.osm_pbf import write_osm_pbf
+
+    n_nodes, n_ways, n_rels = _pbf_fixture_counts(sf_dir)
+    path = os.path.join(GEN_ROOT, f"pbf_rt_n{n_nodes}_s{SEED}_v1.osm.pbf")
+    if os.path.exists(path):
+        return path
+    os.makedirs(GEN_ROOT, exist_ok=True)
+    nodes = []
+    for i in range(n_nodes):
+        lat = (((i * 7919) % 160_000_000) * 1000 - 80_000_000_000) * 1e-9
+        lon = (((i * 104_729) % 340_000_000) * 1000 - 170_000_000_000) * 1e-9
+        tags = [("name", f"n{i}"), ("natural", "peak")] if i % 7 == 0 else []
+        nodes.append((i + 1, lat, lon, tags))
+    ways = [
+        (100_000 + w, [("highway", "primary"), ("ref", f"W{w}")],
+         [5 * w + k + 1 for k in range(6)])
+        for w in range(n_ways)
+    ]
+    rels = [
+        (900_000 + r, [("type", "route"), ("route", "road")],
+         [(100_000 + 3 * r, "member", 1), (100_000 + 3 * r + 1, "", 1)])
+        for r in range(n_rels)
+    ]
+    tmp = path + ".tmp"
+    write_osm_pbf(tmp, nodes, ways, rels, block_size=500)
+    os.replace(tmp, path)
+    return path
+
+
+def _q_osm_pbf_roundtrip(spark, sf_dir):
+    """OSM PBF source connector, cross-engine: Spark decodes the binary
+    extract through the full block-parallel path (framing, zlib, varint/
+    zigzag/delta, string tables, dense keys_vals); DuckDB independently
+    regenerates the expected entity table from the fixture's closed-form
+    arithmetic. Any codec defect — even one that the writer would round-trip
+    — breaks coordinates/tags/ref structure against the arithmetic replay
+    (writer-vs-spec independence is covered by the hand-built byte vectors
+    in tests/test_osm_pbf.py)."""
+    from planetiler_openmaptiles_spark.sources.osm_pbf import read_osm_entities
+
+    path = _pbf_fixture(sf_dir)
+    ents = read_osm_entities(spark, path)
+    return (
+        ents.select(
+            F.col("etype").cast("long").alias("etype"),
+            "id",
+            F.round(F.col("lat") * 1e9).cast("long").alias("lat_nano"),
+            F.round(F.col("lon") * 1e9).cast("long").alias("lon_nano"),
+            F.array_join(
+                F.array_sort(
+                    F.transform("tags", lambda t: F.concat(t["key"], F.lit("="), t["value"]))
+                ),
+                ";",
+            ).alias("tags_s"),
+            F.size("refs").cast("long").alias("n_refs"),
+            F.element_at("refs", 1).alias("ref_first"),
+            F.element_at("refs", -1).alias("ref_last"),
+            F.size("members").cast("long").alias("n_members"),
+            F.element_at("members", 1)["memid"].alias("mem_first"),
+            F.element_at("members", -1)["memid"].alias("mem_last"),
+        )
+        .orderBy("etype", "id")
+    )
+
+
 def _q_geo_poly_merge_counts(spark, sf_dir):
     """Cross-engine ABSOLUTE counts + areas for the geometric polygon
     merge kernels (P2 mergeOverlappingPolygons / P3 mergeNearbyPolygons,
@@ -1930,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
+        "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
         "geo_hn_z14_counts": _q_geo_hn_z14_counts,
@@ -2196,6 +2277,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs,
                    CAST(sum(CASE WHEN orig_seq <> rebuilt THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
             FROM cmp
+        """,
+        # The PBF connector's expected output regenerated from pure
+        # arithmetic (no parquet, no shared code): nodes/ways/relations as
+        # written by the fixture generator in _pbf_fixture. Coordinates
+        # compare as exact integer nanodegrees.
+        "osm_pbf_roundtrip": f"""
+            WITH nodes AS (
+              SELECT CAST(0 AS BIGINT) AS etype, CAST(i+1 AS BIGINT) AS id,
+                CAST(((i*7919)%160000000)*1000 - 80000000000 AS BIGINT) AS lat_nano,
+                CAST(((i*104729)%340000000)*1000 - 170000000000 AS BIGINT) AS lon_nano,
+                CASE WHEN i%7=0 THEN 'name=n'||i||';natural=peak' ELSE '' END AS tags_s,
+                CAST(0 AS BIGINT) AS n_refs,
+                CAST(NULL AS BIGINT) AS ref_first, CAST(NULL AS BIGINT) AS ref_last,
+                CAST(0 AS BIGINT) AS n_members,
+                CAST(NULL AS BIGINT) AS mem_first, CAST(NULL AS BIGINT) AS mem_last
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[0]}) t(i)),
+            ways AS (
+              SELECT CAST(1 AS BIGINT), CAST(100000+w AS BIGINT),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                'highway=primary;ref=W'||w,
+                CAST(6 AS BIGINT), CAST(5*w+1 AS BIGINT), CAST(5*w+6 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[1]}) t(w)),
+            rels AS (
+              SELECT CAST(2 AS BIGINT), CAST(900000+r AS BIGINT),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                'route=road;type=route',
+                CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(2 AS BIGINT), CAST(100000+3*r AS BIGINT), CAST(100000+3*r+1 AS BIGINT)
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[2]}) t(r))
+            SELECT * FROM nodes UNION ALL SELECT * FROM ways UNION ALL SELECT * FROM rels
+            ORDER BY etype, id
         """,
         "dedup_exact_groups": """
             SELECT min(doc_id) AS rep_doc, count(*) AS n_docs

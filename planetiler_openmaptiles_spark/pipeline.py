@@ -74,6 +74,12 @@ def _parquet_row_groups(path: str) -> int:
 # group pathology guarded below cannot occur there).
 TABLE_SCHEME = "table:"
 
+# "pbf:<path.osm.pbf>" — read the documents table straight from an OSM PBF
+# extract via the block-parallel connector (sources/osm_pbf.py). Side tables
+# (natural_earth, …) are simply absent, matching a planetiler run given only
+# the OSM source.
+PBF_SCHEME = "pbf:"
+
 
 def _table_name(spec: str, name: str) -> str:
     ns = spec[len(TABLE_SCHEME):]
@@ -83,6 +89,10 @@ def _table_name(spec: str, name: str) -> str:
 def load_documents(spark: SparkSession, corpus_dir: str) -> DataFrame:
     if corpus_dir.startswith(TABLE_SCHEME):
         return spark.read.table(_table_name(corpus_dir, "documents"))
+    if corpus_dir.startswith(PBF_SCHEME):
+        from .sources.osm_pbf import pbf_to_documents
+
+        return pbf_to_documents(spark, corpus_dir[len(PBF_SCHEME):])
     path = os.path.join(corpus_dir, "documents.parquet")
     df = spark.read.parquet(path)
     # Layout-robustness guard: Spark plans byte-range splits, but parquet
@@ -235,6 +245,8 @@ _CTX_CACHE_MAX = 8
 
 def _corpus_mtime(corpus_dir: str) -> int:
     try:
+        if corpus_dir.startswith(PBF_SCHEME):
+            return os.stat(corpus_dir[len(PBF_SCHEME):]).st_mtime_ns
         return os.stat(os.path.join(corpus_dir, "documents.parquet")).st_mtime_ns
     except OSError:
         return 0
@@ -679,7 +691,11 @@ def write_pmtiles(
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--corpus", default=None,
+                    help="corpus dir | table:<namespace> | pbf:<extract>")
+    ap.add_argument("--osm-pbf", default=None,
+                    help="read input from a .osm.pbf extract (shorthand"
+                         " for --corpus pbf:<path>)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoints", default=None)
     ap.add_argument("--max-zoom", type=int, default=14)
@@ -699,6 +715,10 @@ def main(argv=None):
                     help="also write a single-file PMTiles v3 archive here")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.osm_pbf:
+        args.corpus = PBF_SCHEME + args.osm_pbf
+    if not args.corpus:
+        ap.error("one of --corpus / --osm-pbf is required")
 
     from .session import get_spark
 

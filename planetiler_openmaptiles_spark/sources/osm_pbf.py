@@ -1,0 +1,597 @@
+"""OSM PBF source connector: pure-python codec + block-parallel Spark read.
+
+Reads a `.osm.pbf` file (the reference pipeline's primary input — the OSM
+source is declared at `OpenMapTilesProfile.java:50-53`; the decode itself
+lives in planetiler-core's OsmInputFile/PbfDecoder, re-expressed here from
+the published format spec, https://wiki.openstreetmap.org/wiki/PBF_Format)
+and materializes the engine's canonical `documents(doc_id, spans)` table
+(FIXTURES.md §1), so the whole existing pipeline runs unchanged on a real
+OSM extract.
+
+Scale design (100 TB / planet-file shape):
+
+- The file is a sequence of independently-decodable blobs (~8k entities
+  each). `scan_blob_index` reads ONLY the 4-byte length prefixes plus the
+  tiny BlobHeaders (seeking past every data payload), so indexing a planet
+  file touches a few MB. The index rows are then parallelized across
+  executors and each task seeks+decodes its own blobs via `mapInPandas`
+  (Arrow-batched) — the same block-parallel shape as planetiler's worker
+  pool, but elastic across a cluster. For object stores, the index scan
+  itself can be range-partitioned (blobs are self-delimiting), noted here
+  but unnecessary at sandbox scale.
+- Way geometry assembly (the reference's pass-2 node-location lookup,
+  planetiler's LongLongMap) is a distributed equi-join: posexplode(way
+  refs) ⋈ node locations, re-assembled order-preserving with one
+  array_sort(collect_list(struct(pos,…))) — no driver state, no
+  node-location map in RAM.
+- All per-byte work (varint/zigzag/delta decode) happens once per blob in
+  numpy-backed python inside the Arrow batch; everything after the typed
+  entity tables exist is whole-stage-codegen Catalyst.
+
+The writer half (`write_osm_pbf`) exists for fixtures and tests: the
+sandbox has no real extract, so tests hand-build tiny pbf files byte-by-byte
+(wire-format vectors) and round-trip synthetic extracts. It is also a
+legitimate mini-sink (DenseNodes, delta coding, string tables, zlib).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterable, Iterator
+
+import numpy as np
+
+# ---------------------------------------------------------------- wire codec
+
+_U64_MASK = (1 << 64) - 1
+
+
+def _read_varint(buf, i: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v & _U64_MASK, i
+        shift += 7
+
+
+def _scan_fields(buf) -> Iterator[tuple[int, int, object]]:
+    """Yield (field_no, wire_type, value). Length-delimited values are
+    memoryview slices (zero-copy)."""
+    mv = memoryview(buf)
+    i, n = 0, len(mv)
+    while i < n:
+        key, i = _read_varint(mv, i)
+        field, wtype = key >> 3, key & 7
+        if wtype == 0:
+            v, i = _read_varint(mv, i)
+            yield field, 0, v
+        elif wtype == 2:
+            ln, i = _read_varint(mv, i)
+            yield field, 2, mv[i : i + ln]
+            i += ln
+        elif wtype == 5:
+            yield field, 5, int.from_bytes(mv[i : i + 4], "little")
+            i += 4
+        elif wtype == 1:
+            yield field, 1, int.from_bytes(mv[i : i + 8], "little")
+            i += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wtype}")
+
+
+def _packed_varints(buf) -> np.ndarray:
+    """Decode a packed repeated varint payload to uint64."""
+    out = []
+    i, n = 0, len(buf)
+    while i < n:
+        v, i = _read_varint(buf, i)
+        out.append(v)
+    return np.array(out, dtype=np.uint64)
+
+
+def _zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)) ^ (-(u & np.uint64(1)).astype(np.int64)).astype(np.uint64)).astype(np.int64)
+
+
+def _packed_sints(buf) -> np.ndarray:
+    return _zigzag_decode(_packed_varints(buf))
+
+
+# writer primitives ----------------------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    v &= _U64_MASK
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _field(field: int, wtype: int) -> bytes:
+    return _varint(field << 3 | wtype)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _field(field, 2) + _varint(len(payload)) + bytes(payload)
+
+
+def _varint_field(field: int, v: int) -> bytes:
+    return _field(field, 0) + _varint(v)
+
+
+def _packed(field: int, values: Iterable[int], zz: bool = False) -> bytes:
+    body = b"".join(_varint(_zigzag(v) if zz else v) for v in values)
+    return _len_delim(field, body)
+
+
+# ------------------------------------------------------------- file framing
+
+
+def scan_blob_index(path: str) -> list[dict]:
+    """Index the blob stream touching only headers: [{seq, type, offset,
+    size}] where offset/size frame the Blob message (not its header)."""
+    index = []
+    seq = 0
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            hlen = struct.unpack(">i", raw)[0]
+            header = f.read(hlen)
+            btype, datasize = "", 0
+            for field, _, val in _scan_fields(header):
+                if field == 1:
+                    btype = bytes(val).decode()
+                elif field == 3:
+                    datasize = val
+            offset = f.tell()
+            index.append({"seq": seq, "type": btype, "offset": offset, "size": datasize})
+            f.seek(datasize, 1)
+            seq += 1
+    return index
+
+
+def read_blob(f, offset: int, size: int) -> bytes:
+    """Read + decompress one Blob message."""
+    f.seek(offset)
+    raw_out = None
+    for field, _, val in _scan_fields(f.read(size)):
+        if field == 1:  # raw
+            raw_out = bytes(val)
+        elif field == 3:  # zlib_data
+            raw_out = zlib.decompress(bytes(val))
+    if raw_out is None:
+        raise ValueError("Blob carries no raw/zlib payload (unsupported codec)")
+    return raw_out
+
+
+# --------------------------------------------------------------- block parse
+
+
+def parse_header_block(data: bytes) -> dict:
+    feats = []
+    bbox = None
+    for field, _, val in _scan_fields(data):
+        if field == 4:
+            feats.append(bytes(val).decode())
+        elif field == 1:
+            vals = {f: v for f, _, v in _scan_fields(val) if f in (1, 2, 3, 4)}
+            bbox = tuple(
+                _zigzag_decode(np.array([vals.get(k, 0)], dtype=np.uint64))[0] * 1e-9
+                for k in (1, 2, 3, 4)
+            )
+    return {"required_features": feats, "bbox": bbox}
+
+
+def parse_primitive_block(data: bytes) -> dict:
+    """One PrimitiveBlock → typed entity dict:
+
+    {nodes: {id:int64[], lat:f64[], lon:f64[], tags:list[list[(k,v)]]},
+     ways:  list[(id, tags, refs int64[])],
+     rels:  list[(id, tags, members list[(memid, role, mtype)])]}
+    """
+    strings: list[str] = []
+    groups = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for field, _, val in _scan_fields(data):
+        if field == 1:  # stringtable
+            strings = [bytes(v).decode("utf-8", "replace") for f, _, v in _scan_fields(val) if f == 1]
+        elif field == 2:
+            groups.append(bytes(val))
+        elif field == 17:
+            granularity = val
+        elif field == 19:
+            lat_off = val
+        elif field == 20:
+            lon_off = val
+
+    node_ids, node_lat, node_lon, node_tags = [], [], [], []
+    ways, rels = [], []
+
+    def _coord(raw: np.ndarray, off: int) -> np.ndarray:
+        # integer nanodegrees first, ONE float multiply after (keeps the
+        # value bit-exact reproducible by the SQL oracle's replay)
+        return (off + granularity * raw.astype(np.int64)).astype(np.float64) * 1e-9
+
+    for g in groups:
+        for field, _, val in _scan_fields(g):
+            if field == 2:  # DenseNodes
+                ids = lats = lons = kv = None
+                for f2, _, v2 in _scan_fields(val):
+                    if f2 == 1:
+                        ids = np.cumsum(_packed_sints(v2))
+                    elif f2 == 8:
+                        lats = np.cumsum(_packed_sints(v2))
+                    elif f2 == 9:
+                        lons = np.cumsum(_packed_sints(v2))
+                    elif f2 == 10:
+                        kv = _packed_varints(v2).astype(np.int64)
+                if ids is None:
+                    continue
+                node_ids.append(ids.astype(np.int64))
+                node_lat.append(_coord(lats, lat_off))
+                node_lon.append(_coord(lons, lon_off))
+                # keys_vals: 0-terminated (k,v) runs, one run per node
+                tags_per = [[] for _ in range(len(ids))]
+                if kv is not None and len(kv):
+                    ni = 0
+                    i = 0
+                    while i < len(kv):
+                        if kv[i] == 0:
+                            ni += 1
+                            i += 1
+                        else:
+                            tags_per[ni].append((strings[kv[i]], strings[kv[i + 1]]))
+                            i += 2
+                node_tags.extend(tags_per)
+            elif field == 1:  # plain Node
+                nid = lat = lon = 0
+                keys = vals_ = np.array([], dtype=np.uint64)
+                for f2, w2, v2 in _scan_fields(val):
+                    if f2 == 1:
+                        nid = _zigzag_decode(np.array([v2], dtype=np.uint64))[0]
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals_ = _packed_varints(v2)
+                    elif f2 == 8:
+                        lat = _zigzag_decode(np.array([v2], dtype=np.uint64))[0]
+                    elif f2 == 9:
+                        lon = _zigzag_decode(np.array([v2], dtype=np.uint64))[0]
+                node_ids.append(np.array([nid], dtype=np.int64))
+                node_lat.append(_coord(np.array([lat]), lat_off))
+                node_lon.append(_coord(np.array([lon]), lon_off))
+                node_tags.append([(strings[k], strings[v]) for k, v in zip(keys, vals_)])
+            elif field == 3:  # Way
+                wid = 0
+                keys = vals_ = np.array([], dtype=np.uint64)
+                refs = np.array([], dtype=np.int64)
+                for f2, _, v2 in _scan_fields(val):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals_ = _packed_varints(v2)
+                    elif f2 == 8:
+                        refs = np.cumsum(_packed_sints(v2))
+                ways.append((int(wid), [(strings[k], strings[v]) for k, v in zip(keys, vals_)], refs))
+            elif field == 4:  # Relation
+                rid = 0
+                keys = vals_ = roles = types = np.array([], dtype=np.uint64)
+                memids = np.array([], dtype=np.int64)
+                for f2, _, v2 in _scan_fields(val):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals_ = _packed_varints(v2)
+                    elif f2 == 8:
+                        roles = _packed_varints(v2)
+                    elif f2 == 9:
+                        memids = np.cumsum(_packed_sints(v2))
+                    elif f2 == 10:
+                        types = _packed_varints(v2)
+                members = [
+                    (int(m), strings[r], int(t))
+                    for m, r, t in zip(memids, roles, types)
+                ]
+                rels.append((int(rid), [(strings[k], strings[v]) for k, v in zip(keys, vals_)], members))
+
+    nodes = {
+        "id": np.concatenate(node_ids) if node_ids else np.array([], dtype=np.int64),
+        "lat": np.concatenate(node_lat) if node_lat else np.array([], dtype=np.float64),
+        "lon": np.concatenate(node_lon) if node_lon else np.array([], dtype=np.float64),
+        "tags": node_tags,
+    }
+    return {"nodes": nodes, "ways": ways, "rels": rels}
+
+
+# -------------------------------------------------------------------- writer
+
+
+def _string_table(entity_tags: list) -> tuple[dict, bytes]:
+    """index ''=0 first (spec: index 0 unused/empty)."""
+    idx = {"": 0}
+    for tags in entity_tags:
+        for k, v in tags:
+            idx.setdefault(k, len(idx))
+            idx.setdefault(v, len(idx))
+    body = b"".join(_len_delim(1, s.encode()) for s in idx)
+    return idx, _len_delim(1, body)
+
+
+def _blob(btype: str, payload: bytes) -> bytes:
+    gz = zlib.compress(payload, 6)
+    blob = _varint_field(2, len(payload)) + _len_delim(3, gz)
+    header = _len_delim(1, btype.encode()) + _varint_field(3, len(blob))
+    return struct.pack(">i", len(header)) + header + blob
+
+
+def write_osm_pbf(path: str, nodes=(), ways=(), relations=(), block_size: int = 8000,
+                  granularity: int = 100) -> None:
+    """Write a .osm.pbf. nodes: (id, lat, lon, tags:list[(k,v)]); ways:
+    (id, tags, refs); relations: (id, tags, members:list[(memid, role,
+    mtype)]). Entities are written in blocks of `block_size` (DenseNodes for
+    nodes), ids must be sorted ascending within each entity kind."""
+    nodes, ways, relations = list(nodes), list(ways), list(relations)
+    out = [_blob("OSMHeader",
+                 _len_delim(4, b"OsmSchema-V0.6") + _len_delim(4, b"DenseNodes"))]
+
+    for i in range(0, len(nodes), block_size):
+        chunk = nodes[i : i + block_size]
+        idx, st = _string_table([t for *_, t in chunk])
+        ids = [n[0] for n in chunk]
+        lat_raw = [round(n[1] * 1e9) // granularity for n in chunk]
+        lon_raw = [round(n[2] * 1e9) // granularity for n in chunk]
+        kv = []
+        for *_, tags in chunk:
+            for k, v in tags:
+                kv += [idx[k], idx[v]]
+            kv.append(0)
+        dense = (
+            _packed(1, np.diff([0] + ids).tolist(), zz=True)
+            + _packed(8, np.diff([0] + lat_raw).tolist(), zz=True)
+            + _packed(9, np.diff([0] + lon_raw).tolist(), zz=True)
+            + (_packed(10, kv) if any(kv) else b"")
+        )
+        body = st + _len_delim(2, _len_delim(2, dense))
+        if granularity != 100:
+            body += _varint_field(17, granularity)
+        out.append(_blob("OSMData", body))
+
+    for i in range(0, len(ways), block_size):
+        chunk = ways[i : i + block_size]
+        idx, st = _string_table([t for _, t, _ in chunk])
+        grp = b""
+        for wid, tags, refs in chunk:
+            msg = _varint_field(1, wid)
+            if tags:
+                msg += _packed(2, [idx[k] for k, _ in tags])
+                msg += _packed(3, [idx[v] for _, v in tags])
+            msg += _packed(8, np.diff([0] + list(refs)).tolist(), zz=True)
+            grp += _len_delim(3, msg)
+        out.append(_blob("OSMData", st + _len_delim(2, grp)))
+
+    for i in range(0, len(relations), block_size):
+        chunk = relations[i : i + block_size]
+        all_tags = [t for _, t, _ in chunk] + [
+            [(r, r) for _, r, _ in members] for _, _, members in chunk
+        ]
+        idx, st = _string_table(all_tags)
+        grp = b""
+        for rid, tags, members in chunk:
+            msg = _varint_field(1, rid)
+            if tags:
+                msg += _packed(2, [idx[k] for k, _ in tags])
+                msg += _packed(3, [idx[v] for _, v in tags])
+            if members:
+                msg += _packed(8, [idx[r] for _, r, _ in members])
+                msg += _packed(9, np.diff([0] + [m for m, _, _ in members]).tolist(), zz=True)
+                msg += _packed(10, [t for _, _, t in members])
+            grp += _len_delim(4, msg)
+        out.append(_blob("OSMData", st + _len_delim(2, grp)))
+
+    with open(path, "wb") as f:
+        for blob in out:
+            f.write(blob)
+
+
+# ------------------------------------------------------- Spark distributed read
+
+_ENTITY_SCHEMA = (
+    "etype int, id long, lat double, lon double, "
+    "tags array<struct<key:string,value:string>>, refs array<long>, "
+    "members array<struct<memid:long,role:string,mtype:int>>"
+)
+
+
+def read_osm_entities(spark, path: str, partitions: int | None = None):
+    """path → one typed entity DataFrame (etype 0=node 1=way 2=relation).
+
+    Block-parallel: the driver indexes blob offsets (headers only), then
+    each executor task seeks into the file and decodes its own blobs inside
+    an Arrow-batched `mapInPandas`. No entity ever passes through the
+    driver."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    index = [b for b in scan_blob_index(path) if b["type"] == "OSMData"]
+    if not index:
+        return spark.createDataFrame([], _ENTITY_SCHEMA)
+    if partitions is None:
+        partitions = min(len(index), spark.sparkContext.defaultParallelism)
+    idx_df = spark.createDataFrame(
+        [(b["offset"], b["size"]) for b in index], "offset long, size long"
+    ).repartition(partitions)
+
+    def _decode(batches):
+        with open(path, "rb") as f:
+            for pdf in batches:
+                rows = {k: [] for k in
+                        ("etype", "id", "lat", "lon", "tags", "refs", "members")}
+
+                def _emit(etype, eid, lat, lon, tags, refs, members):
+                    rows["etype"].append(etype)
+                    rows["id"].append(eid)
+                    rows["lat"].append(lat)
+                    rows["lon"].append(lon)
+                    rows["tags"].append(
+                        [{"key": k, "value": v} for k, v in tags] if tags else [])
+                    rows["refs"].append(refs)
+                    rows["members"].append(members)
+
+                for off, size in zip(pdf["offset"], pdf["size"]):
+                    block = parse_primitive_block(read_blob(f, int(off), int(size)))
+                    nd = block["nodes"]
+                    for i in range(len(nd["id"])):
+                        _emit(0, int(nd["id"][i]), float(nd["lat"][i]),
+                              float(nd["lon"][i]), nd["tags"][i], [], [])
+                    for wid, tags, refs in block["ways"]:
+                        _emit(1, wid, None, None, tags,
+                              [int(r) for r in refs], [])
+                    for rid, tags, members in block["rels"]:
+                        _emit(2, rid, None, None, tags, [],
+                              [{"memid": m, "role": r, "mtype": t}
+                               for m, r, t in members])
+                yield pd.DataFrame(rows)
+
+    return idx_df.mapInPandas(_decode, _ENTITY_SCHEMA)
+
+
+def ways_with_geometry(entities):
+    """Pass-2 way assembly as a distributed join (planetiler's node-location
+    map, Spark-style): explode way refs → equi-join node coords → order-
+    preserving re-assembly. Ways whose refs fall outside the extract keep
+    their remaining vertices (ways left with <2 vertices drop), matching
+    truncated-extract behavior. Returns (way_id, tags, geom_wkt)."""
+    from pyspark.sql import functions as F
+
+    nodes = entities.filter("etype = 0").select(
+        F.col("id").alias("ref"), "lat", "lon")
+    ways = entities.filter("etype = 1").select("id", "tags", "refs")
+    pts = (
+        ways.select("id", F.posexplode("refs").alias("pos", "ref"))
+        .join(nodes, "ref")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"))
+        .filter(F.size("pts") >= 2)
+        .select(
+            "id",
+            F.concat(
+                F.lit("LINESTRING ("),
+                F.array_join(
+                    F.transform(
+                        F.col("pts"),
+                        lambda p: F.format_string("%.9f %.9f", p["lon"], p["lat"]),
+                    ),
+                    ", ",
+                ),
+                F.lit(")"),
+            ).alias("geom_wkt"),
+        )
+    )
+    return ways.select("id", "tags").join(pts, "id")
+
+
+def pbf_to_documents(spark, path: str, partitions: int | None = None):
+    """Full connector: .osm.pbf → canonical documents(doc_id, spans) table
+    (FIXTURES.md §1 encoding, identical to the synthetic corpus generator).
+
+    - tagged nodes  → POINT documents (untagged nodes are geometry-only,
+      consumed by way assembly and dropped, as in the reference's pass 1)
+    - ways          → LINESTRING documents (closed rings stay closed lines;
+      downstream `_resolve_form` decides area semantics from tags)
+    - relations     → replayed as `rel` spans on their member-way documents
+      (the engine's relation model; Transportation.java:406-416 parity)
+    """
+    from pyspark.sql import functions as F
+
+    from ..spans import reencode_spans
+
+    ents = read_osm_entities(spark, path, partitions)
+    ents = ents.persist()
+
+    node_docs = (
+        ents.filter("etype = 0 AND size(tags) > 0")
+        .select(
+            F.col("id").alias("elem_id"),
+            F.map_from_entries("tags").alias("tags"),
+            F.format_string("POINT (%.9f %.9f)", F.col("lon"), F.col("lat")).alias("geom_wkt"),
+        )
+        .withColumn("doc_id", F.concat(F.lit("osm/node/"), F.col("elem_id")))
+    )
+
+    way_geoms = ways_with_geometry(ents)
+
+    # relation memberships, replayed onto member ways (mtype 1 = way)
+    rel_spans = (
+        ents.filter("etype = 2")
+        .select(
+            F.col("id").alias("rel_id"),
+            F.map_from_entries("tags").alias("rel_tags"),
+            F.explode("members").alias("m"),
+        )
+        .filter(F.col("m.mtype") == 1)
+        .select(
+            F.col("m.memid").alias("id"),
+            F.struct("rel_id", F.col("m.role").alias("role"), "rel_tags").alias("rel"),
+        )
+        .groupBy("id")
+        .agg(
+            # comparator on rel_id only — structs holding maps are not
+            # directly orderable
+            F.array_sort(
+                F.collect_list("rel"),
+                lambda a, b: F.when(a["rel_id"] < b["rel_id"], F.lit(-1))
+                .when(a["rel_id"] > b["rel_id"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ).alias("rels")
+        )
+    )
+
+    way_docs = (
+        way_geoms.join(rel_spans, "id", "left")
+        .select(
+            F.col("id").alias("elem_id"),
+            F.map_from_entries("tags").alias("tags"),
+            "geom_wkt",
+            F.coalesce(
+                "rels",
+                F.array().cast(
+                    "array<struct<rel_id:long,role:string,rel_tags:map<string,string>>>"
+                ),
+            ).alias("rels"),
+        )
+        .withColumn("doc_id", F.concat(F.lit("osm/way/"), F.col("elem_id")))
+    )
+
+    empty_rels = F.array().cast(
+        "array<struct<rel_id:long,role:string,rel_tags:map<string,string>>>")
+    docs = (
+        node_docs.withColumn("rels", empty_rels)
+        .unionByName(way_docs)
+        .withColumn("source", F.lit("osm"))
+        .withColumn("source_layer", F.lit(""))
+        .withColumn("media_refs", F.array().cast("array<string>"))
+        .select("doc_id", reencode_spans().alias("spans"))
+    )
+    return docs
