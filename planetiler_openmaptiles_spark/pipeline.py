@@ -720,8 +720,14 @@ def main(argv=None):
     if not args.corpus:
         ap.error("one of --corpus / --osm-pbf is required")
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # Only stop the session on exit if main() created it — a programmatic
+    # caller (tests, notebooks) invoking main() against a live session must
+    # get it back alive.
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("omt-tile-build", master=args.master)
     config = Config(
         only_layers=tuple(x for x in args.only_layers.split(",") if x),
@@ -779,7 +785,8 @@ def main(argv=None):
     with open(os.path.join(args.out, "build_report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

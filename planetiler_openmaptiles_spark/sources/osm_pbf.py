@@ -477,12 +477,45 @@ def read_osm_entities(spark, path: str, partitions: int | None = None):
     return idx_df.mapInPandas(_decode, _ENTITY_SCHEMA)
 
 
+# Keys whose presence marks a closed way as an area (imposm3 `is_area` /
+# the tag families planetiler's polygon-typed mappings match on). A closed
+# highway/barrier ring without area=yes stays a line (roundabouts).
+_AREA_KEYS = (
+    "building", "building:part", "landuse", "natural", "leisure", "amenity",
+    "water", "aeroway", "boundary", "place", "shop", "tourism", "historic",
+    "military", "sport", "office", "craft", "man_made", "golf",
+)
+# value-gated area keys: waterway=riverbank/dock are areas, waterway=river is not
+_AREA_KEY_VALUES = {"waterway": ("riverbank", "dock")}
+
+
+def _is_area_expr(tags):
+    """Column<bool>: area semantics from tags alone (planetiler
+    OsmReader.canBePolygon's area!=no arm; the per-table matchType choice
+    collapses here to the imposm3 area-key heuristic because a document
+    carries exactly one geometry form). Ring closure is checked separately
+    on the ASSEMBLED coordinates — a truncated extract may drop the shared
+    endpoint node, leaving refs closed but the coordinate ring open."""
+    from pyspark.sql import functions as F
+
+    area = F.map_from_entries(tags)["area"]
+    keyed = F.exists(
+        tags,
+        lambda t: t["key"].isin(*_AREA_KEYS)
+        | ((t["key"] == "waterway") & t["value"].isin(*_AREA_KEY_VALUES["waterway"])),
+    )
+    return F.when(area == "no", F.lit(False)).when(
+        area == "yes", F.lit(True)).otherwise(keyed)
+
+
 def ways_with_geometry(entities):
     """Pass-2 way assembly as a distributed join (planetiler's node-location
     map, Spark-style): explode way refs → equi-join node coords → order-
     preserving re-assembly. Ways whose refs fall outside the extract keep
     their remaining vertices (ways left with <2 vertices drop), matching
-    truncated-extract behavior. Returns (way_id, tags, geom_wkt)."""
+    truncated-extract behavior. Closed ways with area semantics become
+    POLYGONs (see _is_area_expr); everything else a LINESTRING.
+    Returns (way_id, tags, geom_wkt)."""
     from pyspark.sql import functions as F
 
     nodes = entities.filter("etype = 0").select(
@@ -496,20 +529,33 @@ def ways_with_geometry(entities):
         .filter(F.size("pts") >= 2)
         .select(
             "id",
-            F.concat(
-                F.lit("LINESTRING ("),
-                F.array_join(
-                    F.transform(
-                        F.col("pts"),
-                        lambda p: F.format_string("%.9f %.9f", p["lon"], p["lat"]),
-                    ),
-                    ", ",
+            F.array_join(
+                F.transform(
+                    F.col("pts"),
+                    lambda p: F.format_string("%.9f %.9f", p["lon"], p["lat"]),
                 ),
-                F.lit(")"),
-            ).alias("geom_wkt"),
+                ", ",
+            ).alias("coord_body"),
+            (
+                (F.size("pts") >= 4)
+                & (F.element_at("pts", 1)["lon"] == F.element_at("pts", -1)["lon"])
+                & (F.element_at("pts", 1)["lat"] == F.element_at("pts", -1)["lat"])
+            ).alias("ring_closed"),
         )
     )
-    return ways.select("id", "tags").join(pts, "id")
+    return (
+        ways.join(pts, "id")
+        .select(
+            "id",
+            "tags",
+            F.when(
+                F.col("ring_closed") & _is_area_expr(F.col("tags")),
+                F.concat(F.lit("POLYGON (("), "coord_body", F.lit("))")),
+            )
+            .otherwise(F.concat(F.lit("LINESTRING ("), "coord_body", F.lit(")")))
+            .alias("geom_wkt"),
+        )
+    )
 
 
 def pbf_to_documents(spark, path: str, partitions: int | None = None):
@@ -518,8 +564,9 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
 
     - tagged nodes  → POINT documents (untagged nodes are geometry-only,
       consumed by way assembly and dropped, as in the reference's pass 1)
-    - ways          → LINESTRING documents (closed rings stay closed lines;
-      downstream `_resolve_form` decides area semantics from tags)
+    - ways          → LINESTRING documents, or POLYGON documents when the
+      assembled ring closes and the tags carry area semantics
+      (OsmReader.canBePolygon / imposm3 is_area parity — see _is_area_expr)
     - relations     → replayed as `rel` spans on their member-way documents
       (the engine's relation model; Transportation.java:406-416 parity)
     """

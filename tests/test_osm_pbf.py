@@ -227,3 +227,60 @@ def test_e2e_cli_build_from_pbf(spark, tmp_path):
     with open(f"{out}/build_report.json") as f:
         rep = _json.load(f)
     assert rep["tile_features"] > 0 and rep["tiles"] > 0
+
+
+def test_pbf_corpus_builds_tiles(spark, tmp_path):
+    """End-to-end: an .osm.pbf extract fed through the 'pbf:' corpus scheme
+    must drive the full layer pipeline — node docs render as points, closed
+    ways as polygons, highways as lines, and a route relation's ref reaches
+    the transportation layer via the replayed rel spans (planetiler's
+    OsmReader pass-2 shape: readers feed the same FeatureCollector no
+    matter the source file)."""
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles, load_documents
+    from planetiler_openmaptiles_spark.sources.osm_pbf import write_osm_pbf
+
+    # A tiny Monaco-shaped extract: everything near (7.42E, 43.73N).
+    lon0, lat0 = 7.42, 43.73
+    nodes = [
+        (1, lat0, lon0, [("place", "city"), ("name", "Monato")]),
+        (2, lat0 + 0.001, lon0 + 0.001, [("natural", "peak"), ("name", "Pic"),
+                                          ("ele", "812")]),
+    ]
+    # untagged geometry nodes for the ways
+    ring = [(10 + i, lat0 + dy, lon0 + dx, [])
+            for i, (dx, dy) in enumerate(
+                [(0.01, 0.01), (0.05, 0.01), (0.05, 0.05), (0.01, 0.05)])]
+    road = [(20 + i, lat0 - 0.001 * i, lon0 + 0.002 * i, []) for i in range(4)]
+    rnd = [(30 + i, lat0 + dy, lon0 + dx, [])
+           for i, (dx, dy) in enumerate(
+               [(-0.001, 0.0), (0.0, 0.001), (0.001, 0.0), (0.0, -0.001)])]
+    ways = [
+        (100, [("natural", "water")], [10, 11, 12, 13, 10]),          # closed ring
+        (200, [("highway", "primary"), ("name", "Main St")], [20, 21, 22, 23]),
+        # closed ring WITHOUT area semantics (roundabout) — must stay a line
+        (300, [("highway", "residential"), ("junction", "roundabout")],
+         [30, 31, 32, 33, 30]),
+    ]
+    rels = [(900, [("type", "route"), ("route", "road"), ("ref", "R1"),
+                   ("network", "int_ref")], [(200, "", 1)])]
+    pbf = str(tmp_path / "tiny.osm.pbf")
+    write_osm_pbf(pbf, nodes + ring + road + rnd, ways, rels, block_size=3)
+
+    docs = load_documents(spark, "pbf:" + pbf)
+    assert docs.columns == ["doc_id", "spans"]
+    assert docs.count() == 5  # 2 tagged nodes + 3 ways; geometry nodes dropped
+
+    from planetiler_openmaptiles_spark.spans import decode_documents
+    kinds = {r["doc_id"]: r["geom_kind"]
+             for r in decode_documents(docs).select("doc_id", "geom_kind").collect()}
+    assert kinds["osm/way/100"] == "polygon"      # closed + natural → area
+    assert kinds["osm/way/300"] == "linestring"   # closed ring, no area tags
+
+    tiles = build_tiles(spark, "pbf:" + pbf, Config(max_zoom=10))
+    by_layer = {r["layer"]: r["n"] for r in
+                tiles.groupBy("layer").count().withColumnRenamed("count", "n").collect()}
+    assert by_layer.get("water", 0) > 0            # closed natural=water way
+    assert by_layer.get("transportation", 0) > 0   # highway line
+    assert by_layer.get("place", 0) > 0            # city node
+    assert by_layer.get("mountain_peak", 0) > 0    # peak node
