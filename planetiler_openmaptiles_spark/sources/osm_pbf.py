@@ -508,40 +508,51 @@ def _is_area_expr(tags):
         area == "yes", F.lit(True)).otherwise(keyed)
 
 
-def ways_with_geometry(entities):
-    """Pass-2 way assembly as a distributed join (planetiler's node-location
-    map, Spark-style): explode way refs → equi-join node coords → order-
-    preserving re-assembly. Ways whose refs fall outside the extract keep
-    their remaining vertices (ways left with <2 vertices drop), matching
-    truncated-extract behavior. Closed ways with area semantics become
-    POLYGONs (see _is_area_expr); everything else a LINESTRING.
-    Returns (way_id, tags, geom_wkt)."""
+def way_points(entities):
+    """Pass-2 node-location lookup as a distributed join (planetiler's
+    LongLongMap, Spark-style): explode way refs → equi-join node coords →
+    order-preserving re-assembly. Ways whose refs fall outside the extract
+    keep their remaining vertices (ways left with <2 vertices drop),
+    matching truncated-extract behavior. Returns (id, xs, ys)."""
     from pyspark.sql import functions as F
 
     nodes = entities.filter("etype = 0").select(
         F.col("id").alias("ref"), "lat", "lon")
-    ways = entities.filter("etype = 1").select("id", "tags", "refs")
-    pts = (
-        ways.select("id", F.posexplode("refs").alias("pos", "ref"))
+    return (
+        entities.filter("etype = 1")
+        .select("id", F.posexplode("refs").alias("pos", "ref"))
         .join(nodes, "ref")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"))
         .filter(F.size("pts") >= 2)
         .select(
             "id",
-            F.array_join(
-                F.transform(
-                    F.col("pts"),
-                    lambda p: F.format_string("%.9f %.9f", p["lon"], p["lat"]),
-                ),
-                ", ",
-            ).alias("coord_body"),
-            (
-                (F.size("pts") >= 4)
-                & (F.element_at("pts", 1)["lon"] == F.element_at("pts", -1)["lon"])
-                & (F.element_at("pts", 1)["lat"] == F.element_at("pts", -1)["lat"])
-            ).alias("ring_closed"),
+            F.transform("pts", lambda p: p["lon"]).alias("xs"),
+            F.transform("pts", lambda p: p["lat"]).alias("ys"),
         )
+    )
+
+
+def ways_with_geometry(entities):
+    """Way documents: closed rings with area semantics become POLYGONs
+    (see _is_area_expr); everything else a LINESTRING.
+    Returns (way_id, tags, geom_wkt)."""
+    from pyspark.sql import functions as F
+
+    ways = entities.filter("etype = 1").select("id", "tags")
+    pts = way_points(entities).select(
+        "id",
+        F.array_join(
+            F.zip_with(
+                "xs", "ys", lambda x, y: F.format_string("%.9f %.9f", x, y)
+            ),
+            ", ",
+        ).alias("coord_body"),
+        (
+            (F.size("xs") >= 4)
+            & (F.element_at("xs", 1) == F.element_at("xs", -1))
+            & (F.element_at("ys", 1) == F.element_at("ys", -1))
+        ).alias("ring_closed"),
     )
     return (
         ways.join(pts, "id")
@@ -558,6 +569,129 @@ def ways_with_geometry(entities):
     )
 
 
+# Guard against pathological member counts (the coastline-relation shape);
+# planetiler similarly special-cases giant relations rather than letting one
+# group dominate a task. Over-cap relations are skipped by the assembler.
+_MP_MAX_MEMBER_WAYS = 4000
+
+
+def _stitch_rings(segs):
+    """Assemble closed rings from way segments (OsmMultipolygon ring-building
+    analog): already-closed ways are rings; open ways are endpoint-walked
+    into chains, reversing direction as needed. Dangling chains (extract
+    truncation / broken relations) drop. Coordinates of shared endpoints are
+    bit-identical (both derive from the same node's nanodegree ints), so
+    exact float equality is the correct join key."""
+    import numpy as np
+
+    rings, open_segs = [], []
+    for s in segs:
+        s = np.asarray(s)
+        if len(s) >= 4 and s[0][0] == s[-1][0] and s[0][1] == s[-1][1]:
+            rings.append(s)
+        elif len(s) >= 2:
+            open_segs.append(s)
+
+    from collections import defaultdict
+
+    def key(pt):
+        return (float(pt[0]), float(pt[1]))
+
+    ends = defaultdict(list)
+    for i, s in enumerate(open_segs):
+        ends[key(s[0])].append(i)
+        ends[key(s[-1])].append(i)
+    used = set()
+    for i in range(len(open_segs)):
+        if i in used:
+            continue
+        used.add(i)
+        chain = open_segs[i]
+        while key(chain[0]) != key(chain[-1]):
+            nxt = None
+            for j in ends[key(chain[-1])]:
+                if j not in used:
+                    nxt = j
+                    break
+            if nxt is None:
+                break
+            used.add(nxt)
+            seg = open_segs[nxt]
+            if key(seg[0]) == key(chain[-1]):
+                chain = np.vstack([chain, seg[1:]])
+            else:
+                chain = np.vstack([chain, seg[::-1][1:]])
+        if len(chain) >= 4 and key(chain[0]) == key(chain[-1]):
+            rings.append(chain)
+    return rings
+
+
+def multipolygon_geometries(entities):
+    """type=multipolygon relations → POLYGON / MULTIPOLYGON WKT with holes.
+
+    One shuffle on rel_id, then per-relation ring assembly in an Arrow
+    kernel (applyInPandas): outer-role segments stitch into outer rings,
+    inner-role into holes, holes assigned to the outer ring containing
+    their centroid. Relations are bounded-size groups, so this partitions
+    cleanly at scale; _MP_MAX_MEMBER_WAYS guards the coastline-shaped tail.
+    Returns (rel_id, geom_wkt) — relations whose rings cannot close
+    (members outside the extract) are dropped, matching planetiler's
+    skip-and-log on broken multipolygons."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    mp_rels = (
+        entities.filter("etype = 2")
+        .select("id", F.map_from_entries("tags")["type"].alias("rel_type"), "members")
+        .filter(F.col("rel_type") == "multipolygon")
+    )
+    members = (
+        mp_rels.select(F.col("id").alias("rel_id"), F.explode("members").alias("m"))
+        .filter(F.col("m.mtype") == 1)
+        .select("rel_id", F.col("m.memid").alias("id"), F.col("m.role").alias("role"))
+    )
+    segs = members.join(way_points(entities), "id")
+
+    out_schema = T.StructType(
+        [T.StructField("rel_id", T.LongType()), T.StructField("geom_wkt", T.StringType())]
+    )
+
+    def assemble(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from ..geom import ops
+        from ..geom import wkt as wkt_mod
+
+        rows = []
+        for rel_id, g in pdf.groupby("rel_id"):
+            if len(g) > _MP_MAX_MEMBER_WAYS:
+                continue
+            inner_mask = g["role"].values == "inner"
+            coords = [np.column_stack([np.asarray(x), np.asarray(y)])
+                      for x, y in zip(g["xs"].values, g["ys"].values)]
+            outers = _stitch_rings([c for c, i in zip(coords, inner_mask) if not i])
+            inners = _stitch_rings([c for c, i in zip(coords, inner_mask) if i])
+            if not outers:
+                continue
+            assigned = [[o] for o in outers]
+            for inn in inners:
+                c, _area = ops.ring_centroid(inn)
+                for k, o in enumerate(outers):
+                    if ops.point_in_ring(c, o):
+                        assigned[k].append(inn)
+                        break
+            geom = (
+                ("Polygon", assigned[0])
+                if len(assigned) == 1
+                else ("MultiPolygon", assigned)
+            )
+            rows.append((int(rel_id), wkt_mod.to_wkt(geom)))
+        return pd.DataFrame(rows, columns=["rel_id", "geom_wkt"])
+
+    return segs.groupBy("rel_id").applyInPandas(assemble, out_schema)
+
+
 def pbf_to_documents(spark, path: str, partitions: int | None = None):
     """Full connector: .osm.pbf → canonical documents(doc_id, spans) table
     (FIXTURES.md §1 encoding, identical to the synthetic corpus generator).
@@ -567,8 +701,12 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
     - ways          → LINESTRING documents, or POLYGON documents when the
       assembled ring closes and the tags carry area semantics
       (OsmReader.canBePolygon / imposm3 is_area parity — see _is_area_expr)
-    - relations     → replayed as `rel` spans on their member-way documents
+    - relations     → type=multipolygon relations assemble into POLYGON /
+      MULTIPOLYGON documents with holes (multipolygon_geometries); all other
+      relations are replayed as `rel` spans on their member-way documents
       (the engine's relation model; Transportation.java:406-416 parity)
+    - untagged ways with no relation memberships drop (geometry carriers
+      only — they can match no table)
     """
     from pyspark.sql import functions as F
 
@@ -589,7 +727,8 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
 
     way_geoms = ways_with_geometry(ents)
 
-    # relation memberships, replayed onto member ways (mtype 1 = way)
+    # relation memberships, replayed onto member ways (mtype 1 = way);
+    # multipolygon relations are consumed as geometry below, not as spans
     rel_spans = (
         ents.filter("etype = 2")
         .select(
@@ -597,6 +736,7 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
             F.map_from_entries("tags").alias("rel_tags"),
             F.explode("members").alias("m"),
         )
+        .filter(F.coalesce(F.col("rel_tags")["type"], F.lit("")) != "multipolygon")
         .filter(F.col("m.mtype") == 1)
         .select(
             F.col("m.memid").alias("id"),
@@ -629,12 +769,31 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
             ).alias("rels"),
         )
         .withColumn("doc_id", F.concat(F.lit("osm/way/"), F.col("elem_id")))
+        # geometry-carrier ways (no tags, no relation memberships) can match
+        # no table and carry no span payload — drop them here, not downstream
+        .filter((F.size("tags") > 0) | (F.size("rels") > 0))
+    )
+
+    rel_tags = (
+        ents.filter("etype = 2")
+        .select(F.col("id").alias("rel_id"), F.map_from_entries("tags").alias("tags"))
+    )
+    mp_docs = (
+        multipolygon_geometries(ents)
+        .join(rel_tags, "rel_id")
+        .select(
+            F.col("rel_id").alias("elem_id"),
+            "tags",
+            "geom_wkt",
+        )
+        .withColumn("doc_id", F.concat(F.lit("osm/relation/"), F.col("elem_id")))
     )
 
     empty_rels = F.array().cast(
         "array<struct<rel_id:long,role:string,rel_tags:map<string,string>>>")
     docs = (
         node_docs.withColumn("rels", empty_rels)
+        .unionByName(mp_docs.withColumn("rels", empty_rels))
         .unionByName(way_docs)
         .withColumn("source", F.lit("osm"))
         .withColumn("source_layer", F.lit(""))

@@ -284,3 +284,58 @@ def test_pbf_corpus_builds_tiles(spark, tmp_path):
     assert by_layer.get("transportation", 0) > 0   # highway line
     assert by_layer.get("place", 0) > 0            # city node
     assert by_layer.get("mountain_peak", 0) > 0    # peak node
+
+
+def test_stitch_rings_kernel():
+    """Ring assembly: closed ways pass through, open segments chain with
+    direction reversal, dangling chains drop."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.sources.osm_pbf import _stitch_rings
+
+    closed = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+    half_a = np.array([[2, 0], [3, 0], [3, 1]], float)
+    half_b = np.array([[2, 0], [2, 1], [3, 1]], float)  # same endpoints, must reverse
+    dangling = np.array([[9, 9], [9, 10]], float)
+    rings = _stitch_rings([closed, half_a, half_b, dangling])
+    assert len(rings) == 2
+    assert any(len(r) == 5 and (r[0] == r[-1]).all() for r in rings)
+    for r in rings:
+        assert (r[0] == r[-1]).all()
+
+
+def test_multipolygon_relation_assembles_with_hole(spark, tmp_path):
+    """type=multipolygon relation → polygon document with a hole: outer ring
+    split across two open member ways (one traversed backwards), inner ring
+    a closed way; untagged geometry-carrier ways emit no documents of their
+    own (OsmReader multipolygon semantics)."""
+    from planetiler_openmaptiles_spark.geom.wkt import parse_wkt
+    from planetiler_openmaptiles_spark.pipeline import load_documents
+    from planetiler_openmaptiles_spark.sources.osm_pbf import write_osm_pbf
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    lon0, lat0 = 7.4, 43.7
+    outer = [(0.0, 0.0), (0.06, 0.0), (0.06, 0.06), (0.0, 0.06)]
+    inner = [(0.02, 0.02), (0.04, 0.02), (0.04, 0.04), (0.02, 0.04)]
+    nodes = [(1 + i, lat0 + dy, lon0 + dx, []) for i, (dx, dy) in enumerate(outer)]
+    nodes += [(11 + i, lat0 + dy, lon0 + dx, []) for i, (dx, dy) in enumerate(inner)]
+    ways = [
+        (100, [], [1, 2, 3]),               # outer half A
+        (101, [], [1, 4, 3]),               # outer half B (needs reversal)
+        (102, [], [11, 12, 13, 14, 11]),    # closed inner ring
+    ]
+    rels = [(500, [("type", "multipolygon"), ("natural", "water"), ("name", "Lake")],
+             [(100, "outer", 1), (101, "outer", 1), (102, "inner", 1)])]
+    pbf = str(tmp_path / "mp.osm.pbf")
+    write_osm_pbf(pbf, nodes, ways, rels, block_size=4)
+
+    docs = load_documents(spark, "pbf:" + pbf)
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids == {"osm/relation/500"}  # untagged member ways drop
+
+    row = decode_documents(docs).filter("doc_id = 'osm/relation/500'").collect()[0]
+    assert row["geom_kind"] == "polygon"
+    assert dict(row["tags"])["natural"] == "water"
+    g = parse_wkt(row["geom_wkt"])
+    assert g[0] == "Polygon" and len(g[1]) == 2  # outer + hole
+    assert len(g[1][0]) == 5 and len(g[1][1]) == 5
