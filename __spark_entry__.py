@@ -758,6 +758,92 @@ def _q_osm_pbf_roundtrip(spark, sf_dir):
     )
 
 
+def _mp_fixture_count(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return max(10, _SF_DOCS.get(name, 4000) // 200)
+
+
+def _mp_fixture(sf_dir: str) -> str:
+    """.osm.pbf extract of K multipolygon relations, each a lake-with-island
+    built from closed-form integer arithmetic: the outer square ring is split
+    across TWO open member ways sharing endpoints (forcing the ring stitcher
+    to chain and reverse), the hole is one closed way, every node untagged.
+    All coordinates are exact multiples of 1e-6 deg (writer granularity 100),
+    so encode→assemble→WKT→nano round-trips losslessly."""
+    from planetiler_openmaptiles_spark.sources.osm_pbf import write_osm_pbf
+
+    k = _mp_fixture_count(sf_dir)
+    path = os.path.join(GEN_ROOT, f"pbf_mp_k{k}_s{SEED}_v1.osm.pbf")
+    if os.path.exists(path):
+        return path
+    os.makedirs(GEN_ROOT, exist_ok=True)
+    nodes, ways, rels = [], [], []
+    for r in range(k):
+        b_lon = -170_000_000_000 + (r % 50) * 400_000_000
+        b_lat = -80_000_000_000 + (r // 50) * 400_000_000
+        s, h0, h1 = 2_000_000, 500_000, 1_500_000
+        base = 1_000_000 + r * 100
+        corners = [(b_lon, b_lat), (b_lon + s, b_lat),
+                   (b_lon + s, b_lat + s), (b_lon, b_lat + s)]
+        holes = [(b_lon + h0, b_lat + h0), (b_lon + h1, b_lat + h0),
+                 (b_lon + h1, b_lat + h1), (b_lon + h0, b_lat + h1)]
+        for j, (x, y) in enumerate(corners):
+            nodes.append((base + 1 + j, y * 1e-9, x * 1e-9, []))
+        for j, (x, y) in enumerate(holes):
+            nodes.append((base + 11 + j, y * 1e-9, x * 1e-9, []))
+        ways.append((3_000_000 + 2 * r,
+                     [], [base + 1, base + 2, base + 3]))
+        ways.append((3_000_000 + 2 * r + 1,
+                     [], [base + 1, base + 4, base + 3]))
+        ways.append((4_000_000 + r, [],
+                     [base + 11, base + 12, base + 13, base + 14, base + 11]))
+        rels.append((5_000_000 + r,
+                     [("type", "multipolygon"), ("natural", "water"),
+                      ("name", f"L{r}")],
+                     [(3_000_000 + 2 * r, "outer", 1),
+                      (3_000_000 + 2 * r + 1, "outer", 1),
+                      (4_000_000 + r, "inner", 1)]))
+    tmp = path + ".tmp"
+    write_osm_pbf(tmp, nodes, ways, rels, block_size=500)
+    os.replace(tmp, path)
+    return path
+
+
+def _q_osm_mp_assembly(spark, sf_dir):
+    """Multipolygon relation assembly, cross-engine: Spark runs the full
+    pbf → pbf_to_documents → span decode path (ring stitching with
+    direction reversal, role classification, hole-to-outer assignment) and
+    reports per relation the structural invariants of the assembled
+    geometry — ring count, vertex count, exact nano-degree bbox — all of
+    which DuckDB regenerates from the fixture's closed-form arithmetic
+    with zero shared code. Counts and bbox are rotation/direction
+    invariant, so shuffle order cannot perturb the hash."""
+    from planetiler_openmaptiles_spark.pipeline import load_documents
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    path = _mp_fixture(sf_dir)
+    feats = decode_documents(load_documents(spark, "pbf:" + path))
+    nums = F.expr(r"regexp_extract_all(geom_wkt, '-?[0-9.]+', 0)")
+    arr = F.transform(nums, lambda s: s.cast("double"))
+    lons = F.filter(arr, lambda x, i: i % 2 == 0)
+    lats = F.filter(arr, lambda x, i: i % 2 == 1)
+    return (
+        feats.select(
+            F.element_at(F.split("doc_id", "/"), 3).cast("long").alias("rel_id"),
+            F.col("geom_kind").alias("kind"),
+            (F.length(F.regexp_replace("geom_wkt", r"[^(]", "")) - 1)
+            .cast("long").alias("n_rings"),
+            (F.length(F.regexp_replace("geom_wkt", r"[^,]", "")) + 1)
+            .cast("long").alias("n_vertices"),
+            F.round(F.array_min(lons) * 1e9).cast("long").alias("lon_min_nano"),
+            F.round(F.array_max(lons) * 1e9).cast("long").alias("lon_max_nano"),
+            F.round(F.array_min(lats) * 1e9).cast("long").alias("lat_min_nano"),
+            F.round(F.array_max(lats) * 1e9).cast("long").alias("lat_max_nano"),
+        )
+        .orderBy("rel_id")
+    )
+
+
 def _q_geo_poly_merge_counts(spark, sf_dir):
     """Cross-engine ABSOLUTE counts + areas for the geometric polygon
     merge kernels (P2 mergeOverlappingPolygons / P3 mergeNearbyPolygons,
@@ -2011,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_compressed_roundtrip": _q_media_compressed,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
+        "osm_mp_assembly": _q_osm_mp_assembly,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
         "geo_hn_z14_counts": _q_geo_hn_z14_counts,
@@ -2309,6 +2396,23 @@ def oracle_sql() -> dict[str, str]:
               FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[2]}) t(r))
             SELECT * FROM nodes UNION ALL SELECT * FROM ways UNION ALL SELECT * FROM rels
             ORDER BY etype, id
+        """,
+        # Multipolygon assembly invariants regenerated from the fixture's
+        # closed-form arithmetic: each relation is a 0.002-deg square with a
+        # 0.001-deg hole at a grid cell derived from its index; the stitched
+        # outer ring has 5 vertices (two 3-point halves sharing endpoints),
+        # the closed inner way 5, so 2 rings / 10 vertices / the cell bbox.
+        "osm_mp_assembly": f"""
+            SELECT CAST(5000000 + r AS BIGINT) AS rel_id,
+                   'polygon' AS kind,
+                   CAST(2 AS BIGINT) AS n_rings,
+                   CAST(10 AS BIGINT) AS n_vertices,
+                   CAST(-170000000000 + (r % 50) * 400000000 AS BIGINT) AS lon_min_nano,
+                   CAST(-170000000000 + (r % 50) * 400000000 + 2000000 AS BIGINT) AS lon_max_nano,
+                   CAST(-80000000000 + (r // 50) * 400000000 AS BIGINT) AS lat_min_nano,
+                   CAST(-80000000000 + (r // 50) * 400000000 + 2000000 AS BIGINT) AS lat_max_nano
+            FROM range({_mp_fixture_count('/x/' + ORACLE_SF)}) t(r)
+            ORDER BY rel_id
         """,
         "dedup_exact_groups": """
             SELECT min(doc_id) AS rep_doc, count(*) AS n_docs
