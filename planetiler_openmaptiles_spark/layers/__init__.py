@@ -71,6 +71,13 @@ class Config:
     # user set a non-default value, matching planetiler where the CLI arg
     # overrides the per-layer setPixelTolerance defaults
     simplify_tolerance: float = 0.1
+    # --bounds (planetiler arg surface; reference README.md quickstart):
+    # (lon_min, lat_min, lon_max, lat_max) — only tiles whose extent
+    # intersects the box are rendered. None = whole world. The clamp is
+    # applied inside the fused render per zoom (tiling/explode.
+    # bounds_tile_ranges), so partial-build cost is proportional to the
+    # box, not the corpus extent.
+    bounds: "tuple | None" = None
     # extra custom layers (reference addons/ExtraLayers.java:12-19): import
     # paths of modules exposing LAYER_NAME + transform(ctx) and optionally
     # registering a tile post-processor at import

@@ -416,7 +416,8 @@ def build_tiles(
         rendered = cp.stage("rendered_features", fp, _rendered, spark, lineage=["documents"])
     tile_feats = cp.stage(
         "tile_features", fp,
-        lambda: render_tiles(rendered, config.max_zoom, config.simplify_tolerance),
+        lambda: render_tiles(rendered, config.max_zoom, config.simplify_tolerance,
+                             config.bounds),
         spark, lineage=["rendered_features"],
     )
     # reduce-exchange width hint from the corpus size on disk (stat only,
@@ -702,6 +703,9 @@ def main(argv=None):
     ap.add_argument("--only-layers", default="")
     ap.add_argument("--exclude-layers", default="")
     ap.add_argument("--check-invariant", action="store_true")
+    ap.add_argument("--bounds", default=None,
+                    help="lon_min,lat_min,lon_max,lat_max — render only"
+                         " tiles intersecting this box (planetiler --bounds)")
     ap.add_argument("--simplify-tolerance", type=float, default=0.1,
                     help="px simplification tolerance below max zoom"
                          " (reference README.md:33); negative disables")
@@ -734,6 +738,11 @@ def main(argv=None):
         exclude_layers=tuple(x for x in args.exclude_layers.split(",") if x),
         max_zoom=args.max_zoom,
         simplify_tolerance=args.simplify_tolerance,
+        bounds=(
+            tuple(float(v) for v in args.bounds.split(","))
+            if args.bounds
+            else None
+        ),
         languages=(
             None
             if args.languages is None

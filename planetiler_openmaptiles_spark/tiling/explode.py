@@ -443,9 +443,10 @@ def tile_cut(exploded: DataFrame, default_tol: float = DEFAULT_TOLERANCE_PX) -> 
     return exploded.mapInPandas(run, schema=TILE_FEATURE_SCHEMA)
 
 
-def _cut_points(out, row, g, z, n, scale, buf):
+def _cut_points(out, row, g, z, n, scale, buf, zb=None):
     pts = g[1].reshape(1, 2) if g[0] == "Point" else np.asarray(g[1])
     gsize = row.grid_size_z
+    bx0, bx1, by0, by1 = zb if zb is not None else (0, n - 1, 0, n - 1)
     for px, py in np.asarray(pts, dtype=np.float64):
         gx, gy = px * scale, py * scale  # global px at z
         if gsize is not None and not (isinstance(gsize, float) and np.isnan(gsize)) and gsize > 0:
@@ -454,8 +455,8 @@ def _cut_points(out, row, g, z, n, scale, buf):
             cell = None
         tx0, tx1 = int((gx - buf) // TILE_EXTENT), int((gx + buf) // TILE_EXTENT)
         ty0, ty1 = int((gy - buf) // TILE_EXTENT), int((gy + buf) // TILE_EXTENT)
-        for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
-            for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
+        for tx in range(max(tx0, 0, bx0), min(tx1, n - 1, bx1) + 1):
+            for ty in range(max(ty0, 0, by0), min(ty1, n - 1, by1) + 1):
                 lx, ly = gx - tx * TILE_EXTENT, gy - ty * TILE_EXTENT
                 local = np.array([lx, ly]).tobytes()
                 _emit_row(out, row, z, tx, ty, local, cell, lx, ly)
@@ -539,10 +540,31 @@ def _entry_get(e, k):
     return e[k]
 
 
+def bounds_tile_ranges(bounds, max_zoom: int):
+    """Per-zoom inclusive tile ranges covering a (lonmin, latmin, lonmax,
+    latmax) box — planetiler TileExtents parity: a tile is in range iff its
+    extent intersects the closed bounds box."""
+    bw, bs, be, bn = bounds
+    xs, ys = mercator.lonlat_to_world(np.array([bw, be]), np.array([bs, bn]))
+    wx0, wx1 = float(xs.min()), float(xs.max())
+    wy0, wy1 = float(ys.min()), float(ys.max())
+    out = {}
+    for z in range(max_zoom + 1):
+        n = 1 << z
+        out[z] = (
+            max(0, int(np.floor(wx0 * n))),
+            min(n - 1, int(np.floor(wx1 * n))),
+            max(0, int(np.floor(wy0 * n))),
+            min(n - 1, int(np.floor(wy1 * n))),
+        )
+    return out
+
+
 def render_tiles_fused(
     features: DataFrame,
     max_zoom: int = MAX_ZOOM,
     default_tol: float = DEFAULT_TOLERANCE_PX,
+    bounds=None,
 ) -> DataFrame:
     """features → per-tile features in ONE mapInPandas pass.
 
@@ -569,6 +591,10 @@ def render_tiles_fused(
         "min_pixel_size", "mps_overrides", "sort_key", "grid",
     ]
     src_df = features.select(*cols)
+    # --bounds: per-zoom allowed tile ranges, clamped inside the render loop
+    # (planetiler FeatureRenderer + TileExtents: out-of-bounds tiles are
+    # never cut, so the partial-build cost is proportional to the box)
+    zbounds = bounds_tile_ranges(bounds, max_zoom) if bounds is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -663,8 +689,9 @@ def render_tiles_fused(
                     buf = float(buf)
                     buf_world = buf / scale
                     row.z = z
+                    zb = zbounds[z] if zbounds is not None else None
                     if gk == "point":
-                        _cut_points(out, row, g, z, n, scale, buf)
+                        _cut_points(out, row, g, z, n, scale, buf, zb)
                         continue
                     if thrs is False:
                         thrs = ops.geom_dp_thresholds(g)
@@ -681,10 +708,16 @@ def render_tiles_fused(
                     fy0 = int(np.floor((y0w - buf_world) * n))
                     fy1 = int(np.floor((y1w + buf_world) * n))
                     if fx0 == fx1 and fy0 == fy1 and 0 <= fx0 < n and 0 <= fy0 < n:
-                        _emit_row(out, row, z, fx0, fy0, _scale_to_tile(gs, fx0, fy0, n), None)
+                        if zb is None or (zb[0] <= fx0 <= zb[1] and zb[2] <= fy0 <= zb[3]):
+                            _emit_row(out, row, z, fx0, fy0, _scale_to_tile(gs, fx0, fy0, n), None)
                         continue
                     tx0, tx1 = max(0, fx0), min(n - 1, fx1)
                     ty0, ty1 = max(0, fy0), min(n - 1, fy1)
+                    if zb is not None:
+                        tx0, tx1 = max(tx0, zb[0]), min(tx1, zb[1])
+                        ty0, ty1 = max(ty0, zb[2]), min(ty1, zb[3])
+                        if tx0 > tx1 or ty0 > ty1:
+                            continue
                     ntiles = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
                     if gk == "polygon" and ntiles > FILL_TILE_THRESHOLD:
                         _cut_polygon_fill(out, row, gs, z, n, scale, buf, tx0, tx1, ty0, ty1)
@@ -713,6 +746,7 @@ def render_tiles(
     features: DataFrame,
     max_zoom: int = MAX_ZOOM,
     default_tol: float = DEFAULT_TOLERANCE_PX,
+    bounds=None,
 ) -> DataFrame:
     """features → per-tile features, before tile reduction (fused pass)."""
-    return render_tiles_fused(features, max_zoom, default_tol)
+    return render_tiles_fused(features, max_zoom, default_tol, bounds)
