@@ -1139,6 +1139,68 @@ def _q_geo_tiles_water(spark, sf_dir):
     )
 
 
+BOUNDS_BOX = (-30.0, -20.0, 60.0, 65.0)  # fixed deterministic test box
+
+
+def _q_geo_tiles_bounds(spark, sf_dir):
+    """--bounds partial-build cross-engine check (planetiler TileExtents
+    semantics; reference README.md quickstart --area/--bounds surface):
+    build water tiles z0-8 twice — unbounded and bounded to BOUNDS_BOX —
+    checkpoint both finalized tile sets (with per-row md5 geometry hashes)
+    to aux, and verify bounded == unbounded ∩ per-zoom tile range. DuckDB
+    recomputes the ranges FROM THE RAW BOX with its own mercator math
+    (lon/lat→world→tile floor, closed-box edge inclusion) and replays the
+    set-difference — a wrong clamp, an off-by-one at a tile edge, or a
+    geometry altered by the bounded path shows as n_missing/n_extra > 0
+    in the oracle only, breaking the hash."""
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import make_context, rendered_features
+    from planetiler_openmaptiles_spark.tiling.explode import (
+        bounds_tile_ranges,
+        render_tiles,
+    )
+    from planetiler_openmaptiles_spark.tiling.postprocess import finalize_tiles
+
+    corpus = _corpus_dir(sf_dir)
+    cfg = Config(only_layers=("water",), max_zoom=8)
+    ctx = make_context(spark, corpus, cfg)
+    feats = rendered_features(ctx)
+    sel = lambda df: df.select(
+        "z", "x", "y", "layer", F.md5(F.col("geom_px")).alias("gh")
+    )
+    aux_f = _write_aux(sel(finalize_tiles(render_tiles(feats, 8))),
+                       sf_dir, "bounds_tiles_full")
+    aux_b = _write_aux(sel(finalize_tiles(render_tiles(feats, 8, bounds=BOUNDS_BOX))),
+                       sf_dir, "bounds_tiles_bounded")
+    fullr = spark.read.parquet(aux_f)
+    bndr = spark.read.parquet(aux_b)
+    # engine-side replay of the clamp (the oracle recomputes the ranges
+    # independently from the box constants)
+    rng = bounds_tile_ranges(BOUNDS_BOX, 8)
+    rngdf = spark.createDataFrame(
+        [(z, *rng[z]) for z in range(9)],
+        "z int, bx0 int, bx1 int, by0 int, by1 int",
+    )
+    fin_in = (
+        fullr.join(F.broadcast(rngdf), "z")
+        .filter(
+            (F.col("x") >= F.col("bx0")) & (F.col("x") <= F.col("bx1"))
+            & (F.col("y") >= F.col("by0")) & (F.col("y") <= F.col("by1"))
+        )
+        .drop("bx0", "bx1", "by0", "by1")
+    )
+    n_missing = fin_in.exceptAll(bndr).count()
+    n_extra = bndr.exceptAll(fin_in).count()
+    return (
+        bndr.groupBy("z")
+        .agg(F.count("*").alias("n_features"),
+             F.countDistinct("x", "y").alias("n_tiles"))
+        .withColumn("n_missing", F.lit(n_missing).cast("long"))
+        .withColumn("n_extra", F.lit(n_extra).cast("long"))
+        .orderBy("z")
+    )
+
+
 def _q_geo_tiles_mvt(spark, sf_dir):
     """S5 round-trip oracle: build water tiles, encode each to gzipped MVT
     protobuf bytes, decode back, and write BOTH the normalized source
@@ -2099,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
         "osm_mp_assembly": _q_osm_mp_assembly,
         "geo_tiles_water": _q_geo_tiles_water,
+        "geo_tiles_bounds": _q_geo_tiles_bounds,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
         "geo_hn_z14_counts": _q_geo_hn_z14_counts,
         "geo_poly_merge_counts": _q_geo_poly_merge_counts,
@@ -3759,6 +3822,34 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT (x, y)) AS n_tiles,
                    (SELECT CAST(n_out AS BIGINT) FROM outside) AS n_outside_bbox
             FROM fin GROUP BY z, layer ORDER BY z, layer
+        """,
+        # geo_tiles_bounds: DuckDB recomputes the per-zoom allowed tile
+        # ranges FROM THE RAW BOUNDS BOX with its own trig (closed box:
+        # min = floor(w0*2^z), max = floor(w1*2^z), clamped) and replays
+        # bounded == unbounded ∩ range as EXCEPT ALL set differences over
+        # the aux rows incl. md5 geometry hashes.
+        "geo_tiles_bounds": f"""
+            WITH rng AS (
+              SELECT CAST(z AS INT) AS z,
+                greatest(0, CAST(floor((({BOUNDS_BOX[0]} + 180.0)/360.0) * (1<<z)) AS INT)) AS bx0,
+                least(CAST((1<<z) - 1 AS INT), CAST(floor((({BOUNDS_BOX[2]} + 180.0)/360.0) * (1<<z)) AS INT)) AS bx1,
+                greatest(0, CAST(floor((0.5 - ln((1.0 + sin(radians({BOUNDS_BOX[3]})))/(1.0 - sin(radians({BOUNDS_BOX[3]}))))/(4*pi())) * (1<<z)) AS INT)) AS by0,
+                least(CAST((1<<z) - 1 AS INT), CAST(floor((0.5 - ln((1.0 + sin(radians({BOUNDS_BOX[1]})))/(1.0 - sin(radians({BOUNDS_BOX[1]}))))/(4*pi())) * (1<<z)) AS INT)) AS by1
+              FROM generate_series(0, 8) t(z)),
+            f AS (SELECT z, x, y, layer, gh
+                  FROM read_parquet('{_aux_path("bounds_tiles_full")}/*.parquet')),
+            b AS (SELECT z, x, y, layer, gh
+                  FROM read_parquet('{_aux_path("bounds_tiles_bounded")}/*.parquet')),
+            fin_in AS (SELECT f.z, x, y, layer, gh FROM f JOIN rng USING (z)
+                       WHERE x BETWEEN bx0 AND bx1 AND y BETWEEN by0 AND by1),
+            miss AS (SELECT count(*) AS n FROM
+                     (SELECT * FROM fin_in EXCEPT ALL SELECT * FROM b)),
+            extra AS (SELECT count(*) AS n FROM
+                      (SELECT * FROM b EXCEPT ALL SELECT * FROM fin_in))
+            SELECT z, count(*) AS n_features, count(DISTINCT (x, y)) AS n_tiles,
+                   (SELECT CAST(n AS BIGINT) FROM miss) AS n_missing,
+                   (SELECT CAST(n AS BIGINT) FROM extra) AS n_extra
+            FROM b GROUP BY z ORDER BY z
         """,
         # geo_hn_z14_counts: FULLY independent recompute of z14 housenumber
         # tile counts from raw WKT — own coordinate parse, own shoelace
