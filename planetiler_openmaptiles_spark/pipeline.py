@@ -109,6 +109,14 @@ def load_documents(spark: SparkSession, corpus_dir: str) -> DataFrame:
     return df
 
 
+def _release_source_caches() -> None:
+    """Drop source-connector caches (pbf entity/way-point persists) once
+    their derived tables are on disk — a no-op for parquet/table corpora."""
+    from .sources.osm_pbf import release_caches
+
+    release_caches()
+
+
 def load_side_tables(spark: SparkSession, corpus_dir: str) -> dict:
     side = {}
     for name in ("natural_earth", "lake_centerlines", "wikidata"):
@@ -406,6 +414,7 @@ def build_tiles(
             # resident-but-unused cache squeezes execution memory for the
             # render/reduce phases on every executor in the cluster.
             ctx.features.unpersist()
+            _release_source_caches()
         rendered = union_features(layer_dfs)
     else:
 
@@ -414,6 +423,12 @@ def build_tiles(
             return rendered_features(ctx)
 
         rendered = cp.stage("rendered_features", fp, _rendered, spark, lineage=["documents"])
+        if checkpoint_dir:
+            # rendered_features is on disk; the pbf entity/way-point caches
+            # are dead weight now. Without checkpoints the plan is still
+            # lazy here — the caches stay pinned until the caller's sink
+            # action (main() releases them after write_tiles).
+            _release_source_caches()
     tile_feats = cp.stage(
         "tile_features", fp,
         lambda: render_tiles(rendered, config.max_zoom, config.simplify_tolerance,
@@ -759,6 +774,9 @@ def main(argv=None):
     # finalize output (at 100 TB those are three scans of the biggest table).
     written = write_tiles(tiles, args.out)
     t_write = time.time()
+    # checkpoint-less pbf builds keep the connector caches pinned until the
+    # sink action above; they are dead weight for the report/archive phases
+    _release_source_caches()
     from .checkpoint import _parquet_row_count
 
     n_feats = _parquet_row_count(written["path"])

@@ -36,6 +36,7 @@ legitimate mini-sink (DenseNodes, delta coding, string tables, zlib).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Iterable, Iterator
@@ -85,13 +86,34 @@ def _scan_fields(buf) -> Iterator[tuple[int, int, object]]:
 
 
 def _packed_varints(buf) -> np.ndarray:
-    """Decode a packed repeated varint payload to uint64."""
-    out = []
-    i, n = 0, len(buf)
-    while i < n:
-        v, i = _read_varint(buf, i)
-        out.append(v)
-    return np.array(out, dtype=np.uint64)
+    """Decode a packed repeated varint payload to uint64 — vectorized.
+
+    Terminator bytes (high bit clear) mark each varint's last byte, so the
+    start offsets follow from the terminator positions; at most 10 masked
+    numpy passes then accumulate every varint's 7-bit groups at once. This
+    is the per-byte hot path of a planet-file decode (DenseNodes ids/lats/
+    lons/keys_vals are all packed varints), so it must not run a python
+    loop per byte."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.array([], dtype=np.uint64)
+    if a[-1] >= 0x80:
+        raise ValueError("truncated varint payload (trailing continuation byte)")
+    ends = np.nonzero(a < 0x80)[0]
+    starts = np.empty_like(ends)
+    if ends.size:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    active = np.arange(ends.size)
+    k = 0
+    while active.size:
+        pos = starts[active] + k
+        b = a[pos].astype(np.uint64)
+        vals[active] |= (b & np.uint64(0x7F)) << np.uint64(7 * k)
+        k += 1
+        active = active[pos < ends[active]]
+    return vals
 
 
 def _zigzag_decode(u: np.ndarray) -> np.ndarray:
@@ -248,18 +270,24 @@ def parse_primitive_block(data: bytes) -> dict:
                 node_ids.append(ids.astype(np.int64))
                 node_lat.append(_coord(lats, lat_off))
                 node_lon.append(_coord(lons, lon_off))
-                # keys_vals: 0-terminated (k,v) runs, one run per node
+                # keys_vals: 0-terminated (k,v) runs, one run per node.
+                # String index 0 is the reserved empty slot (spec), so 0
+                # appears only as the per-node delimiter — find delimiters
+                # in one numpy pass and build tag lists only for the nodes
+                # that actually have a run (most planet nodes are untagged,
+                # so the python work is proportional to TAGGED nodes).
                 tags_per = [[] for _ in range(len(ids))]
-                if kv is not None and len(kv):
-                    ni = 0
-                    i = 0
-                    while i < len(kv):
-                        if kv[i] == 0:
-                            ni += 1
-                            i += 1
-                        else:
-                            tags_per[ni].append((strings[kv[i]], strings[kv[i + 1]]))
-                            i += 2
+                if kv is not None and len(kv) and (kv == 0).any():
+                    delim = np.nonzero(kv == 0)[0]
+                    run_starts = np.empty_like(delim)
+                    run_starts[0] = 0
+                    run_starts[1:] = delim[:-1] + 1
+                    for ni in np.nonzero(delim > run_starts)[0].tolist():
+                        run = kv[run_starts[ni]:delim[ni]]
+                        tags_per[ni] = [
+                            (strings[run[j]], strings[run[j + 1]])
+                            for j in range(0, len(run), 2)
+                        ]
                 node_tags.extend(tags_per)
             elif field == 1:  # plain Node
                 nid = lat = lon = 0
@@ -417,6 +445,29 @@ def write_osm_pbf(path: str, nodes=(), ways=(), relations=(), block_size: int = 
 
 # ------------------------------------------------------- Spark distributed read
 
+# Persisted DataFrames pinned by pbf_to_documents (decoded entities, the
+# shared way-point join). The pipeline calls release_caches() once derived
+# tables (decoded spans / layer checkpoints) are materialized on disk —
+# re-executing the documents plan afterwards is still correct, it just
+# re-decodes; keeping dead caches resident squeezes executor execution
+# memory for the render/reduce phases (same rationale as the pipeline's
+# ctx.features.unpersist()).
+_CACHES: list = []
+# memoized documents plans keyed by (session, path, partitions, mtime):
+# load_documents runs 2-3x per build (invariant check, context build), and
+# each fresh pbf_to_documents would otherwise pin its own entity/way-point
+# caches for identical plans
+_DOCS_CACHE: dict = {}
+
+
+def release_caches() -> None:
+    _DOCS_CACHE.clear()
+    while _CACHES:
+        try:
+            _CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 _ENTITY_SCHEMA = (
     "etype int, id long, lat double, lon double, "
     "tags array<struct<key:string,value:string>>, refs array<long>, "
@@ -443,36 +494,59 @@ def read_osm_entities(spark, path: str, partitions: int | None = None):
         [(b["offset"], b["size"]) for b in index], "offset long, size long"
     ).repartition(partitions)
 
+    _EMPTY: list = []  # shared read-only placeholder (Arrow never mutates)
+
+    def _tagdicts(tags):
+        return [{"key": k, "value": v} for k, v in tags] if tags else _EMPTY
+
     def _decode(batches):
+        # Columnar emission: nodes dominate a planet file ~10:1, so the
+        # node columns pass straight through as numpy arrays — the only
+        # per-node python cost is the tag-dict build for TAGGED nodes.
+        # Ways/relations are 10x fewer; a per-entity loop is fine there.
         with open(path, "rb") as f:
             for pdf in batches:
-                rows = {k: [] for k in
-                        ("etype", "id", "lat", "lon", "tags", "refs", "members")}
-
-                def _emit(etype, eid, lat, lon, tags, refs, members):
-                    rows["etype"].append(etype)
-                    rows["id"].append(eid)
-                    rows["lat"].append(lat)
-                    rows["lon"].append(lon)
-                    rows["tags"].append(
-                        [{"key": k, "value": v} for k, v in tags] if tags else [])
-                    rows["refs"].append(refs)
-                    rows["members"].append(members)
-
                 for off, size in zip(pdf["offset"], pdf["size"]):
                     block = parse_primitive_block(read_blob(f, int(off), int(size)))
                     nd = block["nodes"]
-                    for i in range(len(nd["id"])):
-                        _emit(0, int(nd["id"][i]), float(nd["lat"][i]),
-                              float(nd["lon"][i]), nd["tags"][i], [], [])
-                    for wid, tags, refs in block["ways"]:
-                        _emit(1, wid, None, None, tags,
-                              [int(r) for r in refs], [])
-                    for rid, tags, members in block["rels"]:
-                        _emit(2, rid, None, None, tags, [],
-                              [{"memid": m, "role": r, "mtype": t}
-                               for m, r, t in members])
-                yield pd.DataFrame(rows)
+                    n = len(nd["id"])
+                    if n:
+                        yield pd.DataFrame({
+                            "etype": np.zeros(n, dtype=np.int32),
+                            "id": nd["id"],
+                            "lat": nd["lat"],
+                            "lon": nd["lon"],
+                            "tags": [_tagdicts(t) for t in nd["tags"]],
+                            "refs": [_EMPTY] * n,
+                            "members": [_EMPTY] * n,
+                        })
+                    ways, rels = block["ways"], block["rels"]
+                    if ways:
+                        nw = len(ways)
+                        yield pd.DataFrame({
+                            "etype": np.full(nw, 1, dtype=np.int32),
+                            "id": np.array([w[0] for w in ways], dtype=np.int64),
+                            "lat": pd.Series([None] * nw, dtype=object),
+                            "lon": pd.Series([None] * nw, dtype=object),
+                            "tags": [_tagdicts(t) for _, t, _ in ways],
+                            "refs": [r.astype(np.int64).tolist() for *_, r in ways],
+                            "members": [_EMPTY] * nw,
+                        })
+                    if rels:
+                        nr = len(rels)
+                        yield pd.DataFrame({
+                            "etype": np.full(nr, 2, dtype=np.int32),
+                            "id": np.array([r[0] for r in rels], dtype=np.int64),
+                            "lat": pd.Series([None] * nr, dtype=object),
+                            "lon": pd.Series([None] * nr, dtype=object),
+                            "tags": [_tagdicts(t) for _, t, _ in rels],
+                            "refs": [_EMPTY] * nr,
+                            "members": [
+                                [{"memid": m, "role": role, "mtype": mt}
+                                 for m, role, mt in members]
+                                for *_, members in rels
+                            ],
+                        })
 
     return idx_df.mapInPandas(_decode, _ENTITY_SCHEMA)
 
@@ -533,14 +607,16 @@ def way_points(entities):
     )
 
 
-def ways_with_geometry(entities):
+def ways_with_geometry(entities, pts=None):
     """Way documents: closed rings with area semantics become POLYGONs
     (see _is_area_expr); everything else a LINESTRING.
-    Returns (way_id, tags, geom_wkt)."""
+    Returns (way_id, tags, geom_wkt). Pass a shared `pts` (way_points
+    output) to avoid re-running the refs⋈nodes shuffle — the connector's
+    biggest exchange — when several consumers need assembled ways."""
     from pyspark.sql import functions as F
 
     ways = entities.filter("etype = 1").select("id", "tags")
-    pts = way_points(entities).select(
+    pts = (pts if pts is not None else way_points(entities)).select(
         "id",
         F.array_join(
             F.zip_with(
@@ -626,7 +702,7 @@ def _stitch_rings(segs):
     return rings
 
 
-def multipolygon_geometries(entities):
+def multipolygon_geometries(entities, pts=None):
     """type=multipolygon relations → POLYGON / MULTIPOLYGON WKT with holes.
 
     One shuffle on rel_id, then per-relation ring assembly in an Arrow
@@ -650,7 +726,7 @@ def multipolygon_geometries(entities):
         .filter(F.col("m.mtype") == 1)
         .select("rel_id", F.col("m.memid").alias("id"), F.col("m.role").alias("role"))
     )
-    segs = members.join(way_points(entities), "id")
+    segs = members.join(pts if pts is not None else way_points(entities), "id")
 
     out_schema = T.StructType(
         [T.StructField("rel_id", T.LongType()), T.StructField("geom_wkt", T.StringType())]
@@ -712,8 +788,20 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
 
     from ..spans import reencode_spans
 
+    memo_key = (id(spark), os.path.abspath(path), partitions,
+                os.stat(path).st_mtime_ns)
+    cached = _DOCS_CACHE.get(memo_key)
+    if cached is not None:
+        return cached
+
     ents = read_osm_entities(spark, path, partitions)
     ents = ents.persist()
+    _CACHES.append(ents)
+    # ONE refs⋈nodes exchange (the connector's biggest shuffle), shared by
+    # the way-document and multipolygon-assembly branches via the cache —
+    # without it the duplicated join subtree executes once per branch.
+    wpts = way_points(ents).persist()
+    _CACHES.append(wpts)
 
     node_docs = (
         ents.filter("etype = 0 AND size(tags) > 0")
@@ -725,7 +813,7 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
         .withColumn("doc_id", F.concat(F.lit("osm/node/"), F.col("elem_id")))
     )
 
-    way_geoms = ways_with_geometry(ents)
+    way_geoms = ways_with_geometry(ents, wpts)
 
     # relation memberships, replayed onto member ways (mtype 1 = way);
     # multipolygon relations are consumed as geometry below, not as spans
@@ -779,7 +867,7 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
         .select(F.col("id").alias("rel_id"), F.map_from_entries("tags").alias("tags"))
     )
     mp_docs = (
-        multipolygon_geometries(ents)
+        multipolygon_geometries(ents, wpts)
         .join(rel_tags, "rel_id")
         .select(
             F.col("rel_id").alias("elem_id"),
@@ -800,4 +888,5 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
         .withColumn("media_refs", F.array().cast("array<string>"))
         .select("doc_id", reencode_spans().alias("spans"))
     )
+    _DOCS_CACHE[memo_key] = docs
     return docs

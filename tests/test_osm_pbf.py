@@ -44,6 +44,47 @@ def test_varint_zigzag_hand_vectors():
     assert _zigzag_decode(np.array([0, 1, 2, 3], dtype=np.uint64)).tolist() == [0, -1, 1, -2]
 
 
+def test_vectorized_varints_match_scalar_reference():
+    """The numpy masked-pass decoder must agree with a byte-at-a-time
+    scalar reference on adversarial values (every varint length 1-10,
+    boundary values, u64 wraparound)."""
+    import random
+
+    def scalar_decode(buf):
+        out, v, shift = [], 0, 0
+        for b in buf:
+            v |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                out.append(v & ((1 << 64) - 1))
+                v, shift = 0, 0
+        return out
+
+    def encode(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    rng = random.Random(1234)
+    vals = [0, 1, 127, 128, 16383, 16384, (1 << 64) - 1, 1 << 63, (1 << 63) - 1]
+    vals += [rng.getrandbits(rng.randint(1, 64)) for _ in range(500)]
+    rng.shuffle(vals)
+    buf = b"".join(encode(v) for v in vals)
+    got = _packed_varints(buf)
+    assert got.dtype == np.uint64
+    assert got.tolist() == scalar_decode(buf) == vals
+    # truncated payload (trailing continuation byte) must raise, not hang
+    with pytest.raises(ValueError):
+        _packed_varints(buf + b"\x80")
+    assert _packed_varints(b"").tolist() == []
+
+
 def _ld(field, payload):  # local, independent len-delim helper
     return bytes([field << 3 | 2, len(payload)]) + payload
 
