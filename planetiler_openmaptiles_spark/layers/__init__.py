@@ -82,6 +82,14 @@ class Config:
     # paths of modules exposing LAYER_NAME + transform(ctx) and optionally
     # registering a tile post-processor at import
     addons: tuple = ()
+    # real source-file connectors (OpenMapTilesMain.java:40-53): when set,
+    # these REPLACE the corpus' synthesized rows for that source —
+    # water_polygons documents from an ESRI shapefile (EPSG:3857 like
+    # water-polygons-split-3857), the lake_centerlines side table from
+    # lake_centerline.shp, the natural_earth side table from the NE sqlite
+    water_shp: "str | None" = None
+    lake_centerline_shp: "str | None" = None
+    natural_earth_sqlite: "str | None" = None
 
     def active_layers(self) -> list[str]:
         names = [l for l in LAYER_MODULES if not self.only_layers or l in self.only_layers]

@@ -292,6 +292,26 @@ def _build_context(spark: SparkSession, corpus_dir: str, config: Config) -> Laye
     apply_required_confs(spark)
     docs = load_documents(spark, corpus_dir)
     side = load_side_tables(spark, corpus_dir)
+    # Real source-file connectors replace the corpus' synthesized rows for
+    # their source (OpenMapTilesMain.java:40-53). All three sources flow
+    # through the document stream (ctx.source dispatch), so each override
+    # swaps that source's document rows wholesale.
+    cfg0 = config or Config()
+    if cfg0.water_shp:
+        from .sources.shapefile import shapefile_to_documents
+
+        docs = docs.filter(~F.col("doc_id").startswith("water_polygons/")).unionByName(
+            shapefile_to_documents(spark, cfg0.water_shp, "water_polygons"))
+    if cfg0.lake_centerline_shp:
+        from .sources.shapefile import shapefile_to_lake_centerlines
+
+        docs = docs.filter(~F.col("doc_id").startswith("lake_centerlines/")).unionByName(
+            shapefile_to_lake_centerlines(spark, cfg0.lake_centerline_shp))
+    if cfg0.natural_earth_sqlite:
+        from .sources.natural_earth import natural_earth_to_documents
+
+        docs = docs.filter(~F.col("doc_id").startswith("natural_earth/")).unionByName(
+            natural_earth_to_documents(spark, cfg0.natural_earth_sqlite))
     # the decoded features feed 30 table projections + several plan-time
     # collects (NE registries, region polygons) — persist the decode once.
     # At full scale this is the decode-stage checkpoint instead.
@@ -728,6 +748,16 @@ def main(argv=None):
                     help="comma-separated translation language codes"
                          " (planetiler --languages; default the reference"
                          " OpenMapTilesSchema.LANGUAGES list)")
+    ap.add_argument("--water-shp", default=None,
+                    help="water-polygons ESRI shapefile (.shp) replacing"
+                         " the corpus water_polygons rows"
+                         " (water-polygons-split-3857)")
+    ap.add_argument("--lake-centerline-shp", default=None,
+                    help="lake_centerline.shp replacing the"
+                         " lake_centerlines side table")
+    ap.add_argument("--natural-earth", default=None,
+                    help="natural_earth_vector.sqlite replacing the"
+                         " natural_earth side table")
     ap.add_argument("--mbtiles", default=None,
                     help="also write a gzipped-MVT mbtiles archive here")
     ap.add_argument("--pmtiles", default=None,
@@ -763,6 +793,9 @@ def main(argv=None):
             if args.languages is None
             else tuple(x for x in args.languages.split(",") if x)
         ),
+        water_shp=args.water_shp,
+        lake_centerline_shp=args.lake_centerline_shp,
+        natural_earth_sqlite=args.natural_earth,
     )
     t0 = time.time()
     tiles = build_tiles(spark, args.corpus, config, args.checkpoints,
