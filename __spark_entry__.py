@@ -844,6 +844,160 @@ def _q_osm_mp_assembly(spark, sf_dir):
     )
 
 
+def _shp_fixture_count(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return max(24, _SF_DOCS.get(name, 4000) // 200)
+
+
+def _shp_fixture(sf_dir: str) -> str:
+    """EPSG:3857 ESRI shapefile of K polygon records from closed-form
+    arithmetic. All coordinates are dyadic rationals (multiples of 1/32
+    degree), so lon/lat → mercator meters → lon/lat → %.10g WKT round-trips
+    to the exact decimal (forward∘inverse error ~1e-15 ≪ the 10-sig-digit
+    print granularity). Every 3rd record carries a hole, every 5th a second
+    disjoint outer ring (→ MultiPolygon), so ring counts, vertex counts and
+    bboxes all vary by index arithmetic DuckDB can replay."""
+    from planetiler_openmaptiles_spark.sources.shapefile import write_shapefile
+
+    k = _shp_fixture_count(sf_dir)
+    base = os.path.join(GEN_ROOT, f"shp_rt_k{k}_v1")
+    if os.path.exists(base + ".shp"):
+        return base + ".shp"
+    os.makedirs(GEN_ROOT, exist_ok=True)
+
+    def sq(x, y, s):
+        return f"({x} {y}, {x + s} {y}, {x + s} {y + s}, {x} {y + s}, {x} {y})"
+
+    recs = []
+    for i in range(k):
+        lon0 = (i % 40) * 0.25 - 5.0
+        lat0 = (i // 40) * 0.25 - 2.0
+        rings = [sq(lon0, lat0, 0.125)]
+        if i % 3 == 0:
+            rings.append(sq(lon0 + 0.03125, lat0 + 0.03125, 0.0625))
+        poly1 = "(" + ", ".join(rings) + ")"
+        if i % 5 == 0:
+            wkt = f"MULTIPOLYGON ({poly1}, ({sq(lon0 + 0.15625, lat0 + 0.03125, 0.03125)}))"
+        else:
+            wkt = f"POLYGON {poly1}"
+        recs.append(({"name": f"w{i}", "cls": f"c{i % 5}"}, wkt))
+    tmp = base + "_tmp"
+    write_shapefile(tmp, recs, epsg=3857)
+    for ext in (".dbf", ".prj", ".shx", ".shp"):  # .shp last: it is the guard
+        os.replace(tmp + ext, base + ext)
+    return base + ".shp"
+
+
+def _wkt_struct_cols(feats):
+    """Structural metric columns from geom_wkt: ring-start count, vertex
+    count (total commas + 1 — separators add exactly n_groups-1), exact
+    micro-degree bbox from the numeric tokens."""
+    nums = F.expr(r"regexp_extract_all(geom_wkt, '-?[0-9.]+', 0)")
+    arr = F.transform(nums, lambda s: s.cast("double"))
+    lons = F.filter(arr, lambda x, i: i % 2 == 0)
+    lats = F.filter(arr, lambda x, i: i % 2 == 1)
+    return [
+        F.size(F.expr(r"regexp_extract_all(geom_wkt, '\\(-?[0-9]', 0)"))
+        .cast("long").alias("n_rings"),
+        (F.length(F.regexp_replace("geom_wkt", r"[^,]", "")) + 1)
+        .cast("long").alias("n_vertices"),
+        F.round(F.array_min(lons) * 1e6).cast("long").alias("x_min_u"),
+        F.round(F.array_max(lons) * 1e6).cast("long").alias("x_max_u"),
+        F.round(F.array_min(lats) * 1e6).cast("long").alias("y_min_u"),
+        F.round(F.array_max(lats) * 1e6).cast("long").alias("y_max_u"),
+    ]
+
+
+def _q_shapefile_roundtrip(spark, sf_dir):
+    """Shapefile source connector, cross-engine: Spark decodes the real
+    .shp/.shx/.dbf/.prj bytes through the full block-parallel path (shx
+    index splits, record parse, ring orientation + hole assignment, dbf
+    fixed-width attrs, EPSG:3857 inverse mercator) AND the span encoding
+    (shapefile_to_documents → decode_documents); DuckDB regenerates the
+    expected table from the fixture's closed-form arithmetic with zero
+    shared code."""
+    from planetiler_openmaptiles_spark.sources.shapefile import shapefile_to_documents
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    path = _shp_fixture(sf_dir)
+    feats = decode_documents(shapefile_to_documents(spark, path, "water_polygons"))
+    return (
+        feats.select(
+            F.col("elem_id").alias("fid"),
+            F.col("geom_kind").alias("kind"),
+            *_wkt_struct_cols(feats),
+            F.element_at("tags", "name").alias("name"),
+            F.element_at("tags", "cls").alias("cls"),
+        )
+        .orderBy("fid")
+    )
+
+
+def _ne_fixture_counts(sf_dir: str) -> tuple[int, int]:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    docs = _SF_DOCS.get(name, 4000)
+    return max(16, docs // 500), max(10, docs // 800)
+
+
+def _ne_fixture(sf_dir: str) -> str:
+    """Natural-Earth-style sqlite with SpatiaLite geometry blobs, built
+    from closed-form arithmetic (dyadic coordinates → exact WKT)."""
+    from planetiler_openmaptiles_spark.sources.natural_earth import (
+        write_natural_earth_sqlite,
+    )
+
+    n_poly, n_pts = _ne_fixture_counts(sf_dir)
+    path = os.path.join(GEN_ROOT, f"ne_rt_p{n_poly}_q{n_pts}_v1.sqlite")
+    if os.path.exists(path):
+        return path
+    os.makedirs(GEN_ROOT, exist_ok=True)
+    tables = {
+        "ne_110m_test_poly": [
+            ({"name": f"p{j}", "rank": str(j % 7)},
+             "POLYGON ((" + ", ".join(
+                 f"{x} {y}" for x, y in [
+                     (j * 0.5 - 3.0, 1.25), (j * 0.5 - 2.75, 1.25),
+                     (j * 0.5 - 2.75, 1.5), (j * 0.5 - 3.0, 1.5),
+                     (j * 0.5 - 3.0, 1.25)]) + "))")
+            for j in range(n_poly)
+        ],
+        "ne_10m_test_pts": [
+            ({"name": f"q{j}"}, f"POINT ({j * 0.25 - 2.0} -1.5)")
+            for j in range(n_pts)
+        ],
+    }
+    tmp = path + ".tmp"
+    write_natural_earth_sqlite(tmp, tables, blob_format="spatialite")
+    os.replace(tmp, path)
+    return path
+
+
+def _q_natural_earth_roundtrip(spark, sf_dir):
+    """NE sqlite source connector, cross-engine: Spark reads the real
+    sqlite bytes block-parallel (rowid-range splits, SpatiaLite blob →
+    WKB decode → WKT, per-table elem_id offsets) through the span
+    encoding; DuckDB regenerates the expected rows from the fixture's
+    closed-form arithmetic (no sqlite, no geometry code)."""
+    from planetiler_openmaptiles_spark.sources.natural_earth import (
+        natural_earth_to_documents,
+    )
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    path = _ne_fixture(sf_dir)
+    feats = decode_documents(natural_earth_to_documents(spark, path))
+    return (
+        feats.select(
+            F.col("source_layer").alias("tbl"),
+            F.col("elem_id"),
+            F.col("geom_kind").alias("kind"),
+            *_wkt_struct_cols(feats),
+            F.element_at("tags", "name").alias("name"),
+            F.element_at("tags", "rank").alias("rank"),
+        )
+        .orderBy("tbl", "elem_id")
+    )
+
+
 def _q_geo_poly_merge_counts(spark, sf_dir):
     """Cross-engine ABSOLUTE counts + areas for the geometric polygon
     merge kernels (P2 mergeOverlappingPolygons / P3 mergeNearbyPolygons,
@@ -2160,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
         "osm_mp_assembly": _q_osm_mp_assembly,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "natural_earth_roundtrip": _q_natural_earth_roundtrip,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_bounds": _q_geo_tiles_bounds,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
@@ -2476,6 +2632,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-80000000000 + (r // 50) * 400000000 + 2000000 AS BIGINT) AS lat_max_nano
             FROM range({_mp_fixture_count('/x/' + ORACLE_SF)}) t(r)
             ORDER BY rel_id
+        """,
+        # Shapefile connector replay: ring/vertex counts and exact
+        # micro-degree bboxes regenerated from the fixture arithmetic in
+        # _shp_fixture (dyadic 1/32-degree grid → the 3857 round-trip and
+        # %.10g print are exact; see that docstring).
+        "shapefile_roundtrip": f"""
+            SELECT CAST(i + 1 AS BIGINT) AS fid,
+                   'polygon' AS kind,
+                   CAST(1 + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rings,
+                   CAST(5 * (1 + (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                               + (CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_vertices,
+                   CAST(round(((i % 40) * 0.25 - 5.0) * 1000000) AS BIGINT) AS x_min_u,
+                   CAST(round(((i % 40) * 0.25 - 5.0
+                        + CASE WHEN i % 5 = 0 THEN 0.1875 ELSE 0.125 END) * 1000000) AS BIGINT) AS x_max_u,
+                   CAST(round(((i // 40) * 0.25 - 2.0) * 1000000) AS BIGINT) AS y_min_u,
+                   CAST(round(((i // 40) * 0.25 - 2.0 + 0.125) * 1000000) AS BIGINT) AS y_max_u,
+                   'w' || i AS name,
+                   'c' || (i % 5) AS cls
+            FROM range({_shp_fixture_count('/x/' + ORACLE_SF)}) t(i)
+            ORDER BY fid
+        """,
+        # NE sqlite connector replay: elem_id carries the 10^8 per-table
+        # offset from the name-sorted catalog (ne_10m_test_pts first).
+        "natural_earth_roundtrip": f"""
+            WITH polys AS (
+              SELECT 'ne_110m_test_poly' AS tbl,
+                     CAST(200000000 + j + 1 AS BIGINT) AS elem_id,
+                     'polygon' AS kind,
+                     CAST(1 AS BIGINT) AS n_rings, CAST(5 AS BIGINT) AS n_vertices,
+                     CAST(round((j * 0.5 - 3.0) * 1000000) AS BIGINT) AS x_min_u,
+                     CAST(round((j * 0.5 - 2.75) * 1000000) AS BIGINT) AS x_max_u,
+                     CAST(1250000 AS BIGINT) AS y_min_u,
+                     CAST(1500000 AS BIGINT) AS y_max_u,
+                     'p' || j AS name,
+                     CAST(j % 7 AS VARCHAR) AS rank
+              FROM range({_ne_fixture_counts('/x/' + ORACLE_SF)[0]}) t(j)),
+            pts AS (
+              SELECT 'ne_10m_test_pts',
+                     CAST(100000000 + j + 1 AS BIGINT),
+                     'point',
+                     CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                     CAST(round((j * 0.25 - 2.0) * 1000000) AS BIGINT),
+                     CAST(round((j * 0.25 - 2.0) * 1000000) AS BIGINT),
+                     CAST(-1500000 AS BIGINT), CAST(-1500000 AS BIGINT),
+                     'q' || j,
+                     CAST(NULL AS VARCHAR)
+              FROM range({_ne_fixture_counts('/x/' + ORACLE_SF)[1]}) t(j))
+            SELECT * FROM polys UNION ALL SELECT * FROM pts
+            ORDER BY tbl, elem_id
         """,
         "dedup_exact_groups": """
             SELECT min(doc_id) AS rep_doc, count(*) AS n_docs
