@@ -90,6 +90,13 @@ class Config:
     water_shp: "str | None" = None
     lake_centerline_shp: "str | None" = None
     natural_earth_sqlite: "str | None" = None
+    # lake_centerline.geojson form (openmaptiles/openmaptiles ships GeoJSON;
+    # the reference consumes the SHP mirror) — mutually exclusive with
+    # lake_centerline_shp
+    lake_centerline_geojson: "str | None" = None
+    # persisted wikidata fetch cache (OpenMapTilesMain.java:34-35
+    # wikidata_names.json) replacing the corpus wikidata side table
+    wikidata_json: "str | None" = None
 
     def active_layers(self) -> list[str]:
         names = [l for l in LAYER_MODULES if not self.only_layers or l in self.only_layers]

@@ -307,11 +307,22 @@ def _build_context(spark: SparkSession, corpus_dir: str, config: Config) -> Laye
 
         docs = docs.filter(~F.col("doc_id").startswith("lake_centerlines/")).unionByName(
             shapefile_to_lake_centerlines(spark, cfg0.lake_centerline_shp))
+    if cfg0.lake_centerline_geojson:
+        from .sources.geojson import geojson_to_documents
+
+        docs = docs.filter(~F.col("doc_id").startswith("lake_centerlines/")).unionByName(
+            geojson_to_documents(spark, cfg0.lake_centerline_geojson,
+                                 "lake_centerlines", elem_id_attr="OSM_ID",
+                                 keep_attrs=False))
     if cfg0.natural_earth_sqlite:
         from .sources.natural_earth import natural_earth_to_documents
 
         docs = docs.filter(~F.col("doc_id").startswith("natural_earth/")).unionByName(
             natural_earth_to_documents(spark, cfg0.natural_earth_sqlite))
+    if cfg0.wikidata_json:
+        from .sources.wikidata_names import read_wikidata_names
+
+        side["wikidata"] = read_wikidata_names(spark, cfg0.wikidata_json)
     # the decoded features feed 30 table projections + several plan-time
     # collects (NE registries, region polygons) — persist the decode once.
     # At full scale this is the decode-stage checkpoint instead.
@@ -755,6 +766,12 @@ def main(argv=None):
     ap.add_argument("--lake-centerline-shp", default=None,
                     help="lake_centerline.shp replacing the"
                          " lake_centerlines side table")
+    ap.add_argument("--lake-centerline-geojson", default=None,
+                    help="lake_centerline.geojson(/.geojsonl) form of the"
+                         " same source")
+    ap.add_argument("--wikidata", default=None,
+                    help="persisted wikidata_names.json translation cache"
+                         " replacing the corpus wikidata side table")
     ap.add_argument("--natural-earth", default=None,
                     help="natural_earth_vector.sqlite replacing the"
                          " natural_earth side table")
@@ -795,7 +812,9 @@ def main(argv=None):
         ),
         water_shp=args.water_shp,
         lake_centerline_shp=args.lake_centerline_shp,
+        lake_centerline_geojson=args.lake_centerline_geojson,
         natural_earth_sqlite=args.natural_earth,
+        wikidata_json=args.wikidata,
     )
     t0 = time.time()
     tiles = build_tiles(spark, args.corpus, config, args.checkpoints,

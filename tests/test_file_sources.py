@@ -11,6 +11,8 @@ import os
 import sqlite3
 import struct
 
+from pyspark.sql import functions as F
+
 import numpy as np
 import pytest
 
@@ -237,3 +239,73 @@ def test_span_invariant_on_connector_documents(spark, tmp_path):
          for i in range(5)], epsg=3857)
     docs = S.shapefile_to_documents(spark, p, "water_polygons")
     assert check_span_invariant(docs, decode_documents(docs)) == 0
+
+
+# ------------------------------------------------- geojson + wikidata json
+
+
+def test_geojson_lines_and_collection_parity(spark, tmp_path):
+    from planetiler_openmaptiles_spark.sources import geojson as GJ
+
+    recs = [
+        ({"name": "a", "n": 3, "deep": {"x": 1}, "flag": True},
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))"),
+        ({"OSM_ID": "77"}, "LINESTRING (0 0, 1 1, 2 0.5)"),
+        ({}, "MULTIPOLYGON (((4 4, 5 4, 5 5, 4 5, 4 4)), ((6 6, 7 6, 7 7, 6 7, 6 6)))"),
+        ({"name": "pt"}, "POINT (-12.25 33.5)"),
+    ]
+    p_lines = GJ.write_geojson(str(tmp_path / "f.geojsonl"), recs)
+    p_fc = GJ.write_geojson(str(tmp_path / "fc.geojson"), recs, collection=True)
+    a = {r["fid"]: r for r in GJ.read_geojson(spark, p_lines).collect()}
+    b = {r["fid"]: r for r in GJ.read_geojson(spark, p_fc).collect()}
+    assert set(a) == set(b) == {1, 2, 3, 4}
+    for fid in a:
+        assert a[fid]["geom_wkt"] == b[fid]["geom_wkt"]
+        assert a[fid]["attrs"] == b[fid]["attrs"]
+    # property stringification: int-valued float, nested json, bool
+    assert a[1]["attrs"] == {"name": "a", "n": "3", "deep": '{"x":1}', "flag": "true"}
+    assert a[1]["kind"] == "polygon" and a[4]["kind"] == "point"
+
+
+def test_geojson_documents_elem_id_attr(spark, tmp_path):
+    from planetiler_openmaptiles_spark.sources import geojson as GJ
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    p = GJ.write_geojson(str(tmp_path / "lc.geojsonl"),
+                         [({"OSM_ID": "4242"}, "LINESTRING (7.1 43.1, 7.2 43.2)")])
+    docs = GJ.geojson_to_documents(spark, p, "lake_centerlines",
+                                   elem_id_attr="OSM_ID", keep_attrs=False)
+    feats = decode_documents(docs).collect()
+    assert len(feats) == 1
+    assert feats[0]["elem_id"] == 4242 and feats[0]["tags"] == {}
+
+
+def test_wikidata_names_json_both_shapes(spark, tmp_path):
+    from planetiler_openmaptiles_spark.sources import wikidata_names as WD
+
+    rows = [(f"Q{100 + i}", {"es": f"es{i}", "de": f"de{i}"}) for i in range(6)]
+    p = WD.write_wikidata_names(str(tmp_path / "wikidata_names.json"), rows)
+    # malformed trailing line must be skipped, not crash
+    with open(p, "a") as f:
+        f.write("{truncated\n")
+    out = WD.read_wikidata_names(spark, p).collect()
+    got = {(r["qid"], r["lang"]): r["name"] for r in out}
+    assert len(got) == 12
+    assert got[("Q101", "es")] == "es0".replace("0", "1")  # array-form line
+    assert got[("Q100", "de")] == "de0"  # object-form line
+
+
+def test_wikidata_json_override_joins_translations(spark, tmp_path, corpus_dir):
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import _build_context
+    from planetiler_openmaptiles_spark.sources import wikidata_names as WD
+
+    p = WD.write_wikidata_names(str(tmp_path / "wd.json"),
+                                [("Q1000", {"es": "Ciudad X"})])
+    ctx = _build_context(spark, corpus_dir, Config(wikidata_json=p))
+    try:
+        hit = ctx.features.filter(
+            F.element_at("tags", "name:es") == "Ciudad X").count()
+        assert hit > 0  # corpus has wikidata=Q1000 elements (datagen)
+    finally:
+        ctx.features.unpersist()
