@@ -998,6 +998,109 @@ def _q_natural_earth_roundtrip(spark, sf_dir):
     )
 
 
+def _geojson_fixture_count(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return max(24, _SF_DOCS.get(name, 4000) // 250)
+
+
+def _geojson_fixture(sf_dir: str) -> str:
+    """.geojsonl of K features cycling kind by index (polygon-with-hole /
+    linestring / point / multilinestring), dyadic coordinates → exact JSON
+    and WKT decimals."""
+    from planetiler_openmaptiles_spark.sources.geojson import write_geojson
+
+    k = _geojson_fixture_count(sf_dir)
+    path = os.path.join(GEN_ROOT, f"geojson_rt_k{k}_v1.geojsonl")
+    if os.path.exists(path):
+        return path
+    os.makedirs(GEN_ROOT, exist_ok=True)
+    recs = []
+    for i in range(k):
+        x = (i % 32) * 0.25 - 4.0
+        y = (i // 32) * 0.25 - 1.0
+        m = i % 4
+        if m == 0:
+            wkt = (f"POLYGON (({x} {y}, {x + 0.125} {y}, {x + 0.125} {y + 0.125}, "
+                   f"{x} {y + 0.125}, {x} {y}), "
+                   f"({x + 0.03125} {y + 0.03125}, {x + 0.09375} {y + 0.03125}, "
+                   f"{x + 0.09375} {y + 0.09375}, {x + 0.03125} {y + 0.09375}, "
+                   f"{x + 0.03125} {y + 0.03125}))")
+        elif m == 1:
+            wkt = (f"LINESTRING ({x} {y}, {x + 0.0625} {y + 0.125}, "
+                   f"{x + 0.125} {y + 0.0625}, {x + 0.1875} {y + 0.125})")
+        elif m == 2:
+            wkt = f"POINT ({x + 0.03125} {y + 0.0625})"
+        else:
+            wkt = (f"MULTILINESTRING (({x} {y}, {x + 0.0625} {y + 0.0625}), "
+                   f"({x + 0.125} {y}, {x + 0.1875} {y + 0.0625}))")
+        recs.append(({"name": f"g{i}", "k": str(m)}, wkt))
+    tmp = path + ".tmp"
+    write_geojson(tmp, recs)
+    os.replace(tmp, path)
+    return path
+
+
+def _q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON source connector, cross-engine: Spark parses the real
+    .geojsonl bytes distributed (line splits → Arrow-batched feature parse
+    → WKT → span encoding → decode); DuckDB regenerates the expected
+    structural table from the fixture's index arithmetic."""
+    from planetiler_openmaptiles_spark.sources.geojson import geojson_to_documents
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    path = _geojson_fixture(sf_dir)
+    feats = decode_documents(geojson_to_documents(spark, path, "water_polygons"))
+    return (
+        feats.select(
+            F.col("elem_id").alias("fid"),
+            F.col("geom_kind").alias("kind"),
+            *_wkt_struct_cols(feats),
+            F.element_at("tags", "name").alias("name"),
+            F.element_at("tags", "k").alias("k"),
+        )
+        .orderBy("fid")
+    )
+
+
+def _wd_fixture_count(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return max(30, _SF_DOCS.get(name, 4000) // 200)
+
+
+def _wd_fixture(sf_dir: str) -> str:
+    """wikidata_names.json of K entities; entity i carries 1 + i%5 language
+    labels; line shape alternates object/array (+name: prefixes)."""
+    from planetiler_openmaptiles_spark.sources.wikidata_names import (
+        write_wikidata_names,
+    )
+
+    k = _wd_fixture_count(sf_dir)
+    path = os.path.join(GEN_ROOT, f"wikidata_rt_k{k}_v1.json")
+    if os.path.exists(path):
+        return path
+    os.makedirs(GEN_ROOT, exist_ok=True)
+    langs = ["en", "es", "de", "fr", "ja"]
+    rows = [(f"Q{1000 + i}",
+             {l: f"n{i}_{l}" for l in langs[: 1 + i % 5]})
+            for i in range(k)]
+    tmp = path + ".tmp"
+    write_wikidata_names(tmp, rows, mixed_shapes=True)
+    os.replace(tmp, path)
+    return path
+
+
+def _q_wikidata_names_roundtrip(spark, sf_dir):
+    """Wikidata translation-cache connector, cross-engine: Spark parses
+    both JSON line shapes JVM-side (get_json_object/from_json); DuckDB
+    regenerates (qid, lang, name) from the fixture arithmetic."""
+    from planetiler_openmaptiles_spark.sources.wikidata_names import (
+        read_wikidata_names,
+    )
+
+    path = _wd_fixture(sf_dir)
+    return read_wikidata_names(spark, path).orderBy("qid", "lang")
+
+
 def _q_geo_poly_merge_counts(spark, sf_dir):
     """Cross-engine ABSOLUTE counts + areas for the geometric polygon
     merge kernels (P2 mergeOverlappingPolygons / P3 mergeNearbyPolygons,
@@ -2316,6 +2419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_mp_assembly": _q_osm_mp_assembly,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
         "natural_earth_roundtrip": _q_natural_earth_roundtrip,
+        "geojson_roundtrip": _q_geojson_roundtrip,
+        "wikidata_names_roundtrip": _q_wikidata_names_roundtrip,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_bounds": _q_geo_tiles_bounds,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
@@ -2653,6 +2758,40 @@ def oracle_sql() -> dict[str, str]:
                    'c' || (i % 5) AS cls
             FROM range({_shp_fixture_count('/x/' + ORACLE_SF)}) t(i)
             ORDER BY fid
+        """,
+        # GeoJSON connector replay: kinds cycle by index (polygon-with-hole
+        # / linestring / point / multilinestring); same structural metrics.
+        "geojson_roundtrip": f"""
+            SELECT CAST(i + 1 AS BIGINT) AS fid,
+                   CASE i % 4 WHEN 0 THEN 'polygon' WHEN 1 THEN 'linestring'
+                              WHEN 2 THEN 'point' ELSE 'linestring' END AS kind,
+                   CAST(CASE i % 4 WHEN 0 THEN 2 WHEN 3 THEN 2 ELSE 1 END AS BIGINT) AS n_rings,
+                   CAST(CASE i % 4 WHEN 0 THEN 10 WHEN 1 THEN 4
+                                   WHEN 2 THEN 1 ELSE 4 END AS BIGINT) AS n_vertices,
+                   CAST(round(((i % 32) * 0.25 - 4.0
+                        + CASE i % 4 WHEN 2 THEN 0.03125 ELSE 0 END) * 1000000) AS BIGINT) AS x_min_u,
+                   CAST(round(((i % 32) * 0.25 - 4.0
+                        + CASE i % 4 WHEN 0 THEN 0.125 WHEN 1 THEN 0.1875
+                                     WHEN 2 THEN 0.03125 ELSE 0.1875 END) * 1000000) AS BIGINT) AS x_max_u,
+                   CAST(round(((i // 32) * 0.25 - 1.0
+                        + CASE i % 4 WHEN 2 THEN 0.0625 ELSE 0 END) * 1000000) AS BIGINT) AS y_min_u,
+                   CAST(round(((i // 32) * 0.25 - 1.0
+                        + CASE i % 4 WHEN 0 THEN 0.125 WHEN 1 THEN 0.125
+                                     WHEN 2 THEN 0.0625 ELSE 0.0625 END) * 1000000) AS BIGINT) AS y_max_u,
+                   'g' || i AS name,
+                   CAST(i % 4 AS VARCHAR) AS k
+            FROM range({_geojson_fixture_count('/x/' + ORACLE_SF)}) t(i)
+            ORDER BY fid
+        """,
+        # Wikidata translation-cache replay: entity i has 1 + i%5 labels.
+        "wikidata_names_roundtrip": f"""
+            SELECT 'Q' || (1000 + i) AS qid,
+                   (['en','es','de','fr','ja'])[CAST(j + 1 AS INT)] AS lang,
+                   'n' || i || '_' || (['en','es','de','fr','ja'])[CAST(j + 1 AS INT)] AS name
+            FROM range({_wd_fixture_count('/x/' + ORACLE_SF)}) t(i)
+            CROSS JOIN range(5) s(j)
+            WHERE j < 1 + i % 5
+            ORDER BY qid, lang
         """,
         # NE sqlite connector replay: elem_id carries the 10^8 per-table
         # offset from the name-sorted catalog (ne_10m_test_pts first).
