@@ -112,8 +112,9 @@ def read_geojson(spark, path: str, partitions: int | None = None):
     from pyspark.sql import functions as F
 
     from ..geom.wkt import geom_kind, to_wkt
+    from .archive import materialize
 
-    lines_path = _as_lines_path(path)
+    lines_path = _as_lines_path(materialize(path))
     lines = spark.read.text(lines_path).select(
         F.col("value"), F.monotonically_increasing_id().alias("_ord"))
     if partitions:

@@ -104,8 +104,9 @@ def read_natural_earth_sqlite(spark, path: str, rows_per_split: int = 2000):
 
     from ..geom.wkb import decode_geometry_blob
     from ..geom.wkt import to_wkt
+    from .archive import materialize
 
-    path = os.path.abspath(path)
+    path = os.path.abspath(materialize(path, suffix=".sqlite"))
     cat = scan_ne_tables(path)
     schema = "table string, elem_id long, tags map<string,string>, geom_wkt string"
     splits = []
@@ -157,6 +158,9 @@ def natural_earth_to_documents(spark, path: str):
 
     from ..spans import reencode_spans
 
+    from .archive import materialize
+
+    path = materialize(path, suffix=".sqlite")
     df = read_natural_earth_sqlite(spark, path)
     bases = {t["table"]: (i + 1) * 100_000_000
              for i, t in enumerate(scan_ne_tables(path))}

@@ -327,7 +327,9 @@ def read_shapefile(spark, shp_path: str, partitions: int | None = None,
     the driver holding only the .shx index."""
     import pandas as pd
 
-    shp_path = os.path.abspath(shp_path)
+    from .archive import materialize
+
+    shp_path = os.path.abspath(materialize(shp_path, suffix=".shp"))
     idx = scan_shx_index(shp_path)
     epsg = read_prj_epsg(shp_path)
     n = len(idx)

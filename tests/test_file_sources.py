@@ -309,3 +309,27 @@ def test_wikidata_json_override_joins_translations(spark, tmp_path, corpus_dir):
         assert hit > 0  # corpus has wikidata=Q1000 elements (datagen)
     finally:
         ctx.features.unpersist()
+
+
+def test_zip_packaged_sources(spark, tmp_path):
+    """Reference artifact shapes: lake_centerline.shp.zip and
+    natural_earth_vector.sqlite.zip read directly (archive.materialize)."""
+    import zipfile
+
+    base = S.write_shapefile(str(tmp_path / "lake_centerline"),
+                             [({"OSM_ID": "9"}, "LINESTRING (0 0, 1 1)")], epsg=3857)
+    zp = tmp_path / "lake_centerline.shp.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        for ext in (".shp", ".shx", ".dbf", ".prj"):
+            zf.write(str(tmp_path / ("lake_centerline" + ext)), "lake_centerline" + ext)
+    rows = S.read_shapefile(spark, str(zp)).collect()
+    assert len(rows) == 1 and rows[0]["attrs"]["OSM_ID"] == "9"
+
+    ne = NE.write_natural_earth_sqlite(
+        str(tmp_path / "natural_earth_vector.sqlite"),
+        {"ne_10m_lakes": [({"ne_id": "5"}, "POINT (1 2)")]})
+    zp2 = tmp_path / "natural_earth_vector.sqlite.zip"
+    with zipfile.ZipFile(zp2, "w") as zf:
+        zf.write(ne, "natural_earth_vector.sqlite")
+    out = NE.read_natural_earth_sqlite(spark, str(zp2)).collect()
+    assert len(out) == 1 and out[0]["tags"]["ne_id"] == "5"
