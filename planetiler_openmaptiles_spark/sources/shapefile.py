@@ -168,14 +168,16 @@ def write_shapefile(base: str, records: list, epsg: int = 3857) -> str:
                 + struct.pack("<ii", 1000, stype_file)
                 + struct.pack("<4d", *bbox) + struct.pack("<4d", 0, 0, 0, 0))
 
-    # .shp + .shx
-    shp_body, shx_body = b"", b""
+    # .shp + .shx (list + join: += on bytes is quadratic over many records)
+    shp_parts, shx_parts = [], []
     offset_words = 50
     for i, content in enumerate(shp_recs):
         words = len(content) // 2
-        shp_body += struct.pack(">ii", i + 1, words) + content
-        shx_body += struct.pack(">ii", offset_words, words)
+        shp_parts.append(struct.pack(">ii", i + 1, words))
+        shp_parts.append(content)
+        shx_parts.append(struct.pack(">ii", offset_words, words))
         offset_words += 4 + words
+    shp_body, shx_body = b"".join(shp_parts), b"".join(shx_parts)
     with open(base + ".shp", "wb") as f:
         f.write(header((100 + len(shp_body)) // 2) + shp_body)
     with open(base + ".shx", "wb") as f:

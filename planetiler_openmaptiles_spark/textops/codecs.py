@@ -52,11 +52,13 @@ def sniff(content: bytes | None) -> str:
         return "jpeg"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
-DECODABLE_IMAGE = ("bmp", "pgm", "ppm")
-DECODABLE_AUDIO = ("wav",)
+DECODABLE_IMAGE = ("bmp", "pgm", "ppm", "png", "jpeg", "gif")
+DECODABLE_AUDIO = ("wav",)  # PCM 8/16-bit + G.711 u/A-law + IMA ADPCM
 
 # ---------------------------------------------------------------------------
 # BMP
@@ -490,3 +492,374 @@ def decode_avi(content: bytes) -> tuple[np.ndarray, int]:
     if not frames:
         raise ValueError("AVI contains no video frames")
     return np.stack(frames), fps or 1
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV (format 7 = mu-law, 6 = A-law) — ITU-T G.711 tables
+# built from the published closed forms, vectorized via 256-entry LUTs.
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    b = np.arange(256, dtype=np.int32) ^ 0xFF  # stored complemented
+    sign = (b & 0x80) != 0
+    e = (b >> 4) & 0x7
+    m = b & 0xF
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    # CCITT alaw2linear: seg 0 → (m<<4)+8, seg 1 → (m<<4)+0x108,
+    # seg e≥2 → ((m<<4)+0x108)<<(e-1); sign bit SET means positive
+    b = np.arange(256, dtype=np.int32) ^ 0x55
+    pos = (b & 0x80) != 0
+    e = (b >> 4) & 0x7
+    t = (b & 0xF) << 4
+    mag = np.where(e == 0, t + 8,
+                   (t + 0x108) << np.maximum(e - 1, 0))
+    return np.where(pos, mag, -mag).astype(np.int16)
+
+
+_ULAW_LUT = _ulaw_decode_table()
+_ALAW_LUT = _alaw_decode_table()
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → mu-law bytes (G.711, bias 0x84, clip 0x7F7B)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    e = (np.floor(np.log2(mag)) - 7).astype(np.int32)  # exponent: msb pos - 7
+    m = (mag >> (e + 3)) & 0xF
+    return ((sign | (e << 4) | m) ^ 0xFF).astype(np.uint8)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → A-law bytes (CCITT linear2alaw): 13-bit magnitude,
+    segment ends {0x1F,0x3F,...,0xFFF}, mantissa (mag>>1)&0xF for segments
+    0-1 else (mag>>seg)&0xF, XOR mask 0xD5 positive / 0x55 negative."""
+    x = np.asarray(samples, dtype=np.int32) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    bits = np.zeros_like(mag)
+    nz = mag > 0
+    bits[nz] = np.floor(np.log2(mag[nz])).astype(np.int32) + 1
+    seg = np.minimum(np.maximum(bits - 5, 0), 7)  # mag ≤ 0x1F → seg 0
+    m = np.where(seg < 2, (mag >> 1) & 0xF, (mag >> seg) & 0xF)
+    return (((seg << 4) | m) ^ mask).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV (format 0x11) — 4-bit DVI/IMA ADPCM, block-structured.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_block(data: bytes, n_samples: int) -> np.ndarray:
+    pred = struct.unpack_from("<h", data, 0)[0]
+    index = min(max(data[2], 0), 88)
+    out = np.empty(n_samples, dtype=np.int16)
+    out[0] = pred
+    nibbles = np.frombuffer(data, dtype=np.uint8, offset=4)
+    nib = np.empty(len(nibbles) * 2, dtype=np.uint8)
+    nib[0::2] = nibbles & 0xF
+    nib[1::2] = nibbles >> 4
+    for i in range(1, n_samples):
+        n = int(nib[i - 1])
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[n & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_block(samples: np.ndarray, index: int) -> tuple[bytes, int]:
+    pred = int(samples[0])
+    header = struct.pack("<hBB", pred, index, 0)
+    nibs = []
+    for s in samples[1:]:
+        step = int(_IMA_STEPS[index])
+        delta = int(s) - pred
+        n = 8 if delta < 0 else 0
+        delta = abs(delta)
+        diff = step >> 3
+        if delta >= step:
+            n |= 4
+            delta -= step
+            diff += step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+            diff += step >> 1
+        if delta >= step >> 2:
+            n |= 1
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[n & 7])))
+        nibs.append(n)
+    if len(nibs) % 2:
+        nibs.append(0)
+    packed = bytes((nibs[i] | (nibs[i + 1] << 4)) for i in range(0, len(nibs), 2))
+    return header + packed, index
+
+
+def encode_wav_compressed(samples: np.ndarray, sample_rate: int,
+                          codec: str = "ulaw") -> bytes:
+    """Mono int16 PCM → compressed RIFF/WAVE ('ulaw' | 'alaw' | 'ima_adpcm')."""
+    x = np.ascontiguousarray(samples, dtype=np.int16).reshape(-1)
+    if codec in ("ulaw", "alaw"):
+        fmt_code = 7 if codec == "ulaw" else 6
+        data = (ulaw_encode if codec == "ulaw" else alaw_encode)(x).tobytes()
+        fmt = struct.pack("<HHIIHHH", fmt_code, 1, sample_rate, sample_rate, 1, 8, 0)
+    elif codec == "ima_adpcm":
+        spb = 505  # samples per 256-byte block (mono)
+        blocks, index = [], 0
+        for i in range(0, len(x), spb):
+            chunk = x[i : i + spb]
+            block, index = _ima_encode_block(chunk, index)
+            blocks.append(block)
+        data = b"".join(blocks)
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                          sample_rate * 256 // spb, 256, 4, 2, spb)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(x))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_any(content: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (float32 (n, ch) in [-1,1], rate). PCM 8/16-bit plus
+    G.711 mu-law/A-law (formats 7/6) and mono IMA ADPCM (format 0x11)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt_raw, data, n_fact = 12, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_raw = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and size >= 4:
+            n_fact = struct.unpack_from("<I", body, 0)[0]
+        pos += 8 + size + (size & 1)
+    if fmt_raw is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt_raw, 0)
+    if audio_format == 1:
+        return decode_wav(content)
+    if audio_format in (6, 7):
+        lut = _ULAW_LUT if audio_format == 7 else _ALAW_LUT
+        x = lut[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
+        n = len(x) // ch
+        return x[: n * ch].reshape(n, ch), rate
+    if audio_format == 0x11:
+        if ch != 1:
+            raise ValueError("only mono IMA ADPCM supported")
+        spb = struct.unpack_from("<H", fmt_raw, 18)[0] if len(fmt_raw) >= 20 else 505
+        total = n_fact
+        chunks = []
+        for off in range(0, len(data), block_align):
+            block = data[off : off + block_align]
+            if len(block) < 4:
+                break
+            n = min(spb, (total - sum(len(c) for c in chunks))
+                    if total is not None else spb)
+            chunks.append(_ima_decode_block(block, n))
+        x = np.concatenate(chunks).astype(np.float32) / 32768.0
+        if total is not None:
+            x = x[:total]
+        return x.reshape(-1, 1), rate
+    raise ValueError(f"WAV format {audio_format} not supported")
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): palette images, LZW-compressed — real decompression, both
+# interlaced and sequential row order; first frame of animations.
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    buf = int.from_bytes(data, "little")
+    nbits, pos = len(data) * 8, 0
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + code_size <= nbits:
+        code = (buf >> pos) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            table = table[: clear + 2]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, size)
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    out_bits.append((clear, code_size))
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], code_size))
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            out_bits.append((clear, code_size))
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = clear + 2
+        w = bytes([b])
+    if w:
+        out_bits.append((table[w], code_size))
+    out_bits.append((end, code_size))
+    acc, nacc, raw = 0, 0, bytearray()
+    for code, size in out_bits:
+        acc |= code << nacc
+        nacc += size
+        while nacc >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        raw.append(acc & 0xFF)
+    return bytes(raw)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w) uint8 grayscale or (h, w, 3) RGB with ≤256 distinct colors →
+    GIF89a bytes (real LZW compression)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    pal_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate([np.arange(s, h, step)
+                                for s, step in _GIF_INTERLACE_PASSES])
+        idx = idx[order]
+    min_code = max(2, pal_bits)
+    lzw = _lzw_encode(idx.reshape(-1).tobytes(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """GIF87a/89a → (h, w, 3) uint8 RGB (first image; interlace handled;
+    transparency ignored — the opaque palette color renders)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _, _ = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x7)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x7)
+                pal = np.frombuffer(content, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image without color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = np.frombuffer(bytes(_lzw_decode(bytes(data), min_code)),
+                                    dtype=np.uint8)[: iw * ih].reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: invert the pass permutation
+                order = np.concatenate([np.arange(s, ih, step)
+                                        for s, step in _GIF_INTERLACE_PASSES])
+                de = np.empty_like(indices)
+                de[order] = indices
+                indices = de
+            canvas = np.zeros((h, w, 3), dtype=np.uint8)
+            canvas[top : top + ih, left : left + iw] = pal[indices]
+            return canvas
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image")

@@ -80,6 +80,8 @@ def _decode_image(content: bytes, strict: bool) -> np.ndarray | None:
         return codecs.decode_netpbm(content)
     if fmt == "png":
         return codecs.decode_png(content)
+    if fmt == "gif":
+        return codecs.decode_gif(content)
     if fmt == "jpeg":
         from . import jpeg
 
@@ -87,7 +89,7 @@ def _decode_image(content: bytes, strict: bool) -> np.ndarray | None:
     if strict:
         raise NotImplementedError(
             f"image decode for format {fmt!r} is not supported"
-            " (BMP/PGM/PPM/PNG/baseline-JPEG decode natively)"
+            " (BMP/PGM/PPM/PNG/GIF/baseline-JPEG decode natively)"
         )
     return _fake_decode_image(content)
 
@@ -171,9 +173,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 def decode_audio(media: DataFrame, strict: bool = False) -> DataFrame:
     """audio bytes → (sample_rate, channels, n_samples, duration, rms, zcr)
-    via mapInPandas. RIFF-PCM WAV is decoded for real (codecs.decode_wav);
-    compressed audio (MP3/AAC) raises in strict mode, else yields a
-    deterministic fake row derived from the byte hash (marked)."""
+    via mapInPandas. RIFF WAV decodes for real across PCM 8/16-bit,
+    G.711 mu-law/A-law and mono IMA ADPCM (codecs.decode_wav_any);
+    MP3/AAC raise in strict mode, else yield a deterministic fake row
+    derived from the byte hash (marked)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,7 +185,9 @@ def decode_audio(media: DataFrame, strict: bool = False) -> DataFrame:
                 if r.kind != "audio":
                     continue
                 if codecs.sniff(r.content) == "wav":
-                    x, rate = codecs.decode_wav(r.content)
+                    # decode_wav_any covers PCM 8/16-bit plus the real
+                    # compressed-WAV codecs (G.711 mu-law/A-law, IMA ADPCM)
+                    x, rate = codecs.decode_wav_any(r.content)
                     mono = x.mean(axis=1)
                     rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
                     zcr = (

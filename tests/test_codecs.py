@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from planetiler_openmaptiles_spark.textops import codecs
+from planetiler_openmaptiles_spark.textops import codecs as C
 
 
 def _rng():
@@ -248,3 +249,94 @@ def test_avi_mjpeg_roundtrip_and_errors():
     assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 12
     with pytest.raises(ValueError):
         codecs.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+# ---------------------------------------------------------------- G.711
+
+
+def test_g711_canonical_values():
+    # CCITT reference identities: silence and full-scale bytes
+    assert C.alaw_encode(np.array([0]))[0] == 0xD5
+    assert C.ulaw_encode(np.array([0]))[0] == 0xFF
+    assert C._ALAW_LUT[C.alaw_encode(np.array([32000]))[0]] == 32256
+    assert C._ALAW_LUT[C.alaw_encode(np.array([-32000]))[0]] == -32256
+    # decode tables are odd-symmetric around the sign bit
+    assert C._ULAW_LUT[0x7F] == -C._ULAW_LUT[0xFF]
+
+
+def test_g711_companding_error_bound():
+    rng = np.random.RandomState(11)
+    x = (rng.randn(50000) * 9000).clip(-32768, 32767).astype(np.int16)
+    for enc, lut in ((C.ulaw_encode, C._ULAW_LUT), (C.alaw_encode, C._ALAW_LUT)):
+        y = lut[enc(x)].astype(np.int32)
+        rel = np.abs(y - x.astype(np.int32)) / np.maximum(np.abs(x.astype(np.int32)), 256)
+        assert rel.max() < 0.07, (enc.__name__, rel.max())  # 4-bit mantissa floor
+
+
+def test_compressed_wav_decode_all_codecs():
+    t = np.arange(4000)
+    sine = (9000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    ref = sine.astype(np.float32) / 32768.0
+    for codec, min_snr in (("ulaw", 30.0), ("alaw", 30.0), ("ima_adpcm", 20.0)):
+        wav = C.encode_wav_compressed(sine, 8000, codec)
+        assert C.sniff(wav) == "wav"
+        x, rate = C.decode_wav_any(wav)
+        assert rate == 8000 and x.shape == (4000, 1)
+        err = x[:, 0] - ref
+        snr = 10 * np.log10(np.mean(ref**2) / np.mean(err**2))
+        assert snr > min_snr, (codec, snr)
+    # plain PCM still routes through decode_wav_any
+    pcm = C.encode_wav(sine, 8000)
+    x, rate = C.decode_wav_any(pcm)
+    assert np.allclose(x[:, 0], ref, atol=1 / 32768)
+
+
+def test_ima_adpcm_block_boundaries():
+    # length that spans multiple 505-sample blocks with a ragged tail
+    n = 505 * 3 + 123
+    x = (6000 * np.sin(np.linspace(0, 40, n))).astype(np.int16)
+    out, _ = C.decode_wav_any(C.encode_wav_compressed(x, 16000, "ima_adpcm"))
+    assert out.shape[0] == n  # fact-chunk count trims the padded tail
+
+
+# ------------------------------------------------------------------ GIF
+
+
+def test_gif_hand_vector_2x1():
+    """Hand-built GIF (spec layout): 2x1, 2-color palette, LZW stream
+    [clear, 0, 1, end] at 3-bit codes = bits 100 000 001 101 LSB-first."""
+    lzw = bytes([0x44, 0x0A])
+    raw = (b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+           + bytes([10, 20, 30, 200, 210, 220])
+           + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+           + bytes([2, len(lzw)]) + lzw + b"\x00\x3b")
+    img = C.decode_gif(raw)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[0, 1].tolist() == [200, 210, 220]
+
+
+def test_gif_roundtrip_gray_rgb_interlaced():
+    rng = np.random.RandomState(3)
+    gray = (rng.randint(0, 7, (41, 29)) * 36).astype(np.uint8)
+    for il in (False, True):
+        back = C.decode_gif(C.encode_gif(gray, interlace=il))
+        assert np.array_equal(back[:, :, 0], gray)
+        assert np.array_equal(back[:, :, 1], gray)
+    rgb = (rng.randint(0, 6, (23, 17, 3)) * 40).astype(np.uint8)
+    assert np.array_equal(C.decode_gif(C.encode_gif(rgb)), rgb)
+
+
+def test_gif_dictionary_growth_and_reset():
+    # enough repeated structure to grow the LZW table past one code-size
+    # bump; a wide gradient forces many distinct entries
+    img = np.tile(np.arange(256, dtype=np.uint8), (8, 4))
+    back = C.decode_gif(C.encode_gif(img))
+    assert np.array_equal(back[:, :, 0], img)
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError):
+        C.decode_gif(b"NOTAGIF" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        C.decode_gif(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")
