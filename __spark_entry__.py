@@ -596,6 +596,54 @@ def _q_media_decode(spark, sf_dir):
     return imgs.join(auds, "doc_id").orderBy("doc_id")
 
 
+def _q_media_g711(spark, sf_dir):
+    """REAL compressed-AUDIO decode, independently verifiable: per document,
+    synthesize a constant-amplitude WAV (A = d%16000, n = 200+d%100 samples)
+    compressed with the codec d%3 selects (G.711 mu-law / A-law / IMA
+    ADPCM), decode the real bytes through the distributed strict-mode
+    operator, and report rms in raw int16 units. DuckDB replays BOTH sides
+    of the companding arithmetic (encode segment/mantissa bit math, decode
+    expansion) in pure SQL; for ADPCM a constant signal round-trips exactly
+    (zero deltas, step floor 7>>3=0), so rms_amp = A. Any defect in the
+    G.711 tables, WAV chunk walk, fact-chunk trim or block decode breaks
+    the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, decode_audio)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 1500)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sig = np.full(200 + d % 100, d % 16000, dtype=np.int16)
+                codec = ("ulaw", "alaw", "ima_adpcm")[d % 3]
+                rows.append((f"aud{d}", str(d), "audio",
+                             codecs.encode_wav_compressed(sig, 8000, codec), None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    return (
+        decode_audio(media, strict=True)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "sample_rate",
+            "n_samples",
+            F.round(F.col("rms") * 32768.0).cast("int").alias("rms_amp"),
+            F.round(F.col("zero_cross_rate") * 1000.0).cast("int").alias("zcr_m"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_media_compressed(spark, sf_dir):
     """REAL compressed-media decode, independently verifiable: per document,
     synthesize a baseline JPEG (flat gray — the DC quant step at q90 is 3,
@@ -2414,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dedup": _q_media_phash_dedup,
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
+        "media_g711_roundtrip": _q_media_g711,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
         "osm_mp_assembly": _q_osm_mp_assembly,
@@ -2996,6 +3045,48 @@ def oracle_sql() -> dict[str, str]:
               CAST(4 + doc_id % 5 AS INT) AS frame_h,
               CAST((doc_id * 7) % 256 AS INT) AS frame0_gray
             FROM documents WHERE doc_id < 1500 ORDER BY doc_id
+        """,
+        "media_g711_roundtrip": """
+            -- full SQL replay of the G.711 companding round trip over the
+            -- fixture's constant-amplitude signals (A = d%16000):
+            -- mu-law: mag=A+132, e=floor(log2(mag))-7, m=(mag>>(e+3))&15,
+            --         decode ((m*8+132)<<e)-132 (CCITT ulaw tables);
+            -- A-law:  13-bit x=A>>3, seg from the highest set bit
+            --         (<=0x1F -> 0), mantissa (x>>1)&15 for segs 0-1 else
+            --         (x>>seg)&15, decode m*16+8 / m*16+264 (<<seg-1);
+            -- ADPCM:  constant signal round-trips exactly -> A.
+            WITH p AS (
+              SELECT doc_id, doc_id % 16000 AS a FROM documents
+              WHERE doc_id < 1500),
+            ulaw AS (
+              SELECT doc_id,
+                ((((( (a+132) >> (CAST(floor(log2(a+132)) AS INT)-7+3) ) & 15)
+                   * 8 + 132) << (CAST(floor(log2(a+132)) AS INT)-7)) - 132) AS v
+              FROM p),
+            alaw AS (
+              SELECT doc_id, seg, m,
+                CASE WHEN seg = 0 THEN m*16 + 8
+                     WHEN seg = 1 THEN m*16 + 264
+                     ELSE (m*16 + 264) << (seg - 1) END AS v
+              FROM (
+                SELECT doc_id, seg,
+                  CASE WHEN seg < 2 THEN (x >> 1) & 15
+                       ELSE (x >> seg) & 15 END AS m
+                FROM (
+                  SELECT doc_id, x,
+                    LEAST(GREATEST(CASE WHEN x = 0 THEN 0
+                      ELSE CAST(floor(log2(x)) AS INT) + 1 END - 5, 0), 7) AS seg
+                  FROM (SELECT doc_id, a >> 3 AS x FROM p) t1) t2) t3)
+            SELECT p.doc_id,
+              CAST(8000 AS INT) AS sample_rate,
+              CAST(200 + p.doc_id % 100 AS INT) AS n_samples,
+              CAST(CASE p.doc_id % 3
+                WHEN 0 THEN ulaw.v
+                WHEN 1 THEN alaw.v
+                ELSE p.a END AS INT) AS rms_amp,
+              CAST(0 AS INT) AS zcr_m
+            FROM p JOIN ulaw USING (doc_id) JOIN alaw USING (doc_id)
+            ORDER BY p.doc_id
         """,
         "text_tokens": r"""
             SELECT doc_id,
