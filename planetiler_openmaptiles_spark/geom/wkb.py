@@ -151,12 +151,19 @@ def decode_geometry_blob(buf: bytes):
             return None
         g, _ = decode_wkb(buf, 8 + env)
         return g
-    if len(buf) > 44 and buf[0] == 0x00 and buf[38] == 0x7C:
+    # SpatiaLite detection must not trip on big-endian plain WKB (whose
+    # first byte is also 0x00): beyond the 0x7C MBR marker, require the
+    # endian byte, the 0xFE terminator, AND that the SpatiaLite parse
+    # consumes the blob exactly; any mismatch falls back to plain WKB
+    if (len(buf) > 44 and buf[0] == 0x00 and buf[1] in (0, 1)
+            and buf[38] == 0x7C and buf[-1] == 0xFE):
         lt = "<" if buf[1] == 1 else ">"
-        if buf[-1] != 0xFE:
-            raise ValueError("missing SpatiaLite terminator")
-        g, _ = _decode_spatialite_body(buf, 39, lt)
-        return g
+        try:
+            g, end = _decode_spatialite_body(buf, 39, lt)
+            if end == len(buf) - 1:
+                return g
+        except (ValueError, struct.error, IndexError):
+            pass
     g, _ = decode_wkb(buf)
     return g
 

@@ -297,6 +297,10 @@ def _build_context(spark: SparkSession, corpus_dir: str, config: Config) -> Laye
     # through the document stream (ctx.source dispatch), so each override
     # swaps that source's document rows wholesale.
     cfg0 = config or Config()
+    if cfg0.lake_centerline_shp and cfg0.lake_centerline_geojson:
+        raise ValueError(
+            "lake_centerline_shp and lake_centerline_geojson are mutually"
+            " exclusive — both would double every centerline document")
     if cfg0.water_shp:
         from .sources.shapefile import shapefile_to_documents
 

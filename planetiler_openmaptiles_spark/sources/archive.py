@@ -23,19 +23,30 @@ def materialize(path: str, suffix: str | None = None) -> str:
     """If `path` is a .zip, extract it (once, cached by path+size+mtime)
     and return the extracted member matching `suffix` (default: inferred
     from the archive name, e.g. lake_centerline.shp.zip → .shp); otherwise
-    return `path` unchanged."""
+    return `path` unchanged.
+
+    Cache placement: a sibling directory of the archive when its parent is
+    writable — on a cluster the archive lives on shared storage, so the
+    extracted files are visible to every executor exactly like the archive
+    itself; the local temp dir is the fallback (read-only media,
+    single-node runs). Concurrency: extraction goes into a pid-unique tmp
+    dir containing the .extracted marker, then one atomic rename publishes
+    it; losers of the rename race discard their tmp. A published cache dir
+    is never deleted."""
     if not path.lower().endswith(".zip"):
         return path
+    import shutil
+
     st = os.stat(path)
     key = hashlib.sha256(
         f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
-    out_dir = os.path.join(tempfile.gettempdir(), f"omt_src_{key}")
+    parent = os.path.dirname(os.path.abspath(path))
+    base = parent if os.access(parent, os.W_OK) else tempfile.gettempdir()
+    out_dir = os.path.join(base, f".omt_src_{key}")
     done = os.path.join(out_dir, ".extracted")
     if not os.path.exists(done):
-        import shutil
-
-        tmp_dir = out_dir + ".tmp"
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         with zipfile.ZipFile(path) as zf:
             # refuse path traversal; flatten nothing else
@@ -44,10 +55,21 @@ def materialize(path: str, suffix: str | None = None) -> str:
                 if name.startswith("/") or ".." in name.split("/"):
                     raise ValueError(f"unsafe zip member path: {name!r}")
             zf.extractall(tmp_dir)
-        shutil.rmtree(out_dir, ignore_errors=True)  # stale partial extract
-        os.replace(tmp_dir, out_dir)
-        with open(done, "w") as f:
+        # marker INSIDE tmp before publish: out_dir is complete whenever
+        # it is visible at all
+        with open(os.path.join(tmp_dir, ".extracted"), "w") as f:
             f.write(path)
+        try:
+            os.replace(tmp_dir, out_dir)
+        except OSError:
+            # another process published first (or a stale partial dir
+            # without a marker blocks the rename) — use theirs if
+            # complete, else adopt ours under the unique tmp name
+            if not os.path.exists(done):
+                out_dir = tmp_dir
+                done = os.path.join(out_dir, ".extracted")
+            else:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
     if suffix is None:
         stem = os.path.basename(path)[: -len(".zip")]
         suffix = os.path.splitext(stem)[1] or None

@@ -22,6 +22,7 @@ values stringify into the tags map (nested values as compact JSON).
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -62,7 +63,8 @@ def _props_to_tags(props) -> dict:
             out[str(k)] = "true" if v else "false"
         elif isinstance(v, (dict, list)):
             out[str(k)] = json.dumps(v, sort_keys=True, separators=(",", ":"))
-        elif isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        elif (isinstance(v, float) and math.isfinite(v)
+              and abs(v) < 1e15 and v == int(v)):
             out[str(k)] = str(int(v))  # 3.0 → "3": match typed-tag coercion
         else:
             out[str(k)] = str(v)
@@ -160,11 +162,13 @@ def geojson_to_documents(spark, path: str, source: str,
 
     df = read_geojson(spark, path, partitions)
     if elem_id_attr:
+        # cast each branch BEFORE coalescing: a non-numeric attr value
+        # must fall through to the fid, not become a NULL elem_id
         elem_id = F.coalesce(
-            F.element_at("attrs", elem_id_attr),
-            F.element_at("attrs", elem_id_attr.lower()),
-            F.col("fid").cast("string"),
-        ).cast("long")
+            F.element_at("attrs", elem_id_attr).cast("long"),
+            F.element_at("attrs", elem_id_attr.lower()).cast("long"),
+            F.col("fid"),
+        )
     else:
         elem_id = F.col("fid")
     feat = df.select(

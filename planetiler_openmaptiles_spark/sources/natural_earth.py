@@ -97,9 +97,12 @@ def scan_ne_tables(path: str) -> list[dict]:
         con.close()
 
 
-def read_natural_earth_sqlite(spark, path: str, rows_per_split: int = 2000):
+def read_natural_earth_sqlite(spark, path: str, rows_per_split: int = 2000,
+                              catalog: list[dict] | None = None):
     """NE sqlite → DataFrame(table string, elem_id long, tags
-    map<string,string>, geom_wkt string), geometry in lon/lat WKT."""
+    map<string,string>, geom_wkt string), geometry in lon/lat WKT.
+    `catalog` skips the driver-side table probe when the caller already
+    ran scan_ne_tables (natural_earth_to_documents does)."""
     import pandas as pd
 
     from ..geom.wkb import decode_geometry_blob
@@ -107,7 +110,7 @@ def read_natural_earth_sqlite(spark, path: str, rows_per_split: int = 2000):
     from .archive import materialize
 
     path = os.path.abspath(materialize(path, suffix=".sqlite"))
-    cat = scan_ne_tables(path)
+    cat = catalog if catalog is not None else scan_ne_tables(path)
     schema = "table string, elem_id long, tags map<string,string>, geom_wkt string"
     splits = []
     meta = {t["table"]: t for t in cat}
@@ -161,9 +164,10 @@ def natural_earth_to_documents(spark, path: str):
     from .archive import materialize
 
     path = materialize(path, suffix=".sqlite")
-    df = read_natural_earth_sqlite(spark, path)
+    cat = scan_ne_tables(path)  # one probe, shared with the reader
+    df = read_natural_earth_sqlite(spark, path, catalog=cat)
     bases = {t["table"]: (i + 1) * 100_000_000
-             for i, t in enumerate(scan_ne_tables(path))}
+             for i, t in enumerate(cat)}
     base_map = F.create_map(
         *[F.lit(v) for kv in bases.items() for v in kv]).cast("map<string,long>")
     feat = df.select(

@@ -429,11 +429,13 @@ def shapefile_to_documents(spark, shp_path: str, source: str,
 
     df = read_shapefile(spark, shp_path, partitions)
     if elem_id_attr:
+        # cast each branch BEFORE coalescing: a non-numeric attr value
+        # must fall through to the fid, not become a NULL elem_id
         elem_id = F.coalesce(
-            F.element_at("attrs", elem_id_attr),
-            F.element_at("attrs", elem_id_attr.lower()),
-            F.col("fid").cast("string"),
-        ).cast("long")
+            F.element_at("attrs", elem_id_attr).cast("long"),
+            F.element_at("attrs", elem_id_attr.lower()).cast("long"),
+            F.col("fid"),
+        )
     else:
         elem_id = F.col("fid")
     feat = df.select(

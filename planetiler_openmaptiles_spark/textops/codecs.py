@@ -677,14 +677,20 @@ def decode_wav_any(content: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("only mono IMA ADPCM supported")
         spb = struct.unpack_from("<H", fmt_raw, 18)[0] if len(fmt_raw) >= 20 else 505
         total = n_fact
-        chunks = []
+        chunks, decoded = [], 0
         for off in range(0, len(data), block_align):
             block = data[off : off + block_align]
             if len(block) < 4:
                 break
-            n = min(spb, (total - sum(len(c) for c in chunks))
-                    if total is not None else spb)
+            # a short/partial block (or an overstated fact count) carries
+            # only (len-4)*2 nibbles + the header sample
+            n = min(spb, (len(block) - 4) * 2 + 1)
+            if total is not None:
+                n = min(n, total - decoded)
+            if n <= 0:
+                break
             chunks.append(_ima_decode_block(block, n))
+            decoded += n
         x = np.concatenate(chunks).astype(np.float32) / 32768.0
         if total is not None:
             x = x[:total]
@@ -701,13 +707,21 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     table = [bytes([i]) for i in range(clear)] + [b"", b""]
     code_size = min_code_size + 1
-    buf = int.from_bytes(data, "little")
-    nbits, pos = len(data) * 8, 0
+    # byte-wise accumulator: a whole-stream bignum shifted per code is
+    # O(n^2) in stream length (minutes for a megapixel GIF)
+    acc, nacc, bytepos, nbytes = 0, 0, 0, len(data)
     out = bytearray()
     prev: bytes | None = None
-    while pos + code_size <= nbits:
-        code = (buf >> pos) & ((1 << code_size) - 1)
-        pos += code_size
+    while True:
+        while nacc < code_size and bytepos < nbytes:
+            acc |= data[bytepos] << nacc
+            nacc += 8
+            bytepos += 1
+        if nacc < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nacc -= code_size
         if code == clear:
             table = table[: clear + 2]
             code_size = min_code_size + 1

@@ -340,3 +340,32 @@ def test_gif_rejects_garbage():
         C.decode_gif(b"NOTAGIF" + b"\x00" * 32)
     with pytest.raises(ValueError):
         C.decode_gif(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")
+
+
+def test_gif_decode_large_is_linear():
+    """The LZW bit reader must be byte-wise (a whole-stream bignum shift
+    is O(n^2): 512x512 took ~2 s before the fix)."""
+    import time
+
+    img = (np.indices((512, 512)).sum(axis=0) % 5 * 50).astype(np.uint8)
+    blob = C.encode_gif(img)
+    t0 = time.time()
+    back = C.decode_gif(blob)
+    assert time.time() - t0 < 1.0
+    assert np.array_equal(back[:, :, 0], img)
+
+
+def test_ima_adpcm_without_fact_chunk():
+    """Real-world IMA writers omit fact; a partial last block must derive
+    its sample count from the block length, not crash."""
+    x = (3000 * np.sin(np.linspace(0, 20, 628))).astype(np.int16)
+    wav = C.encode_wav_compressed(x, 8000, "ima_adpcm")
+    # strip the fact chunk (8-byte header + 4-byte count)
+    i = wav.find(b"fact")
+    stripped = wav[:i] + wav[i + 12:]
+    stripped = stripped[:4] + struct.pack("<I", len(stripped) - 8) + stripped[8:]
+    out, rate = C.decode_wav_any(stripped)
+    assert rate == 8000
+    # without fact the ragged tail keeps its nibble padding (<=1 extra)
+    assert 628 <= out.shape[0] <= 629
+    assert np.allclose(out[:628, 0], x / 32768.0, atol=0.15)

@@ -397,3 +397,57 @@ def test_reference_workflow_all_real_sources(spark, tmp_path):
         assert named_water > 0  # lake + centerline flowed through water_name
     finally:
         tiles.unpersist()
+
+
+# ----------------------------------------------------- review regressions
+
+
+def test_geojson_nonfinite_properties(spark, tmp_path):
+    """json.loads accepts Infinity/NaN tokens; they must stringify, not
+    crash the executor task."""
+    p = str(tmp_path / "inf.geojsonl")
+    with open(p, "w") as f:
+        f.write('{"type":"Feature","id":1,"geometry":{"type":"Point",'
+                '"coordinates":[1,2]},"properties":{"depth":Infinity,'
+                '"q":NaN,"ok":3.0}}\n')
+    from planetiler_openmaptiles_spark.sources import geojson as GJ
+
+    rows = GJ.read_geojson(spark, p).collect()
+    assert rows[0]["attrs"]["ok"] == "3"
+    assert rows[0]["attrs"]["depth"] == "inf"
+
+
+def test_elem_id_attr_nonnumeric_falls_back_to_fid(spark, tmp_path):
+    p = S.write_shapefile(str(tmp_path / "bad_ids"),
+                          [({"OSM_ID": "n123"}, "LINESTRING (0 0, 1 1)"),
+                           ({"OSM_ID": "77"}, "LINESTRING (2 2, 3 3)")],
+                          epsg=4326)
+    docs = S.shapefile_to_documents(spark, p, "lake_centerlines",
+                                    elem_id_attr="OSM_ID")
+    from planetiler_openmaptiles_spark.spans import decode_documents
+
+    got = {r["elem_id"] for r in decode_documents(docs).collect()}
+    assert got == {1, 77}  # non-numeric attr -> fid, numeric attr kept
+
+
+def test_lake_centerline_sources_mutually_exclusive(spark, tmp_path, corpus_dir):
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import _build_context
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _build_context(spark, corpus_dir, Config(
+            lake_centerline_shp="a.shp", lake_centerline_geojson="b.geojson"))
+
+
+def test_wkb_big_endian_not_misread_as_spatialite():
+    """A BE WKB blob starting 0x00 whose byte 38 collides with 0x7C and
+    whose last byte collides with 0xFE must still decode as WKB (the
+    SpatiaLite parse cannot consume it exactly)."""
+    # BE linestring with crafted coordinate bytes
+    pts = np.array([[1.5, 2.5], [3.25, 4.75], [5.0, 6.0]])
+    blob = bytearray(struct.pack(">BII", 0, 2, 3) + pts.astype(">f8").tobytes())
+    # force the collision bytes inside coordinate mantissas (keeps doubles finite)
+    blob[38] = 0x7C
+    blob[-1] = 0xFE
+    g = W.decode_geometry_blob(bytes(blob))
+    assert g[0] == "LineString" and g[1].shape == (3, 2)
