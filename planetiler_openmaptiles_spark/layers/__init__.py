@@ -97,6 +97,13 @@ class Config:
     # persisted wikidata fetch cache (OpenMapTilesMain.java:34-35
     # wikidata_names.json) replacing the corpus wikidata side table
     wikidata_json: "str | None" = None
+    # mid-zoom resume (north-rule checkpoint granularity): when set AND a
+    # checkpoint dir is active, the tile finalize/reduce phase runs as one
+    # checkpoint stage per inclusive zoom band, e.g. ((0,12),(13,13),
+    # (14,14)) — a kill during the z14 reduce resumes with z0-13 already
+    # on disk. Bands must cover 0..max_zoom disjointly. () = single-pass
+    # finalize (the default; fewer exchanges, no mid-phase resume).
+    finalize_zoom_bands: tuple = ()
 
     def active_layers(self) -> list[str]:
         names = [l for l in LAYER_MODULES if not self.only_layers or l in self.only_layers]

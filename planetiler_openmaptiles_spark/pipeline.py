@@ -485,6 +485,37 @@ def build_tiles(
         size_hint = int(sz // (256 * 1024))
     except OSError:
         size_hint = 0
+    bands = tuple(config.finalize_zoom_bands or ())
+    if checkpoint_dir and bands:
+        # mid-zoom resume: one finalize checkpoint stage per zoom band.
+        # The reduce is zoom-separable (every window/groupBy key starts
+        # with z), so band outputs are exactly the single-pass rows split
+        # by z — parity-tested in test_e2e_pipeline. Total shuffled bytes
+        # match the single pass; the extra cost is per-stage fixed
+        # overhead plus writing the finalized table once before the sink,
+        # which is the price of not re-running an hours-long reduce after
+        # a mid-phase kill at 100 TB.
+        covered = sorted(z for lo, hi in bands for z in range(lo, hi + 1))
+        if covered != list(range(config.max_zoom + 1)):
+            raise ValueError(
+                f"finalize_zoom_bands {bands!r} must cover 0..{config.max_zoom}"
+                " disjointly")
+        from .tiling.postprocess import release_finalize_cache
+
+        parts = []
+        for lo, hi in bands:
+            parts.append(cp.stage(
+                f"tiles_z{lo}_{hi}", fp,
+                lambda lo=lo, hi=hi: finalize_tiles(
+                    tile_feats.filter(F.col("z").between(lo, hi)),
+                    size_hint=size_hint),
+                spark, lineage=["tile_features"],
+            ))
+        release_finalize_cache(spark)  # last band's ranked-table cache
+        tiles = parts[0]
+        for p in parts[1:]:
+            tiles = tiles.unionByName(p)
+        return tiles
     tiles = finalize_tiles(tile_feats, size_hint=size_hint)
     return tiles
 
@@ -776,6 +807,10 @@ def main(argv=None):
     ap.add_argument("--wikidata", default=None,
                     help="persisted wikidata_names.json translation cache"
                          " replacing the corpus wikidata side table")
+    ap.add_argument("--finalize-bands", default=None,
+                    help="comma list of inclusive zoom bands (e.g."
+                         " '0-12,13,14') — checkpoint the tile reduce per"
+                         " band for mid-zoom resume; needs --checkpoints")
     ap.add_argument("--natural-earth", default=None,
                     help="natural_earth_vector.sqlite replacing the"
                          " natural_earth side table")
@@ -819,6 +854,10 @@ def main(argv=None):
         lake_centerline_geojson=args.lake_centerline_geojson,
         natural_earth_sqlite=args.natural_earth,
         wikidata_json=args.wikidata,
+        finalize_zoom_bands=tuple(
+            (int(b.split("-")[0]), int(b.split("-")[-1]))
+            for b in args.finalize_bands.split(",")
+        ) if args.finalize_bands else (),
     )
     t0 = time.time()
     tiles = build_tiles(spark, args.corpus, config, args.checkpoints,

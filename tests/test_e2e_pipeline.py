@@ -256,3 +256,43 @@ def test_table_scheme_corpus(spark, corpus_dir):
     a = {tuple(r) for r in t_tbl.select("z", "x", "y", "layer").collect()}
     b = {tuple(r) for r in t_path.select("z", "x", "y", "layer").collect()}
     assert a == b
+
+
+def test_finalize_zoom_bands_parity_and_resume(spark, corpus_dir, tmp_path):
+    """Mid-zoom resume: a banded finalize must produce exactly the
+    single-pass tile rows (the reduce is zoom-separable), and a second
+    build must resume every band from its manifest."""
+    cfg_plain = Config(only_layers=("water", "housenumber"), max_zoom=8)
+    plain = build_tiles(spark, corpus_dir, cfg_plain,
+                        checkpoint_dir=str(tmp_path / "ckpt_plain"))
+
+    cfg_band = Config(only_layers=("water", "housenumber"), max_zoom=8,
+                      finalize_zoom_bands=((0, 6), (7, 7), (8, 8)))
+    ckpt = str(tmp_path / "ckpt_band")
+    banded = build_tiles(spark, corpus_dir, cfg_band, checkpoint_dir=ckpt)
+
+    def rows(df):
+        return sorted(
+            (r["z"], r["x"], r["y"], r["layer"], r["seq"],
+             bytes(r["geom_px"]), tuple(sorted(r["attrs"].items())))
+            for r in df.collect())
+
+    assert rows(banded) == rows(plain)
+
+    # each band has its own manifest; resume touches none of them
+    manifests = {}
+    for lo, hi in cfg_band.finalize_zoom_bands:
+        p = os.path.join(ckpt, f"tiles_z{lo}_{hi}", "_MANIFEST.json")
+        manifests[(lo, hi)] = json.load(open(p))["written_at"]
+    again = build_tiles(spark, corpus_dir, cfg_band, checkpoint_dir=ckpt)
+    assert rows(again) == rows(plain)
+    for lo, hi in cfg_band.finalize_zoom_bands:
+        p = os.path.join(ckpt, f"tiles_z{lo}_{hi}", "_MANIFEST.json")
+        assert json.load(open(p))["written_at"] == manifests[(lo, hi)]
+
+    # bands must cover 0..max_zoom
+    with pytest.raises(ValueError, match="cover 0..8"):
+        build_tiles(spark, corpus_dir,
+                    Config(only_layers=("water",), max_zoom=8,
+                           finalize_zoom_bands=((0, 6),)),
+                    checkpoint_dir=str(tmp_path / "ckpt_bad"))
