@@ -369,3 +369,25 @@ def test_ima_adpcm_without_fact_chunk():
     # without fact the ragged tail keeps its nibble padding (<=1 extra)
     assert 628 <= out.shape[0] <= 629
     assert np.allclose(out[:628, 0], x / 32768.0, atol=0.15)
+
+
+def test_g711_decode_encode_identity_all_256_codes():
+    # The gold-standard companding law: every 8-bit code decodes to a level
+    # whose re-encode is the SAME code (quantizer idempotence), for both laws.
+    codes = np.arange(256, dtype=np.uint8)
+    u = C.ulaw_encode(C._ULAW_LUT[codes])
+    # mu-law's single degeneracy: 0x7F (+0) and 0xFF (-0) both decode to 0;
+    # the canonical encoder emits 0xFF for silence.
+    assert u[0x7F] == 0xFF and C._ULAW_LUT[0x7F] == 0
+    mask = codes != 0x7F
+    assert np.array_equal(u[mask], codes[mask])
+    assert np.array_equal(C.alaw_encode(C._ALAW_LUT[codes]), codes)
+
+
+def test_g711_encode_monotone_per_sign():
+    # Within each sign half, decoded levels are strictly monotone in the
+    # magnitude bits — the LUTs define a valid (invertible-on-levels) quantizer.
+    for lut in (C._ULAW_LUT, C._ALAW_LUT):
+        levels = np.sort(np.unique(lut))
+        assert levels.size == 256 or levels.size == 255  # ulaw has two zeros
+        assert np.all(np.diff(levels) > 0)
