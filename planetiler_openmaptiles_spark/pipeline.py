@@ -624,13 +624,26 @@ def write_mbtiles(
     path: str,
     name: str = "OpenMapTiles",
     max_zoom: int = 14,
+    compact: bool = True,
 ) -> dict:
     """S5: real mbtiles sink — gzipped MVT blobs in a sqlite archive with
     the metadata table the reference writes (OpenMapTilesTest.java:79-102:
     name/format/minzoom/maxzoom/type/bounds/center/description/attribution
     + TileJSON vector_layers). Encoding is distributed; the driver only
     streams finished blobs into sqlite (planetiler's own writer is equally
-    single-threaded at the archive)."""
+    single-threaded at the archive).
+
+    ``compact=True`` writes planetiler's compact schema (Mbtiles.java
+    ``--compact-db``, the reference default): ``tiles`` becomes a view over
+    ``tiles_shallow`` (z/x/y → tile_data_id) + ``tiles_data`` (one row per
+    DISTINCT blob) — on a planet build most deep-zoom ocean/empty tiles are
+    byte-identical, so the archive stores each blob once. Unlike
+    planetiler's in-driver LongLongMap dedup, first-occurrence marking runs
+    in Spark (one window over xxhash64(blob)), so duplicate blobs are
+    dropped BEFORE crossing to the driver and the driver holds no hash set.
+    A 64-bit hash collision (two distinct blobs, same id) is detected
+    Spark-side via md5 min/max over the same window and raises rather than
+    corrupting the archive."""
     import sqlite3
 
     from .geom import mercator
@@ -641,23 +654,80 @@ def write_mbtiles(
     con = sqlite3.connect(path)
     cur = con.cursor()
     cur.execute("CREATE TABLE metadata (name text, value text)")
-    cur.execute(
-        "CREATE TABLE tiles (zoom_level integer, tile_column integer,"
-        " tile_row integer, tile_data blob)"
-    )
-    cur.execute(
-        "CREATE UNIQUE INDEX tile_index ON tiles (zoom_level, tile_column, tile_row)"
-    )
+    if compact:
+        from pyspark.sql.window import Window
+
+        cur.execute(
+            "CREATE TABLE tiles_shallow (zoom_level integer,"
+            " tile_column integer, tile_row integer, tile_data_id integer,"
+            " PRIMARY KEY (zoom_level, tile_column, tile_row)) WITHOUT ROWID"
+        )
+        cur.execute(
+            "CREATE TABLE tiles_data (tile_data_id integer primary key,"
+            " tile_data blob)"
+        )
+        cur.execute(
+            "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row,"
+            " tile_data FROM tiles_shallow"
+            " JOIN tiles_data USING (tile_data_id)"
+        )
+        w = Window.partitionBy("tile_data_id")
+        blobs = (
+            blobs.withColumn("tile_data_id", F.xxhash64("tile_data"))
+            .withColumn("_md5", F.md5("tile_data"))
+            .withColumn(
+                "_first",
+                F.row_number().over(w.orderBy("z", "x", "y")) == F.lit(1),
+            )
+            .withColumn(
+                "_collide", F.min("_md5").over(w) != F.max("_md5").over(w)
+            )
+            .select(
+                "z", "x", "y", "tile_data_id",
+                F.when(F.col("_first"), F.col("tile_data")).alias("tile_data"),
+                "_collide",
+            )
+        )
+    else:
+        cur.execute(
+            "CREATE TABLE tiles (zoom_level integer, tile_column integer,"
+            " tile_row integer, tile_data blob)"
+        )
+        cur.execute(
+            "CREATE UNIQUE INDEX tile_index ON tiles"
+            " (zoom_level, tile_column, tile_row)"
+        )
     n_tiles = 0
+    n_blobs = 0
     zmin, zmax = 99, -1
     xymin = {}
     xymax = {}
     for row in blobs.toLocalIterator():
         z, x, y = row["z"], row["x"], row["y"]
         tms_row = (1 << z) - 1 - y  # mbtiles stores TMS (flipped y)
-        cur.execute(
-            "INSERT INTO tiles VALUES (?, ?, ?, ?)", (z, x, tms_row, row["tile_data"])
-        )
+        if compact:
+            if row["_collide"]:
+                con.close()
+                os.remove(path)
+                raise RuntimeError(
+                    "xxhash64 collision between distinct tile blobs at "
+                    f"z{z}/{x}/{y} — rerun with compact=False"
+                )
+            cur.execute(
+                "INSERT INTO tiles_shallow VALUES (?, ?, ?, ?)",
+                (z, x, tms_row, row["tile_data_id"]),
+            )
+            if row["tile_data"] is not None:
+                cur.execute(
+                    "INSERT INTO tiles_data VALUES (?, ?)",
+                    (row["tile_data_id"], row["tile_data"]),
+                )
+                n_blobs += 1
+        else:
+            cur.execute(
+                "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                (z, x, tms_row, row["tile_data"]),
+            )
         n_tiles += 1
         zmin, zmax = min(zmin, z), max(zmax, z)
         ax, ay = xymin.get(z, (1 << z, 1 << z))
@@ -693,7 +763,14 @@ def write_mbtiles(
     cur.executemany("INSERT INTO metadata VALUES (?, ?)", sorted(meta.items()))
     con.commit()
     con.close()
-    return {"path": path, "tiles": n_tiles, "minzoom": zmin, "maxzoom": zmax}
+    return {
+        "path": path,
+        "tiles": n_tiles,
+        "minzoom": zmin,
+        "maxzoom": zmax,
+        "distinct_blobs": n_blobs if compact else n_tiles,
+        "compact": compact,
+    }
 
 
 def write_pmtiles(

@@ -139,3 +139,58 @@ def test_mbtiles_sink_end_to_end(spark, tmp_path):
                     assert mvt._ring_area2(f["paths"][0]) > 0
     assert n_feats > 0
     con.close()
+
+
+def test_mbtiles_compact_schema_dedups_identical_blobs(spark, tmp_path):
+    """Planetiler compact-db parity (Mbtiles.java): identical blobs are
+    stored once in tiles_data; the `tiles` view reproduces the plain table
+    byte-for-byte. Plant 4 tiles where 3 share identical tile-local
+    geometry (MVT coords are tile-relative, so the gzipped blobs are
+    byte-identical) and 1 differs."""
+    from planetiler_openmaptiles_spark.geom import packed
+    from planetiler_openmaptiles_spark.pipeline import write_mbtiles
+
+    square = np.array([[10.0, 10.0], [200.0, 10.0], [200.0, 200.0],
+                       [10.0, 200.0], [10.0, 10.0]])
+    blob_same = packed.from_polys([[square]])
+    blob_diff = packed.from_polys([[square * 0.5]])
+    rows = [
+        (6, 10, 20, "water", 0, 1, "polygon", blob_same, {"class": "lake"}),
+        (6, 11, 20, "water", 0, 1, "polygon", blob_same, {"class": "lake"}),
+        (6, 12, 21, "water", 0, 1, "polygon", blob_same, {"class": "lake"}),
+        (6, 13, 21, "water", 0, 1, "polygon", blob_diff, {"class": "lake"}),
+    ]
+    tiles = spark.createDataFrame(
+        rows,
+        "z int, x int, y int, layer string, seq long, elem_id long,"
+        " kind string, geom_px binary, attrs map<string,string>",
+    )
+
+    compact_path = str(tmp_path / "compact.mbtiles")
+    plain_path = str(tmp_path / "plain.mbtiles")
+    rep_c = write_mbtiles(tiles, compact_path, max_zoom=6, compact=True)
+    rep_p = write_mbtiles(tiles, plain_path, max_zoom=6, compact=False)
+    assert rep_c["tiles"] == rep_p["tiles"] == 4
+    assert rep_c["compact"] and not rep_p["compact"]
+    assert rep_c["distinct_blobs"] == 2  # 3 identical + 1 different
+    assert rep_p["distinct_blobs"] == 4
+
+    con_c = sqlite3.connect(compact_path)
+    con_p = sqlite3.connect(plain_path)
+    # physical schema: shallow rows = tiles, data rows = distinct blobs
+    assert con_c.execute("SELECT count(*) FROM tiles_shallow").fetchone()[0] == 4
+    assert con_c.execute("SELECT count(*) FROM tiles_data").fetchone()[0] == 2
+    assert con_c.execute(
+        "SELECT type FROM sqlite_master WHERE name='tiles'"
+    ).fetchone()[0] == "view"
+    # the view is byte-identical to the plain table
+    q = ("SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+         " ORDER BY zoom_level, tile_column, tile_row")
+    assert con_c.execute(q).fetchall() == con_p.execute(q).fetchall()
+    # and the deduped blob still decodes to the planted square
+    blob = con_c.execute(
+        "SELECT tile_data FROM tiles WHERE tile_column=11"
+    ).fetchone()[0]
+    dec = mvt.decode_tile(bytes(blob))
+    assert len(dec["water"]["features"]) == 1
+    con_c.close(); con_p.close()
