@@ -2431,6 +2431,131 @@ def _q_embedding_near_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _archive_fixture_count(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return min(960, max(96, _SF_DOCS.get(name, 4000) // 25))
+
+
+def _archive_tile(i: int, bump_rank: bool):
+    """Closed-form tile i: z=10, x=i%32, y=i//32, 1+i%3 polygon features.
+    Dyadic coords (×16 integral) so the MVT quantization is exact."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.tiling import mvt
+
+    feats = []
+    for j in range(1 + i % 3):
+        a = 16.0 + 12.5 * j
+        ring = np.array([[a, a], [a + 50.0, a], [a + 50.0, a + 50.0],
+                         [a, a + 50.0], [a, a]])
+        rank = (i * 7 + j) % 11 + (1 if bump_rank else 0)
+        feats.append((i * 10 + j, "polygon", ("Polygon", [ring]),
+                      {"rank": str(rank), "class": f"c{(i + j) % 3}"}))
+    return mvt.gzip_tile(mvt.encode_tile({"water": feats}))
+
+
+def _archive_fixtures(sf_dir: str) -> tuple[str, str]:
+    """Two deterministic tile archives from pure arithmetic:
+    A = compact-schema mbtiles with every tile i in range(n);
+    B = pmtiles that DROPS i%17==0 and BUMPS every rank on i%5==0.
+    Built driver-side with the engine's own codecs (mvt/pmtiles/sqlite) —
+    the queries then exercise the full distributed read+decode path and
+    DuckDB regenerates expectations from range() arithmetic alone."""
+    import sqlite3
+
+    from planetiler_openmaptiles_spark.tiling import pmtiles as pmt
+
+    n = _archive_fixture_count(sf_dir)
+    path_a = os.path.join(GEN_ROOT, f"arc_a_n{n}_v1.mbtiles")
+    path_b = os.path.join(GEN_ROOT, f"arc_b_n{n}_v1.pmtiles")
+    if not os.path.exists(path_a):
+        os.makedirs(GEN_ROOT, exist_ok=True)
+        tmp = path_a + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        con = sqlite3.connect(tmp)
+        con.execute("CREATE TABLE metadata (name text, value text)")
+        con.execute(
+            "CREATE TABLE tiles_shallow (zoom_level integer,"
+            " tile_column integer, tile_row integer, tile_data_id integer,"
+            " PRIMARY KEY (zoom_level, tile_column, tile_row)) WITHOUT ROWID"
+        )
+        con.execute(
+            "CREATE TABLE tiles_data (tile_data_id integer primary key,"
+            " tile_data blob)"
+        )
+        con.execute(
+            "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row,"
+            " tile_data FROM tiles_shallow JOIN tiles_data USING (tile_data_id)"
+        )
+        con.execute("INSERT INTO metadata VALUES ('format', 'pbf')")
+        seen: dict[bytes, int] = {}
+        for i in range(n):
+            blob = _archive_tile(i, False)
+            if blob not in seen:
+                seen[blob] = len(seen)
+                con.execute("INSERT INTO tiles_data VALUES (?, ?)",
+                            (seen[blob], blob))
+            did = seen[blob]
+            con.execute(
+                "INSERT INTO tiles_shallow VALUES (?, ?, ?, ?)",
+                (10, i % 32, (1 << 10) - 1 - i // 32, did),
+            )
+        con.commit()
+        con.close()
+        os.replace(tmp, path_a)
+    if not os.path.exists(path_b):
+        os.makedirs(GEN_ROOT, exist_ok=True)
+        tmp = path_b + ".tmp"
+        w = pmt.PmtilesWriter(tmp, {"name": "arc_b"})
+        tiles = sorted(
+            (pmt.zxy_to_tile_id(10, i % 32, i // 32), i)
+            for i in range(n) if i % 17 != 0
+        )
+        for tid, i in tiles:
+            w.add_tile(tid, _archive_tile(i, i % 5 == 0), compressed=True)
+        w.finish()
+        os.replace(tmp, path_b)
+    return path_a, path_b
+
+
+def _q_archive_read(spark, sf_dir):
+    """mbtiles source connector, cross-engine: Spark reads the compact
+    sqlite archive block-parallel (PK-range splits through the tiles view),
+    gunzips + MVT-decodes every blob, and rolls up per tile row; DuckDB
+    regenerates the expected rollup from the fixture's closed-form
+    arithmetic without touching the archive."""
+    from planetiler_openmaptiles_spark.sources.tile_archive import (
+        decode_tiles, read_mbtiles,
+    )
+
+    path_a, _ = _archive_fixtures(sf_dir)
+    feats = decode_tiles(read_mbtiles(spark, path_a))
+    return (
+        feats.groupBy("y")
+        .agg(
+            F.countDistinct("x").alias("n_tiles"),
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.element_at("attrs", "rank").cast("long")).alias("sum_rank"),
+            F.countDistinct(F.element_at("attrs", "class")).alias("n_classes"),
+        )
+        .orderBy("y")
+    )
+
+
+def _q_archive_diff(spark, sf_dir):
+    """CompareArchives parity, cross-engine AND cross-format: diff the
+    mbtiles fixture against the pmtiles variant (dropped + rank-bumped
+    tiles); DuckDB re-derives the only_a/changed/same partition of
+    range(n) from the fixture arithmetic."""
+    from planetiler_openmaptiles_spark.sources.tile_archive import (
+        compare_archives,
+    )
+
+    path_a, path_b = _archive_fixtures(sf_dir)
+    return compare_archives(spark, path_a, path_b).orderBy("z", "layer")
+
+
 def _wrap(fn):
     def inner(spark, sf_dir):
         return fn(_ensure_conf(spark), sf_dir)
@@ -2470,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_earth_roundtrip": _q_natural_earth_roundtrip,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "wikidata_names_roundtrip": _q_wikidata_names_roundtrip,
+        "archive_read": _q_archive_read,
+        "archive_diff": _q_archive_diff,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_bounds": _q_geo_tiles_bounds,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
@@ -2831,6 +2958,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i % 4 AS VARCHAR) AS k
             FROM range({_geojson_fixture_count('/x/' + ORACLE_SF)}) t(i)
             ORDER BY fid
+        """,
+        # mbtiles-connector replay: tile i at (10, i%32, i//32) carries
+        # 1 + i%3 polygon features with rank (i*7+j)%11 and class c{{(i+j)%3}}
+        # — DuckDB regenerates the per-y rollup from range() arithmetic,
+        # never opening the archive.
+        "archive_read": f"""
+            WITH feat AS (
+              SELECT i, j FROM range({_archive_fixture_count('/x/' + ORACLE_SF)}) t(i),
+                   range(3) s(j) WHERE j <= i % 3
+            )
+            SELECT CAST(i // 32 AS INT) AS y,
+                   CAST(count(DISTINCT i % 32) AS BIGINT) AS n_tiles,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(sum((i * 7 + j) % 11) AS BIGINT) AS sum_rank,
+                   CAST(count(DISTINCT (i + j) % 3) AS BIGINT) AS n_classes
+            FROM feat GROUP BY 1 ORDER BY y
+        """,
+        # CompareArchives replay: B drops i%17==0 and rank-bumps i%5==0, so
+        # the (only_a, changed, same) partition of range(n) is closed-form.
+        "archive_diff": f"""
+            SELECT CAST(10 AS INT) AS z, 'water' AS layer,
+                   CAST(sum(CASE WHEN i % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+                   CAST(0 AS BIGINT) AS n_only_b,
+                   CAST(sum(CASE WHEN i % 17 <> 0 AND i % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN i % 17 <> 0 AND i % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+            FROM range({_archive_fixture_count('/x/' + ORACLE_SF)}) t(i)
         """,
         # Wikidata translation-cache replay: entity i has 1 + i%5 labels.
         "wikidata_names_roundtrip": f"""

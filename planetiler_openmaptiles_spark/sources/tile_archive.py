@@ -1,0 +1,285 @@
+"""Tile-archive source connectors + archive comparison.
+
+Planetiler core ships ``CompareArchives`` (compare two finished tile
+archives tile-by-tile) and every downstream workflow starts from an
+existing ``.mbtiles``/``.pmtiles`` artifact. This module reads those
+archives back into the engine's tile-frame shape, distributed:
+
+- ``read_mbtiles`` — sqlite archive → DataFrame(z, x, y, tile_data).
+  Works on both the plain schema and the compact one (``tiles`` view over
+  ``tiles_shallow``+``tiles_data``; Mbtiles.java ``--compact-db``). The
+  DRIVER probes only split boundaries (P ``ORDER BY pk LIMIT 1 OFFSET k``
+  index walks); each EXECUTOR opens the file read-only/immutable and
+  selects its contiguous primary-key range — same single-file-B-tree
+  scaling argument as sources/natural_earth.py.
+- ``read_pmtiles`` — single-file PMTiles v3 → same schema. The driver
+  parses the varint directories (KBs even for planet archives, they are
+  the archive's own index), expands run-lengths, and ships (tile_id,
+  offset, length) splits; executors seek+read+gunzip their byte ranges.
+- ``decode_tiles`` — gzipped MVT blobs → per-feature rows in the engine
+  tile-frame shape (z, x, y, layer, seq, elem_id, kind, geom_px, attrs),
+  one Arrow pass per partition (tiling/mvt.py decoder, geom/packed
+  encoding at the MVT 1/16-px quantization grid).
+- ``compare_archives`` — read+decode two archives and roll up the
+  per-(z, layer) only_a/only_b/changed/same counts via tiling/diff.py's
+  multiset fingerprints: the regression tool planetiler users run after
+  a code change, here as one full-outer equi-join on the tile key.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+
+def _connect_ro(path: str) -> sqlite3.Connection:
+    return sqlite3.connect(
+        f"file:{os.path.abspath(path)}?mode=ro&immutable=1", uri=True
+    )
+
+
+def _mbtiles_key_bounds(path: str, n_splits: int) -> list[tuple]:
+    """Driver-side split probe: ~n_splits contiguous (zoom_level,
+    tile_column, tile_row) ranges covering the archive. Probes the
+    physical table (tiles_shallow when compact) so each OFFSET walk is a
+    pure PK-index skip, never a view join."""
+    con = _connect_ro(path)
+    try:
+        names = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type IN ('table','view')"
+            )
+        }
+        probe = "tiles_shallow" if "tiles_shallow" in names else "tiles"
+        total = con.execute(f"SELECT count(*) FROM {probe}").fetchone()[0]
+        if total == 0:
+            return []
+        n_splits = max(1, min(n_splits, total))
+        step = total / n_splits
+        bounds = []
+        for i in range(1, n_splits):
+            off = int(round(i * step))
+            row = con.execute(
+                f"SELECT zoom_level, tile_column, tile_row FROM {probe}"
+                " ORDER BY zoom_level, tile_column, tile_row"
+                " LIMIT 1 OFFSET ?",
+                (off,),
+            ).fetchone()
+            if row is not None and (not bounds or tuple(row) != bounds[-1]):
+                bounds.append(tuple(row))
+        lows = [(-1, -1, -1)] + bounds
+        highs = bounds + [(99, 1 << 30, 1 << 30)]
+        return [lo + hi for lo, hi in zip(lows, highs)]
+    finally:
+        con.close()
+
+
+def read_mbtiles(spark, path: str, n_splits: int | None = None):
+    """mbtiles → DataFrame(z int, x int, y int, tile_data binary), TMS row
+    flip undone (rows come back in the engine's XYZ orientation)."""
+    import pandas as pd
+
+    from .archive import materialize
+
+    path = os.path.abspath(materialize(path, suffix=".mbtiles"))
+    if n_splits is None:
+        n_splits = spark.sparkContext.defaultParallelism * 2
+    splits = _mbtiles_key_bounds(path, n_splits)
+    schema = "z int, x int, y int, tile_data binary"
+    if not splits:
+        return spark.createDataFrame([], schema)
+    idx = spark.createDataFrame(
+        splits, "z0 int, x0 int, y0 int, z1 int, x1 int, y1 int"
+    ).repartition(min(len(splits), spark.sparkContext.defaultParallelism))
+
+    def _fetch(batches):
+        con = _connect_ro(path)
+        try:
+            for pdf in batches:
+                for z0, x0, y0, z1, x1, y1 in pdf.itertuples(index=False):
+                    cur = con.execute(
+                        "SELECT zoom_level, tile_column, tile_row, tile_data"
+                        " FROM tiles WHERE (zoom_level, tile_column, tile_row)"
+                        " > (?,?,?) AND (zoom_level, tile_column, tile_row)"
+                        " <= (?,?,?)",
+                        (int(z0), int(x0), int(y0), int(z1), int(x1), int(y1)),
+                    )
+                    zs, xs, ys, blobs = [], [], [], []
+                    for z, x, tms_row, blob in cur:
+                        zs.append(int(z))
+                        xs.append(int(x))
+                        ys.append((1 << int(z)) - 1 - int(tms_row))
+                        blobs.append(bytes(blob))
+                    yield pd.DataFrame(
+                        {"z": pd.Series(zs, dtype="int32"),
+                         "x": pd.Series(xs, dtype="int32"),
+                         "y": pd.Series(ys, dtype="int32"),
+                         "tile_data": blobs}
+                    )
+        finally:
+            con.close()
+
+    return idx.mapInPandas(_fetch, schema)
+
+
+def read_pmtiles(spark, path: str):
+    """PMTiles v3 → DataFrame(z int, x int, y int, tile_data binary).
+    Run-length directory entries expand to one row per addressed tile
+    (identical blobs re-read per tile — the dedup is an archive-storage
+    property, not a feature-table one). Blobs come back exactly as stored
+    (tile compression intact), matching read_mbtiles — decode_tiles
+    gunzips."""
+    import pandas as pd
+
+    from ..tiling import pmtiles as pmt
+    from .archive import materialize
+
+    path = os.path.abspath(materialize(path, suffix=".pmtiles"))
+    rd = pmt.PmtilesReader(path)
+    header = rd.header
+    entries = []  # (tile_id, offset, length)
+    stack = list(rd._root)
+    while stack:
+        e = stack.pop(0)
+        if e.run_length == 0:  # leaf-directory pointer
+            stack[:0] = pmt.deserialize_directory(
+                pmt._maybe_gunzip(
+                    rd._read(header.leaf_offset + e.offset, e.length),
+                    header.internal_compression,
+                )
+            )
+        else:
+            for tid in range(e.tile_id, e.tile_id + e.run_length):
+                entries.append((tid, e.offset, e.length))
+    rd.close()
+    schema = "z int, x int, y int, tile_data binary"
+    if not entries:
+        return spark.createDataFrame([], schema)
+    data_offset = header.data_offset
+    idx = spark.createDataFrame(
+        entries, "tid long, off long, length long"
+    ).repartition(min(len(entries), spark.sparkContext.defaultParallelism))
+
+    def _fetch(batches):
+        with open(path, "rb") as f:
+            for pdf in batches:
+                zs, xs, ys, blobs = [], [], [], []
+                for tid, off, length in pdf.itertuples(index=False):
+                    z, x, y = pmt.tile_id_to_zxy(int(tid))
+                    f.seek(data_offset + int(off))
+                    zs.append(z)
+                    xs.append(x)
+                    ys.append(y)
+                    blobs.append(f.read(int(length)))
+                yield pd.DataFrame(
+                    {"z": pd.Series(zs, dtype="int32"),
+                     "x": pd.Series(xs, dtype="int32"),
+                     "y": pd.Series(ys, dtype="int32"),
+                     "tile_data": blobs}
+                )
+
+    return idx.mapInPandas(_fetch, schema)
+
+
+def _attr_str(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def decode_tiles(blobs):
+    """(z, x, y, tile_data) → engine tile-frame rows (z, x, y, layer, seq,
+    elem_id, kind, geom_px, attrs). Geometry is re-packed at the MVT
+    quantization grid (integer coords / 16 → px floats), so two archives
+    of the same build decode to byte-identical frames."""
+    import gzip
+
+    import numpy as np
+    import pandas as pd
+
+    from ..geom import packed
+    from ..tiling import mvt
+
+    schema = (
+        "z int, x int, y int, layer string, seq long, elem_id long,"
+        " kind string, geom_px binary, attrs map<string,string>"
+    )
+
+    def _dec(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("z", "x", "y", "layer", "seq", "elem_id", "kind",
+                    "geom_px", "attrs")}
+            for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"],
+                                     pdf["tile_data"]):
+                raw = bytes(blob)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                seq = 0
+                for lname, layer in mvt.decode_tile(raw).items():
+                    for f in layer["features"]:
+                        paths = [np.asarray(p, dtype=np.float64) / 16.0
+                                 for p in f["paths"]]
+                        if not paths:
+                            continue
+                        if f["type"] == mvt.GEOM_POINT:
+                            kind = "point"
+                            blob_px = packed.from_points(np.vstack(paths))
+                        elif f["type"] == mvt.GEOM_LINE:
+                            kind = "linestring"
+                            blob_px = packed.from_lines(paths)
+                        else:
+                            kind = "polygon"
+                            # MVT spec: a positive-area ring starts a new
+                            # polygon; following negative rings are holes
+                            polys, cur = [], None
+                            for p in paths:
+                                if mvt._ring_area2(p) > 0 or cur is None:
+                                    cur = [p]
+                                    polys.append(cur)
+                                else:
+                                    cur.append(p)
+                            blob_px = packed.from_polys(polys)
+                        out["z"].append(int(z))
+                        out["x"].append(int(x))
+                        out["y"].append(int(y))
+                        out["layer"].append(lname)
+                        out["seq"].append(seq)
+                        out["elem_id"].append(int(f["id"]))
+                        out["kind"].append(kind)
+                        out["geom_px"].append(blob_px)
+                        out["attrs"].append(
+                            {k: _attr_str(v) for k, v in f["attrs"].items()}
+                        )
+                        seq += 1
+            yield pd.DataFrame(
+                {"z": pd.Series(out["z"], dtype="int32"),
+                 "x": pd.Series(out["x"], dtype="int32"),
+                 "y": pd.Series(out["y"], dtype="int32"),
+                 "layer": out["layer"], "seq": out["seq"],
+                 "elem_id": out["elem_id"], "kind": out["kind"],
+                 "geom_px": out["geom_px"], "attrs": out["attrs"]}
+            )
+
+    return blobs.mapInPandas(_dec, schema)
+
+
+def read_tile_archive(spark, path: str):
+    """Dispatch by extension: .mbtiles | .pmtiles → (z, x, y, tile_data)."""
+    if path.endswith(".pmtiles"):
+        return read_pmtiles(spark, path)
+    if path.endswith(".mbtiles"):
+        return read_mbtiles(spark, path)
+    raise ValueError(f"unknown tile-archive format: {path}")
+
+
+def compare_archives(spark, path_a: str, path_b: str):
+    """CompareArchives parity: per-(z, layer) n_only_a / n_only_b /
+    n_changed / n_same between two finished archives (either format —
+    a build's mbtiles and pmtiles compare as identical)."""
+    from ..tiling.diff import tile_diff
+
+    a = decode_tiles(read_tile_archive(spark, path_a))
+    b = decode_tiles(read_tile_archive(spark, path_b))
+    return tile_diff(a, b)

@@ -1,0 +1,131 @@
+"""Tile-archive source connectors + compare_archives (planetiler core's
+CompareArchives workflow): read .mbtiles / .pmtiles back into the engine
+tile-frame shape, distributed, and diff two finished archives."""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+from planetiler_openmaptiles_spark.geom import packed
+from planetiler_openmaptiles_spark.sources import tile_archive as ta
+from planetiler_openmaptiles_spark.tiling import mvt
+
+
+def _tiles_df(spark, variant=0):
+    """4-tile frame with one duplicate blob pair; dyadic coords so the MVT
+    1/16-px quantization is exact and decode round-trips byte-identically."""
+    sq = np.array([[10.0, 10.0], [60.0, 10.0], [60.0, 60.0],
+                   [10.0, 60.0], [10.0, 10.0]])
+    line = np.array([[0.0, 0.0], [128.0, 64.0]])
+    pt = np.array([[100.25, 200.5]])
+    rows = [
+        (6, 10, 20, "water", 0, 1, "polygon", packed.from_polys([[sq]]),
+         {"class": "lake"}),
+        (6, 11, 20, "water", 0, 1, "polygon", packed.from_polys([[sq]]),
+         {"class": "lake"}),
+        (6, 12, 21, "transportation", 0, 7, "linestring",
+         packed.from_lines([line]),
+         {"class": "minor" if variant == 0 else "primary"}),
+        (6, 13, 21, "place", 0, 9, "point", packed.from_points(pt),
+         {"name": "X", "rank": "3"}),
+    ]
+    if variant == 1:
+        rows = rows[:3]  # drop the place tile
+    return spark.createDataFrame(
+        rows,
+        "z int, x int, y int, layer string, seq long, elem_id long,"
+        " kind string, geom_px binary, attrs map<string,string>",
+    )
+
+
+def _write_both(spark, tiles, tmp_path, tag):
+    from planetiler_openmaptiles_spark.pipeline import (
+        write_mbtiles, write_pmtiles,
+    )
+
+    mb = str(tmp_path / f"{tag}.mbtiles")
+    pm = str(tmp_path / f"{tag}.pmtiles")
+    write_mbtiles(tiles, mb, max_zoom=6)
+    write_pmtiles(tiles, pm, max_zoom=6)
+    return mb, pm
+
+
+def test_read_mbtiles_matches_encoded_blobs(spark, tmp_path):
+    from planetiler_openmaptiles_spark.pipeline import encode_mvt_blobs
+
+    tiles = _tiles_df(spark)
+    mb, pm = _write_both(spark, tiles, tmp_path, "a")
+    want = sorted(
+        (r["z"], r["x"], r["y"], bytes(r["tile_data"]))
+        for r in encode_mvt_blobs(tiles).collect()
+    )
+    for path, reader in ((mb, ta.read_mbtiles), (pm, ta.read_pmtiles)):
+        got = sorted(
+            (r["z"], r["x"], r["y"], bytes(r["tile_data"]))
+            for r in reader(spark, path).collect()
+        )
+        assert got == want, path
+
+
+def test_read_mbtiles_many_splits_no_dup_no_loss(spark, tmp_path):
+    tiles = _tiles_df(spark)
+    mb, _ = _write_both(spark, tiles, tmp_path, "s")
+    got = ta.read_mbtiles(spark, mb, n_splits=16).collect()
+    keys = [(r["z"], r["x"], r["y"]) for r in got]
+    assert sorted(keys) == [(6, 10, 20), (6, 11, 20), (6, 12, 21), (6, 13, 21)]
+    # plain (non-compact) schema reads through the same path
+    from planetiler_openmaptiles_spark.pipeline import write_mbtiles
+
+    plain = str(tmp_path / "plain.mbtiles")
+    write_mbtiles(tiles, plain, max_zoom=6, compact=False)
+    assert sorted(
+        (r["z"], r["x"], r["y"]) for r in ta.read_mbtiles(spark, plain).collect()
+    ) == sorted(keys)
+
+
+def test_decode_tiles_roundtrips_frame(spark, tmp_path):
+    """Dyadic-coordinate features decode back byte-identical: same kinds,
+    attrs, and packed geometry as the source frame."""
+    tiles = _tiles_df(spark)
+    mb, _ = _write_both(spark, tiles, tmp_path, "d")
+    dec = ta.decode_tiles(ta.read_mbtiles(spark, mb))
+    got = {
+        (r["z"], r["x"], r["y"], r["layer"]): r for r in dec.collect()
+    }
+    src = {(r["z"], r["x"], r["y"], r["layer"]): r for r in tiles.collect()}
+    assert set(got) == set(src)
+    for k, g in got.items():
+        s = src[k]
+        assert g["kind"] == s["kind"]
+        assert g["elem_id"] == s["elem_id"]
+        assert bytes(g["geom_px"]) == bytes(s["geom_px"]), k
+        assert dict(g["attrs"]) == dict(s["attrs"])
+
+
+def test_compare_archives_cross_format_identical(spark, tmp_path):
+    tiles = _tiles_df(spark)
+    mb, pm = _write_both(spark, tiles, tmp_path, "c")
+    rows = ta.compare_archives(spark, mb, pm).collect()
+    assert all(
+        r["n_only_a"] == 0 and r["n_only_b"] == 0 and r["n_changed"] == 0
+        for r in rows
+    )
+    assert sum(r["n_same"] for r in rows) == 4
+
+
+def test_compare_archives_detects_change_and_drop(spark, tmp_path):
+    a_mb, _ = _write_both(spark, _tiles_df(spark, 0), tmp_path, "va")
+    b_mb, _ = _write_both(spark, _tiles_df(spark, 1), tmp_path, "vb")
+    rows = {
+        (r["z"], r["layer"]): r
+        for r in ta.compare_archives(spark, a_mb, b_mb).collect()
+    }
+    assert rows[(6, "water")]["n_same"] == 2
+    assert rows[(6, "transportation")]["n_changed"] == 1  # class flipped
+    assert rows[(6, "place")]["n_only_a"] == 1  # dropped in b
+
+
+def test_read_tile_archive_rejects_unknown():
+    with pytest.raises(ValueError):
+        ta.read_tile_archive(None, "/tmp/x.tar")
