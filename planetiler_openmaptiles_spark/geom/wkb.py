@@ -164,7 +164,12 @@ def decode_geometry_blob(buf: bytes):
                 return g
         except (ValueError, struct.error, IndexError):
             pass
-    g, _ = decode_wkb(buf)
+    try:
+        g, _ = decode_wkb(buf)
+    except (struct.error, IndexError, MemoryError, OverflowError) as e:
+        # one actionable error type for corrupt blobs (struct.error etc.
+        # say nothing about WHICH framing failed)
+        raise ValueError(f"malformed geometry blob: {type(e).__name__}: {e}") from e
     return g
 
 

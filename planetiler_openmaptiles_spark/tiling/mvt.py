@@ -377,6 +377,8 @@ def _read_uvarint(buf: bytes, pos: int):
         if not b & 0x80:
             return result, pos
         shift += 7
+        if shift > 63:  # protobuf caps varints at 10 bytes / 64 bits
+            raise ValueError("uvarint longer than 64 bits")
 
 
 def _skip(buf: bytes, pos: int, wire: int) -> int:
@@ -395,21 +397,31 @@ def _skip(buf: bytes, pos: int, wire: int) -> int:
 def decode_tile(data: bytes) -> dict:
     """MVT bytes -> {layer: {"extent": int, "features": [
     {"id": int|None, "type": int, "paths": [np int arrays], "attrs": dict}]}}"""
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
-    layers = {}
-    pos = 0
-    while pos < len(data):
-        tag, pos = _read_uvarint(data, pos)
-        num, wire = tag >> 3, tag & 7
-        if num == 3 and wire == 2:
-            ln, pos = _read_uvarint(data, pos)
-            name, layer = _decode_layer(data[pos : pos + ln])
-            layers[name] = layer
-            pos += ln
-        else:
-            pos = _skip(data, pos, wire)
-    return layers
+    try:
+        if data[:2] == b"\x1f\x8b":
+            data = gzip.decompress(data)
+        layers = {}
+        pos = 0
+        while pos < len(data):
+            tag, pos = _read_uvarint(data, pos)
+            num, wire = tag >> 3, tag & 7
+            if num == 3 and wire == 2:
+                ln, pos = _read_uvarint(data, pos)
+                name, layer = _decode_layer(data[pos : pos + ln])
+                layers[name] = layer
+                pos += ln
+            else:
+                pos = _skip(data, pos, wire)
+        return layers
+    except ValueError:
+        raise
+    except Exception as e:
+        # normalize every parse failure (truncated varint -> IndexError,
+        # bad utf-8, dangling ClosePath -> AttributeError, zlib error, ...)
+        # so a corrupt blob in a 100 TB archive read surfaces as one
+        # actionable error type instead of killing the job with whatever
+        # the byte soup happened to trip over
+        raise ValueError(f"malformed MVT tile: {type(e).__name__}: {e}") from e
 
 
 def _decode_layer(buf: bytes):

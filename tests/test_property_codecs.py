@@ -91,3 +91,52 @@ def test_transliterate_total(s):
 
     out = transliterate_str(s)
     assert out is None or isinstance(out, str)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=400, deadline=None)
+def test_mvt_decode_total_on_garbage(b):
+    """decode_tile on arbitrary bytes either returns a dict or raises
+    ValueError — never hangs, never leaks IndexError/UnicodeDecodeError."""
+    from planetiler_openmaptiles_spark.tiling import mvt
+
+    try:
+        out = mvt.decode_tile(b)
+    except ValueError:
+        return
+    assert isinstance(out, dict)
+
+
+@given(st.binary(min_size=1, max_size=200))
+@settings(max_examples=400, deadline=None)
+def test_wkb_decode_total_on_garbage(b):
+    from planetiler_openmaptiles_spark.geom import wkb
+
+    try:
+        wkb.decode_geometry_blob(b)
+    except ValueError:
+        return
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_mvt_decode_total_on_mutated_valid_tile(data):
+    """Bit-flipped VALID tiles (the realistic corruption shape: torn
+    write / bad sector in a tile archive) also resolve to dict-or-ValueError."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.tiling import mvt
+
+    ring = np.array([[0.0, 0.0], [100.0, 0.0], [100.0, 100.0], [0.0, 0.0]])
+    valid = bytearray(mvt.encode_tile(
+        {"water": [(1, "polygon", ("Polygon", [ring]), {"class": "lake"})]}
+    ))
+    n_flips = data.draw(st.integers(1, 6))
+    for _ in range(n_flips):
+        i = data.draw(st.integers(0, len(valid) - 1))
+        valid[i] = data.draw(st.integers(0, 255))
+    try:
+        out = mvt.decode_tile(bytes(valid))
+    except ValueError:
+        return
+    assert isinstance(out, dict)
