@@ -2519,6 +2519,132 @@ def _archive_fixtures(sf_dir: str) -> tuple[str, str]:
     return path_a, path_b
 
 
+def _q_geo_s2_cells(spark, sf_dir):
+    """S2 spherical cell indexing of the corpus point features (the
+    north-star H3/S2 keying): level-8 cell id per point via the vectorized
+    face/quadratic-ST/Hilbert kernel (geom/s2.py), level-4 ancestor via
+    pure Column bit math. DuckDB replays the ENTIRE encoding — xyz, face
+    cases, uv frames, ST transform, the 8-step Hilbert state machine as
+    unrolled CTEs, and the signed-64 wrap — from the raw WKT."""
+    from planetiler_openmaptiles_spark.spatial import s2_cell_udf, s2_parent_col
+
+    feats = _decoded(spark, sf_dir).filter(F.col("geom_kind") == "point")
+    lon = F.regexp_extract("geom_wkt", _PT_RE, 1).cast("double")
+    lat = F.regexp_extract("geom_wkt", _PT_RE, 2).cast("double")
+    # the corpus clusters into a few cells; union a deterministic global
+    # grid so all 6 faces and every Hilbert orientation state are exercised
+    grid = spark.range(2000).select(
+        ((F.col("id") * 79) % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("id") * 37) % 160 - 80 + 0.5).cast("double").alias("lat"),
+    )
+    pts = feats.select(lon.alias("lon"), lat.alias("lat")).unionByName(grid)
+    return (
+        pts.select(s2_cell_udf(8)(F.col("lon"), F.col("lat")).alias("cell8"))
+        .withColumn("parent4", s2_parent_col(F.col("cell8"), 4))
+        .groupBy("cell8", "parent4")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cell8")
+    )
+
+
+def _s2_oracle_sql(decode: str, path: str) -> str:
+    """DuckDB replay of the S2 level-8 encoding as unrolled CTE steps."""
+    level = 8
+    # _IJ_TO_POS rows and _POS_TO_ORIENT from geom/s2.py, inlined as CASEs
+    ij_to_pos = {0: [0, 1, 3, 2], 1: [0, 3, 1, 2], 2: [2, 3, 1, 0], 3: [2, 1, 3, 0]}
+    pos_orient = [1, 0, 0, 3]
+    steps = []
+    prev = "s2ij"
+    for idx, k in enumerate(range(level - 1, -1, -1)):
+        p_case = "CASE orient " + " ".join(
+            f"WHEN {o} THEN (CASE ((i >> {k}) & 1) * 2 + ((j >> {k}) & 1) "
+            + " ".join(f"WHEN {ij2} THEN {pos}" for ij2, pos in
+                       enumerate(ij_to_pos[o]))
+            + " END)"
+            for o in range(4)
+        ) + " END"
+        o_case = (f"CASE p WHEN 0 THEN {pos_orient[0]} WHEN 3 THEN "
+                  f"{pos_orient[3]} ELSE 0 END")
+        steps.append(f"""
+            s2p{idx} AS (
+              SELECT doc_id, face, i, j,
+                     xor(orient, {o_case}) AS orient,
+                     pos * 4 + p AS pos
+              FROM (SELECT *, {p_case} AS p FROM {prev})
+            )""")
+        prev = f"s2p{idx}"
+    shift = 2 * (30 - level) + 1  # 45
+    two_shift = 1 << shift
+    marker = 1 << (shift - 1)
+    face_mult = 1 << (2 * level + shift)  # face << 61
+    return f"""
+        {decode}
+        , s2pts AS (
+          SELECT doc_id,
+                 CAST(regexp_extract(geom_wkt, '{_PT_RE}', 1) AS DOUBLE) AS lon,
+                 CAST(regexp_extract(geom_wkt, '{_PT_RE}', 2) AS DOUBLE) AS lat
+          FROM feat2 WHERE geom_kind = 'point'
+          UNION ALL
+          SELECT -1 - k AS doc_id,
+                 CAST((k * 79) % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+                 CAST((k * 37) % 160 AS DOUBLE) - 80 + 0.5 AS lat
+          FROM range(2000) t(k)),
+        s2xyz AS (
+          SELECT doc_id,
+                 cos(radians(lat)) * cos(radians(lon)) AS x,
+                 cos(radians(lat)) * sin(radians(lon)) AS y,
+                 sin(radians(lat)) AS z
+          FROM s2pts),
+        s2fuv AS (
+          SELECT doc_id, x, y, z,
+            CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                   THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                 WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                 ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+          FROM s2xyz),
+        s2uv AS (
+          SELECT doc_id, face,
+            CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                      WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+            CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                      WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+          FROM s2fuv),
+        s2ij AS (
+          SELECT doc_id, face,
+            least(greatest(CAST(floor((CASE WHEN u >= 0
+                THEN 0.5 * sqrt(1 + 3 * u)
+                ELSE 1 - 0.5 * sqrt(1 - 3 * u) END) * {1 << level}) AS BIGINT),
+              0), {(1 << level) - 1}) AS i,
+            least(greatest(CAST(floor((CASE WHEN v >= 0
+                THEN 0.5 * sqrt(1 + 3 * v)
+                ELSE 1 - 0.5 * sqrt(1 - 3 * v) END) * {1 << level}) AS BIGINT),
+              0), {(1 << level) - 1}) AS j,
+            CAST(face % 2 AS BIGINT) AS orient, CAST(0 AS BIGINT) AS pos
+          FROM s2uv),
+        {",".join(steps)},
+        s2id AS (
+          SELECT doc_id,
+            CAST(face AS HUGEINT) * {face_mult}::HUGEINT
+              + CAST(pos AS HUGEINT) * {two_shift}::HUGEINT
+              + {marker}::HUGEINT AS uid
+          FROM {prev}),
+        s2signed AS (
+          SELECT doc_id,
+            CAST(CASE WHEN uid >= 9223372036854775808::HUGEINT
+                 THEN uid - 18446744073709551616::HUGEINT ELSE uid END
+                 AS BIGINT) AS cell8,
+            CAST(CASE WHEN p4 >= 9223372036854775808::HUGEINT
+                 THEN p4 - 18446744073709551616::HUGEINT ELSE p4 END
+                 AS BIGINT) AS parent4
+          FROM (SELECT doc_id, uid,
+                  (uid // {1 << 53}) * {1 << 53}::HUGEINT
+                    + {1 << 52}::HUGEINT AS p4
+                FROM s2id))
+        SELECT cell8, parent4, CAST(count(*) AS BIGINT) AS n_points
+        FROM s2signed GROUP BY cell8, parent4 ORDER BY cell8
+    """
+
+
 def _q_archive_read(spark, sf_dir):
     """mbtiles source connector, cross-engine: Spark reads the compact
     sqlite archive block-parallel (PK-range splits through the tiles view),
@@ -2597,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikidata_names_roundtrip": _q_wikidata_names_roundtrip,
         "archive_read": _q_archive_read,
         "archive_diff": _q_archive_diff,
+        "geo_s2_cells": _q_geo_s2_cells,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_bounds": _q_geo_tiles_bounds,
         "geo_tiles_mvt": _q_geo_tiles_mvt,
@@ -2959,6 +3086,8 @@ def oracle_sql() -> dict[str, str]:
             FROM range({_geojson_fixture_count('/x/' + ORACLE_SF)}) t(i)
             ORDER BY fid
         """,
+        # Full S2 cell-id replay (face/ST/Hilbert bit math in SQL).
+        "geo_s2_cells": _s2_oracle_sql(decode, path),
         # mbtiles-connector replay: tile i at (10, i%32, i//32) carries
         # 1 + i%3 polygon features with rank (i*7+j)%11 and class c{{(i+j)%3}}
         # — DuckDB regenerates the per-y rollup from range() arithmetic,

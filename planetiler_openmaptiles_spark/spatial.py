@@ -247,6 +247,31 @@ def point_cell(lon_lat_wkt_col: Column, zoom: int = CELL_ZOOM) -> Column:
     return cells.cell_of_lonlat(lon, lat, zoom)
 
 
+def s2_cell_udf(level: int = 10):
+    """(lon, lat) -> S2 cell id at `level` (geom/s2.py), Arrow-vectorized.
+    The spherical alternative to the mercator quad key: near-equal cell
+    areas keep per-cell shuffle work flat at high latitudes, and Hilbert
+    ordering makes id ranges spatially compact (range pruning on the
+    sorted cell column)."""
+    from .geom import s2
+
+    @pandas_udf("long")
+    def fn(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        ids = s2.cell_id(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), level
+        )
+        return pd.Series(ids)
+
+    return fn
+
+
+def s2_parent_col(ids: Column, level: int) -> Column:
+    """Ancestor cell at a coarser level — pure Column bit math (stays in
+    whole-stage codegen; geom/s2.py `parent` is the numpy twin)."""
+    lsb = 1 << (2 * (30 - level))
+    return (ids.bitwiseAND(F.lit(-lsb))).bitwiseOR(F.lit(lsb))
+
+
 def point_kring(lon_lat_wkt_col: Column, meters: float, zoom: int = CELL_ZOOM) -> Column:
     from .tiling import cells
 
