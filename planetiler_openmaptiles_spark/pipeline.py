@@ -773,6 +773,29 @@ def write_mbtiles(
     }
 
 
+def write_layerstats(tiles: DataFrame, path: str) -> dict:
+    """Planetiler core `--output-layerstats` analog (TileSizeStats): one TSV
+    of per-(z, layer) encoded sizes — n_tiles, n_features, total/gz/max
+    bytes, biggest tile — the size-budget feedback loop schema authors run
+    after every build. Sizing is distributed (tiling/stats.py rides the
+    sink's own tile partitioning); only the small rollup reaches the
+    driver."""
+    from .tiling.stats import layer_stats, tile_layer_sizes
+
+    rows = (
+        layer_stats(tile_layer_sizes(tiles))
+        .orderBy("z", "layer")
+        .collect()
+    )
+    cols = ["z", "layer", "n_tiles", "n_features", "total_bytes",
+            "total_gz_bytes", "max_bytes", "big_x", "big_y"]
+    with open(path, "w") as f:
+        f.write("\t".join(cols) + "\n")
+        for r in rows:
+            f.write("\t".join(str(r[c]) for c in cols) + "\n")
+    return {"path": path, "rows": len(rows)}
+
+
 def write_pmtiles(
     tiles: DataFrame,
     path: str,
@@ -895,6 +918,9 @@ def main(argv=None):
                     help="also write a gzipped-MVT mbtiles archive here")
     ap.add_argument("--pmtiles", default=None,
                     help="also write a single-file PMTiles v3 archive here")
+    ap.add_argument("--layerstats", default=None,
+                    help="write per-(z,layer) encoded-size stats TSV here "
+                         "(planetiler --output-layerstats analog)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if args.osm_pbf:
@@ -964,6 +990,7 @@ def main(argv=None):
         if args.pmtiles
         else None
     )
+    ls = write_layerstats(tiles_back, args.layerstats) if args.layerstats else None
     wall = time.time() - t0
     report = {
         "tile_features": n_feats,
@@ -980,6 +1007,7 @@ def main(argv=None):
         },
         **({"mbtiles": mb} if mb else {}),
         **({"pmtiles": pm} if pm else {}),
+        **({"layerstats": ls} if ls else {}),
     }
     with open(os.path.join(args.out, "build_report.json"), "w") as f:
         json.dump(report, f, indent=2)
