@@ -39,10 +39,13 @@ def _connect_ro(path: str) -> sqlite3.Connection:
 
 
 def _mbtiles_key_bounds(path: str, n_splits: int) -> list[tuple]:
-    """Driver-side split probe: ~n_splits contiguous (zoom_level,
-    tile_column, tile_row) ranges covering the archive. Probes the
-    physical table (tiles_shallow when compact) so each OFFSET walk is a
-    pure PK-index skip, never a view join."""
+    """Driver-side split plan: ~n_splits contiguous (zoom_level,
+    tile_column, tile_row) ranges covering the archive. ONE grouped
+    index-only scan of the physical table (tiles_shallow when compact)
+    yields per-zoom row counts and column extents; splits are then
+    allocated per zoom proportional to its rows and cut arithmetically
+    along tile_column — no OFFSET walks (an OFFSET probe is O(rows) per
+    split, O(rows x splits) total on a planet archive)."""
     con = _connect_ro(path)
     try:
         names = {
@@ -52,27 +55,25 @@ def _mbtiles_key_bounds(path: str, n_splits: int) -> list[tuple]:
             )
         }
         probe = "tiles_shallow" if "tiles_shallow" in names else "tiles"
-        total = con.execute(f"SELECT count(*) FROM {probe}").fetchone()[0]
-        if total == 0:
-            return []
-        n_splits = max(1, min(n_splits, total))
-        step = total / n_splits
-        bounds = []
-        for i in range(1, n_splits):
-            off = int(round(i * step))
-            row = con.execute(
-                f"SELECT zoom_level, tile_column, tile_row FROM {probe}"
-                " ORDER BY zoom_level, tile_column, tile_row"
-                " LIMIT 1 OFFSET ?",
-                (off,),
-            ).fetchone()
-            if row is not None and (not bounds or tuple(row) != bounds[-1]):
-                bounds.append(tuple(row))
-        lows = [(-1, -1, -1)] + bounds
-        highs = bounds + [(99, 1 << 30, 1 << 30)]
-        return [lo + hi for lo, hi in zip(lows, highs)]
+        zooms = con.execute(
+            f"SELECT zoom_level, count(*), min(tile_column), max(tile_column)"
+            f" FROM {probe} GROUP BY zoom_level ORDER BY zoom_level"
+        ).fetchall()
     finally:
         con.close()
+    total = sum(n for _, n, _, _ in zooms)
+    if total == 0:
+        return []
+    out = []
+    for z, n, x0, x1 in zooms:
+        k = max(1, round(n_splits * n / total))
+        width = x1 - x0 + 1
+        k = min(k, width)
+        cuts = [x0 + (width * i) // k for i in range(k + 1)]
+        for a, b in zip(cuts, cuts[1:]):
+            # half-open on the (z, x) prefix: (z, a-1, MAX) < key <= (z, b-1, MAX)
+            out.append((z, a - 1, 1 << 30, z, b - 1, 1 << 30))
+    return out
 
 
 def read_mbtiles(spark, path: str, n_splits: int | None = None):
@@ -138,45 +139,59 @@ def read_pmtiles(spark, path: str):
     path = os.path.abspath(materialize(path, suffix=".pmtiles"))
     rd = pmt.PmtilesReader(path)
     header = rd.header
-    entries = []  # (tile_id, offset, length)
-    stack = list(rd._root)
-    while stack:
-        e = stack.pop(0)
-        if e.run_length == 0:  # leaf-directory pointer
-            stack[:0] = pmt.deserialize_directory(
-                pmt._maybe_gunzip(
-                    rd._read(header.leaf_offset + e.offset, e.length),
-                    header.internal_compression,
-                )
-            )
-        else:
-            for tid in range(e.tile_id, e.tile_id + e.run_length):
-                entries.append((tid, e.offset, e.length))
+    # the driver ships only ROOT-level rows: direct entries as-is, leaf
+    # DIRECTORY pointers unexpanded (kind=1). Executors deserialize their
+    # leaves and expand run-lengths locally — a planet archive's hundreds
+    # of millions of addressed tiles never materialize on the driver.
+    rows = []
+    for e in rd._root:
+        rows.append((int(e.run_length == 0), e.tile_id, e.offset, e.length,
+                     e.run_length))
     rd.close()
     schema = "z int, x int, y int, tile_data binary"
-    if not entries:
+    if not rows:
         return spark.createDataFrame([], schema)
     data_offset = header.data_offset
+    leaf_offset = header.leaf_offset
+    internal_compression = header.internal_compression
     idx = spark.createDataFrame(
-        entries, "tid long, off long, length long"
-    ).repartition(min(len(entries), spark.sparkContext.defaultParallelism))
+        rows, "kind int, tid long, off long, length long, run long"
+    ).repartition(min(len(rows), spark.sparkContext.defaultParallelism))
 
     def _fetch(batches):
         with open(path, "rb") as f:
+
+            def _emit(tid, off, length, run, out):
+                f.seek(data_offset + int(off))
+                blob = f.read(int(length))
+                for t in range(int(tid), int(tid) + int(run)):
+                    z, x, y = pmt.tile_id_to_zxy(t)
+                    out["z"].append(z)
+                    out["x"].append(x)
+                    out["y"].append(y)
+                    out["tile_data"].append(blob)
+
             for pdf in batches:
-                zs, xs, ys, blobs = [], [], [], []
-                for tid, off, length in pdf.itertuples(index=False):
-                    z, x, y = pmt.tile_id_to_zxy(int(tid))
-                    f.seek(data_offset + int(off))
-                    zs.append(z)
-                    xs.append(x)
-                    ys.append(y)
-                    blobs.append(f.read(int(length)))
+                out = {"z": [], "x": [], "y": [], "tile_data": []}
+                for kind, tid, off, length, run in pdf.itertuples(index=False):
+                    if kind == 0:
+                        _emit(tid, off, length, run, out)
+                    else:  # leaf directory: deserialize + expand locally
+                        f.seek(leaf_offset + int(off))
+                        leaf = pmt.deserialize_directory(
+                            pmt._maybe_gunzip(
+                                f.read(int(length)), internal_compression
+                            )
+                        )
+                        for e in leaf:
+                            if e.run_length > 0:
+                                _emit(e.tile_id, e.offset, e.length,
+                                      e.run_length, out)
                 yield pd.DataFrame(
-                    {"z": pd.Series(zs, dtype="int32"),
-                     "x": pd.Series(xs, dtype="int32"),
-                     "y": pd.Series(ys, dtype="int32"),
-                     "tile_data": blobs}
+                    {"z": pd.Series(out["z"], dtype="int32"),
+                     "x": pd.Series(out["x"], dtype="int32"),
+                     "y": pd.Series(out["y"], dtype="int32"),
+                     "tile_data": out["tile_data"]}
                 )
 
     return idx.mapInPandas(_fetch, schema)

@@ -107,6 +107,68 @@ def _pbf_fixture(rows: int) -> str:
     return path
 
 
+def _archive_fixtures(rows: int) -> tuple[str, str]:
+    """mbtiles (compact schema) + pmtiles with `rows` addressed tiles at
+    z=14, reusing 1024 distinct MVT blobs (ocean-tile-style duplication:
+    storage dedups, the reader still decodes per addressed tile)."""
+    import gzip
+    import sqlite3
+
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.tiling import mvt
+    from planetiler_openmaptiles_spark.tiling import pmtiles as pmt
+
+    mb = os.path.join(GEN, f"srcbench_arc_{rows}_v1.mbtiles")
+    pm = os.path.join(GEN, f"srcbench_arc_{rows}_v1.pmtiles")
+    if os.path.exists(mb) and os.path.exists(pm):
+        return mb, pm
+    os.makedirs(GEN, exist_ok=True)
+    blobs = []
+    for b in range(1024):
+        a = 16.0 + (b % 32) * 0.5
+        ring = np.array([[a, a], [a + 50.0, a], [a + 50.0, a + 50.0],
+                         [a, a + 50.0], [a, a]])
+        blobs.append(mvt.gzip_tile(mvt.encode_tile({"water": [
+            (b, "polygon", ("Polygon", [ring]),
+             {"class": "ocean", "b": str(b)})]})))
+    keys = sorted(
+        (pmt.zxy_to_tile_id(14, i % 4096, (i // 4096) % 4096), i)
+        for i in range(rows)
+    )
+    tmp = mb + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    con = sqlite3.connect(tmp)
+    con.execute("CREATE TABLE metadata (name text, value text)")
+    con.execute(
+        "CREATE TABLE tiles_shallow (zoom_level integer, tile_column integer,"
+        " tile_row integer, tile_data_id integer,"
+        " PRIMARY KEY (zoom_level, tile_column, tile_row)) WITHOUT ROWID")
+    con.execute(
+        "CREATE TABLE tiles_data (tile_data_id integer primary key,"
+        " tile_data blob)")
+    con.execute(
+        "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row,"
+        " tile_data FROM tiles_shallow JOIN tiles_data USING (tile_data_id)")
+    con.executemany("INSERT INTO tiles_data VALUES (?, ?)",
+                    list(enumerate(blobs)))
+    con.executemany(
+        "INSERT INTO tiles_shallow VALUES (?, ?, ?, ?)",
+        [(14, i % 4096, (1 << 14) - 1 - ((i // 4096) % 4096), i % 1024)
+         for _, i in keys],
+    )
+    con.commit()
+    con.close()
+    os.replace(tmp, mb)
+    w = pmt.PmtilesWriter(pm + ".tmp", {"name": "srcbench"})
+    for tid, i in keys:
+        w.add_tile(tid, blobs[i % 1024], compressed=True)
+    w.finish()
+    os.replace(pm + ".tmp", pm)
+    return mb, pm
+
+
 def _time_read(make_df, n_repeat: int = 2) -> tuple[float, int]:
     best, n = float("inf"), 0
     for _ in range(n_repeat):
@@ -114,6 +176,16 @@ def _time_read(make_df, n_repeat: int = 2) -> tuple[float, int]:
         n = make_df().count()
         best = min(best, time.time() - t0)
     return best, n
+
+
+def _decode_archive(spark, path: str, cpus: int):
+    from planetiler_openmaptiles_spark.sources.tile_archive import (
+        decode_tiles, read_mbtiles, read_pmtiles,
+    )
+
+    if path.endswith(".mbtiles"):
+        return decode_tiles(read_mbtiles(spark, path, n_splits=cpus * 2))
+    return decode_tiles(read_pmtiles(spark, path))
 
 
 def main():
@@ -127,6 +199,7 @@ def main():
     gj = _geojson_fixture(args.rows)
     ne = _ne_fixture(max(50_000, args.rows // 3))  # dimension-scale source
     pbf = _pbf_fixture(args.rows * 2)
+    mb, pm = _archive_fixtures(args.rows)
 
     from planetiler_openmaptiles_spark.session import get_spark
 
@@ -136,6 +209,8 @@ def main():
         "geojsonl": os.path.getsize(gj),
         "ne_sqlite": os.path.getsize(ne),
         "osm_pbf": os.path.getsize(pbf),
+        "mbtiles": os.path.getsize(mb),
+        "pmtiles": os.path.getsize(pm),
     }
     results: dict[str, dict] = {k: {} for k in sizes}
     for cpus in widths:
@@ -157,6 +232,8 @@ def main():
             ("ne_sqlite", lambda: read_natural_earth_sqlite(
                 spark, ne, rows_per_split=4000)),
             ("osm_pbf", lambda: read_osm_entities(spark, pbf)),
+            ("mbtiles", lambda: _decode_archive(spark, mb, cpus)),
+            ("pmtiles", lambda: _decode_archive(spark, pm, cpus)),
         ]:
             wall, n = _time_read(make)
             release_caches()
