@@ -137,6 +137,44 @@ def main():
         )
     )
 
+    # 10. archive read+decode — one mapInPandas chain over the split plan
+    # (no shuffle until the consumer asks for one); the tile_diff rollup
+    # below shuffles ONCE per side on the tile key then full-outer joins.
+    from planetiler_openmaptiles_spark.pipeline import write_mbtiles
+    from planetiler_openmaptiles_spark.sources.tile_archive import (
+        decode_tiles, read_mbtiles,
+    )
+    from planetiler_openmaptiles_spark.tiling.diff import tile_diff
+
+    arc = os.path.join(REPO, ".gendata", "plan_audit.mbtiles")
+    from planetiler_openmaptiles_spark.pipeline import build_tiles
+
+    tiles4 = build_tiles(spark, d, Config(only_layers=("water",), max_zoom=4))
+    write_mbtiles(tiles4, arc, max_zoom=4)
+    dec = decode_tiles(read_mbtiles(spark, arc))
+    sections.append(("Tile-archive read + MVT decode (S6: no pre-shuffle)",
+                     explain_str(dec)))
+    sections.append((
+        "Archive diff (one exchange per side, full-outer on tile key)",
+        explain_str(tile_diff(dec, dec)),
+    ))
+
+    # 11. S2 cell aggregation — Arrow UDF projection + ONE map-side-combined
+    # aggregate; the parent column is pure bit math in codegen.
+    from planetiler_openmaptiles_spark.spatial import s2_cell_udf, s2_parent_col
+
+    pts = spark.range(10000).select(
+        ((F.col("id") * 79) % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("id") * 37) % 160 - 80 + 0.5).cast("double").alias("lat"),
+    )
+    s2q = (
+        pts.select(s2_cell_udf(8)(F.col("lon"), F.col("lat")).alias("cell8"))
+        .withColumn("parent4", s2_parent_col(F.col("cell8"), 4))
+        .groupBy("cell8", "parent4").count()
+    )
+    sections.append(("S2 cell aggregation (Arrow UDF + codegen bit math)",
+                     explain_str(s2q)))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
         "Checks: PushedFilters / pruned ReadSchema on scans; BroadcastHashJoin"
