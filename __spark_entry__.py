@@ -2473,21 +2473,13 @@ def _archive_fixtures(sf_dir: str) -> tuple[str, str]:
         tmp = path_a + ".tmp"
         if os.path.exists(tmp):
             os.remove(tmp)
+        from planetiler_openmaptiles_spark.sources.tile_archive import (
+            create_compact_schema,
+        )
+
         con = sqlite3.connect(tmp)
         con.execute("CREATE TABLE metadata (name text, value text)")
-        con.execute(
-            "CREATE TABLE tiles_shallow (zoom_level integer,"
-            " tile_column integer, tile_row integer, tile_data_id integer,"
-            " PRIMARY KEY (zoom_level, tile_column, tile_row)) WITHOUT ROWID"
-        )
-        con.execute(
-            "CREATE TABLE tiles_data (tile_data_id integer primary key,"
-            " tile_data blob)"
-        )
-        con.execute(
-            "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row,"
-            " tile_data FROM tiles_shallow JOIN tiles_data USING (tile_data_id)"
-        )
+        create_compact_schema(con)
         con.execute("INSERT INTO metadata VALUES ('format', 'pbf')")
         seen: dict[bytes, int] = {}
         for i in range(n):

@@ -657,20 +657,9 @@ def write_mbtiles(
     if compact:
         from pyspark.sql.window import Window
 
-        cur.execute(
-            "CREATE TABLE tiles_shallow (zoom_level integer,"
-            " tile_column integer, tile_row integer, tile_data_id integer,"
-            " PRIMARY KEY (zoom_level, tile_column, tile_row)) WITHOUT ROWID"
-        )
-        cur.execute(
-            "CREATE TABLE tiles_data (tile_data_id integer primary key,"
-            " tile_data blob)"
-        )
-        cur.execute(
-            "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row,"
-            " tile_data FROM tiles_shallow"
-            " JOIN tiles_data USING (tile_data_id)"
-        )
+        from .sources.tile_archive import create_compact_schema
+
+        create_compact_schema(con)
         w = Window.partitionBy("tile_data_id")
         blobs = (
             blobs.withColumn("tile_data_id", F.xxhash64("tile_data"))

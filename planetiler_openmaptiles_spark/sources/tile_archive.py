@@ -38,6 +38,25 @@ def _connect_ro(path: str) -> sqlite3.Connection:
     )
 
 
+def create_compact_schema(con: sqlite3.Connection) -> None:
+    """The compact mbtiles DDL (Mbtiles.java --compact-db): one source of
+    truth shared by the sink (pipeline.write_mbtiles), the oracle fixture
+    builder and the connector bench."""
+    con.execute(
+        "CREATE TABLE tiles_shallow (zoom_level integer,"
+        " tile_column integer, tile_row integer, tile_data_id integer,"
+        " PRIMARY KEY (zoom_level, tile_column, tile_row)) WITHOUT ROWID"
+    )
+    con.execute(
+        "CREATE TABLE tiles_data (tile_data_id integer primary key,"
+        " tile_data blob)"
+    )
+    con.execute(
+        "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row,"
+        " tile_data FROM tiles_shallow JOIN tiles_data USING (tile_data_id)"
+    )
+
+
 def _mbtiles_key_bounds(path: str, n_splits: int) -> list[tuple]:
     """Driver-side split plan: ~n_splits contiguous (zoom_level,
     tile_column, tile_row) ranges covering the archive. ONE grouped
@@ -139,6 +158,13 @@ def read_pmtiles(spark, path: str):
     path = os.path.abspath(materialize(path, suffix=".pmtiles"))
     rd = pmt.PmtilesReader(path)
     header = rd.header
+    if header.tile_compression not in (0, 1, 2):  # unknown / none / gzip
+        rd.close()
+        raise ValueError(
+            "unsupported PMTiles tile_compression "
+            f"{header.tile_compression} (only none/gzip); re-encode the "
+            "archive or add a codec"
+        )
     # the driver ships only ROOT-level rows: direct entries as-is, leaf
     # DIRECTORY pointers unexpanded (kind=1). Executors deserialize their
     # leaves and expand run-lengths locally — a planet archive's hundreds
@@ -171,6 +197,18 @@ def read_pmtiles(spark, path: str):
                     out["y"].append(y)
                     out["tile_data"].append(blob)
 
+            def _frame(out):
+                return pd.DataFrame(
+                    {"z": pd.Series(out["z"], dtype="int32"),
+                     "x": pd.Series(out["x"], dtype="int32"),
+                     "y": pd.Series(out["y"], dtype="int32"),
+                     "tile_data": out["tile_data"]}
+                )
+
+            # flush every ~8k tiles so a leaf-dense partition (a planet
+            # archive's z14 band) never accumulates its whole expansion
+            # in one python list before the first Arrow batch leaves
+            flush_rows = 8192
             for pdf in batches:
                 out = {"z": [], "x": [], "y": [], "tile_data": []}
                 for kind, tid, off, length, run in pdf.itertuples(index=False):
@@ -187,12 +225,11 @@ def read_pmtiles(spark, path: str):
                             if e.run_length > 0:
                                 _emit(e.tile_id, e.offset, e.length,
                                       e.run_length, out)
-                yield pd.DataFrame(
-                    {"z": pd.Series(out["z"], dtype="int32"),
-                     "x": pd.Series(out["x"], dtype="int32"),
-                     "y": pd.Series(out["y"], dtype="int32"),
-                     "tile_data": out["tile_data"]}
-                )
+                    if len(out["z"]) >= flush_rows:
+                        yield _frame(out)
+                        out = {"z": [], "x": [], "y": [], "tile_data": []}
+                if out["z"]:
+                    yield _frame(out)
 
     return idx.mapInPandas(_fetch, schema)
 
@@ -208,8 +245,6 @@ def decode_tiles(blobs):
     elem_id, kind, geom_px, attrs). Geometry is re-packed at the MVT
     quantization grid (integer coords / 16 → px floats), so two archives
     of the same build decode to byte-identical frames."""
-    import gzip
-
     import numpy as np
     import pandas as pd
 
@@ -228,14 +263,15 @@ def decode_tiles(blobs):
                     "geom_px", "attrs")}
             for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"],
                                      pdf["tile_data"]):
-                raw = bytes(blob)
-                if raw[:2] == b"\x1f\x8b":
-                    raw = gzip.decompress(raw)
+                # decode_tile gunzips internally, INSIDE its ValueError
+                # normalization — no pre-gunzip here, so a torn gzip
+                # stream surfaces as the one actionable error type
                 seq = 0
-                for lname, layer in mvt.decode_tile(raw).items():
+                for lname, layer in mvt.decode_tile(bytes(blob)).items():
                     for f in layer["features"]:
+                        ipaths = f["paths"]  # integer 1/16-px grid coords
                         paths = [np.asarray(p, dtype=np.float64) / 16.0
-                                 for p in f["paths"]]
+                                 for p in ipaths]
                         if not paths:
                             continue
                         if f["type"] == mvt.GEOM_POINT:
@@ -247,10 +283,12 @@ def decode_tiles(blobs):
                         else:
                             kind = "polygon"
                             # MVT spec: a positive-area ring starts a new
-                            # polygon; following negative rings are holes
+                            # polygon; following negative rings are holes.
+                            # Area sign from the INTEGER rings — the scaled
+                            # float path truncates sub-pixel rings to 0
                             polys, cur = [], None
-                            for p in paths:
-                                if mvt._ring_area2(p) > 0 or cur is None:
+                            for ip, p in zip(ipaths, paths):
+                                if mvt._ring_area2(ip) > 0 or cur is None:
                                     cur = [p]
                                     polys.append(cur)
                                 else:
@@ -261,7 +299,11 @@ def decode_tiles(blobs):
                         out["y"].append(int(y))
                         out["layer"].append(lname)
                         out["seq"].append(seq)
-                        out["elem_id"].append(int(f["id"]))
+                        # encode_tile omits the id field for None/negative
+                        # elem_ids; map absent back to -1 (round-trip safe)
+                        out["elem_id"].append(
+                            int(f["id"]) if f["id"] is not None else -1
+                        )
                         out["kind"].append(kind)
                         out["geom_px"].append(blob_px)
                         out["attrs"].append(

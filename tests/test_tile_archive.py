@@ -129,3 +129,65 @@ def test_compare_archives_detects_change_and_drop(spark, tmp_path):
 def test_read_tile_archive_rejects_unknown():
     with pytest.raises(ValueError):
         ta.read_tile_archive(None, "/tmp/x.tar")
+
+
+def test_decode_tiles_idless_feature_and_subpixel_outer_ring(spark, tmp_path):
+    """Review regressions: (1) encode_tile omits the id field for
+    None/negative elem_ids — decode must map absent ids to -1, not crash;
+    (2) a sub-pixel SECOND outer ring (integer area2 < 256) must start a
+    new polygon, not become a hole of the preceding one."""
+    import sqlite3 as sq
+
+    from planetiler_openmaptiles_spark.sources.tile_archive import (
+        create_compact_schema,
+    )
+
+    big = np.array([[10.0, 10.0], [60.0, 10.0], [60.0, 60.0],
+                    [10.0, 60.0], [10.0, 10.0]])
+    # 0.5 x 0.5 px square: integer-grid area2 = 128, float area2 = 0.5
+    tiny = np.array([[100.0, 100.0], [100.5, 100.0], [100.5, 100.5],
+                     [100.0, 100.5], [100.0, 100.0]])
+    blob = mvt.gzip_tile(mvt.encode_tile({
+        "water": [
+            (-1, "polygon", ("MultiPolygon", [[big], [tiny]]), {"c": "x"}),
+        ]
+    }))
+    path = str(tmp_path / "idless.mbtiles")
+    con = sq.connect(path)
+    con.execute("CREATE TABLE metadata (name text, value text)")
+    create_compact_schema(con)
+    con.execute("INSERT INTO tiles_data VALUES (0, ?)", (blob,))
+    con.execute("INSERT INTO tiles_shallow VALUES (5, 3, (1 << 5) - 1 - 4, 0)")
+    con.commit()
+    con.close()
+
+    rows = ta.decode_tiles(ta.read_mbtiles(spark, path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["elem_id"] == -1  # absent id maps back, no crash
+    from planetiler_openmaptiles_spark.geom import packed
+
+    polys = packed.polys_of(bytes(r["geom_px"]))
+    assert len(polys) == 2  # tiny ring is its own polygon, not a hole
+    assert all(len(rings) == 1 for rings in polys)
+
+
+def test_decode_tiles_corrupt_gzip_raises_valueerror(spark, tmp_path):
+    import sqlite3 as sq
+
+    from planetiler_openmaptiles_spark.sources.tile_archive import (
+        create_compact_schema,
+    )
+
+    path = str(tmp_path / "torn.mbtiles")
+    con = sq.connect(path)
+    con.execute("CREATE TABLE metadata (name text, value text)")
+    create_compact_schema(con)
+    con.execute("INSERT INTO tiles_data VALUES (0, ?)",
+                (b"\x1f\x8b\x08\x00torn-gzip-stream",))
+    con.execute("INSERT INTO tiles_shallow VALUES (5, 3, 27, 0)")
+    con.commit()
+    con.close()
+    with pytest.raises(Exception) as ei:
+        ta.decode_tiles(ta.read_mbtiles(spark, path)).collect()
+    assert "malformed MVT tile" in str(ei.value)
