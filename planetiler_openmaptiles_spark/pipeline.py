@@ -520,6 +520,109 @@ def build_tiles(
     return tiles
 
 
+# layers whose rendered output is a pure function of each document (plus
+# broadcast side tables) — the sound scope for append-shard incremental
+# rebuilds; the excluded layers carry cross-document aggregation state
+PER_DOC_LAYERS = frozenset(
+    {"aerodrome_label", "aeroway", "building", "housenumber", "landcover",
+     "landuse", "mountain_peak", "park", "place", "transportation"}
+)
+
+
+def incremental_retile(
+    spark: SparkSession,
+    base_corpus: str,
+    shard_corpus: str,
+    checkpoint_dir: str,
+    base_tiles_dir: str,
+    config: Config | None = None,
+    new_doc_pred=None,
+) -> DataFrame:
+    """Append-shard incremental build — recompute ONLY the tiles the new
+    shard touches, splice everything else through unchanged. The reference
+    has no update path at all (planetiler is full-planet batch); at 100 TB
+    a daily append re-renders a few thousand tiles instead of 270M.
+
+    Soundness: every finalize key (windows, P1-P4 groupBys, rank stamps,
+    pandas dispatch) starts with (z, x, y) — the reduce is strictly
+    tile-separable — and the seq/ord columns derive from (sort_key,
+    elem_id), not from partition order. So finalizing {old pre-finalize
+    rows of affected tiles ∪ shard rows} is byte-identical to the full
+    rebuild's output for those tiles (asserted by the parity test).
+
+    Mechanics (three bounded jobs, no full-corpus work):
+      1. shard render: decode/layers/explode over the SHARD only;
+      2. affected keys = distinct (z, x, y) of the shard's exploded rows
+         (broadcastable — a shard touches few tiles);
+      3. recompute = finalize(semi-join(old tile_features, affected)
+         ∪ shard rows); splice = anti-join(old finalized tiles, affected)
+         ∪ recompute.
+
+    Requires the base build's checkpoint dir (the ``tile_features`` stage
+    is the pre-finalize table this reads; a killed/deleted checkpoint
+    falls back to an error — rerun the base build). Shard doc_ids must be
+    new (append semantics); replacing docs additionally needs a doc-keyed
+    delete, which the tile_features table doesn't carry.
+
+    Layer scope: only layers whose RENDER is per-document are eligible —
+    layers with cross-document aggregation state (water's biggest-lake
+    registry, waterway's river-length merge, boundary's L/R votes +
+    polygonize, transportation_name's junction max-class, poi's agg_stop,
+    water_name's lake⋈centerline) would need that state recomputed over
+    the full corpus, so the guard below rejects them rather than splice
+    stale rows."""
+    from .checkpoint import CheckpointManager
+    from .tiling.postprocess import finalize_tiles
+
+    config = config or Config()
+    bad = [n for n in config.active_layers() if n not in PER_DOC_LAYERS]
+    if bad:
+        raise ValueError(
+            f"incremental_retile: layers {bad} aggregate across documents; "
+            "restrict Config(only_layers=...) to per-document layers "
+            f"({sorted(PER_DOC_LAYERS)}) or run a full rebuild"
+        )
+    cp = CheckpointManager(checkpoint_dir, enabled=True)
+    fp = _fingerprint(base_corpus, sorted(vars(config).items()))
+    if not cp.has("tile_features", fp):
+        raise ValueError(
+            "incremental_retile needs the base build's tile_features "
+            f"checkpoint in {checkpoint_dir} (fingerprint mismatch or "
+            "missing) — run the full build once first"
+        )
+
+    def _absent():
+        raise AssertionError("resume read expected")
+
+    old_feats = cp.stage("tile_features", fp, _absent, spark)
+
+    # The shard corpus must carry the dimension documents (natural_earth /
+    # water_polygons / lake_centerlines rows) so layer joins see the same
+    # side data as the base build — but those documents were already
+    # rendered into the base tiles. `new_doc_pred` selects the genuinely
+    # NEW documents (e.g. F.col("doc_id").startswith("osm/")); dimension
+    # rows then provide join context without being re-emitted.
+    ctx = make_context(spark, shard_corpus, config)
+    rendered = rendered_features(ctx)
+    if new_doc_pred is not None:
+        rendered = rendered.filter(new_doc_pred)
+    shard_feats = render_tiles(
+        rendered, config.max_zoom, config.simplify_tolerance, config.bounds,
+    )
+    key = ["z", "x", "y"]
+    affected = shard_feats.select(*key).distinct()
+    combined = old_feats.join(F.broadcast(affected), key, "left_semi").unionByName(
+        shard_feats
+    )
+    recomputed = finalize_tiles(combined)
+    old_final = spark.read.parquet(os.path.join(base_tiles_dir, "tiles"))
+    kept = old_final.join(F.broadcast(affected), key, "left_anti")
+    out = kept.unionByName(recomputed.select(*kept.columns))
+    # pass the finalize cache handle through so write_tiles can unpersist
+    out._omt_cached = getattr(recomputed, "_omt_cached", None)
+    return out
+
+
 def write_tiles(tiles: DataFrame, out_dir: str) -> dict:
     """Write the tile table partitioned by zoom (the mbtiles-sink analog,
     S5) and a small metadata JSON.

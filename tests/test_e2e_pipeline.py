@@ -296,3 +296,75 @@ def test_finalize_zoom_bands_parity_and_resume(spark, corpus_dir, tmp_path):
                     Config(only_layers=("water",), max_zoom=8,
                            finalize_zoom_bands=((0, 6),)),
                     checkpoint_dir=str(tmp_path / "ckpt_bad"))
+
+
+def test_incremental_retile_parity_and_guard(spark, corpus_dir, tmp_path):
+    """Append-shard incremental build: recomputing only the shard-touched
+    tiles and splicing the rest must be row-identical to a full rebuild
+    over base ∪ shard (sound because every finalize key is tile-local and
+    the allowlisted layers render per-document)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.pipeline import (
+        incremental_retile, write_tiles,
+    )
+
+    cfg = Config(
+        only_layers=("building", "housenumber", "transportation", "place"),
+        max_zoom=10,
+    )
+
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    # shard = ~10% of the OSM documents; dimension documents (natural_earth
+    # / water_polygons / lake_centerlines rows) ride along in BOTH corpora
+    # so layer joins see identical side data — new_doc_pred keeps the shard
+    # from re-emitting them
+    is_dim = ~F.col("doc_id").startswith("osm/")
+    is_new = F.col("doc_id").startswith("osm/") & F.substring(
+        F.col("doc_id"), -1, 1
+    ).isin("3", "7")
+    base_dir = str(tmp_path / "base_corpus")
+    shard_dir = str(tmp_path / "shard_corpus")
+    for d, pred in ((base_dir, ~is_new), (shard_dir, is_new | is_dim)):
+        os.makedirs(d, exist_ok=True)
+        docs.filter(pred).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        for side in ("lake_centerlines.parquet", "natural_earth.parquet",
+                     "wikidata.parquet"):
+            src = os.path.join(corpus_dir, side)
+            dst = os.path.join(d, side)
+            (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    full = build_tiles(spark, corpus_dir, cfg,
+                       checkpoint_dir=str(tmp_path / "ckpt_full"))
+
+    ckpt_base = str(tmp_path / "ckpt_base")
+    base = build_tiles(spark, base_dir, cfg, checkpoint_dir=ckpt_base)
+    base_out = str(tmp_path / "base_out")
+    write_tiles(base, base_out)
+
+    inc = incremental_retile(
+        spark, base_dir, shard_dir, ckpt_base, base_out, cfg,
+        new_doc_pred=F.col("doc_id").startswith("osm/"),
+    )
+
+    def rows(df):
+        return sorted(
+            (r["z"], r["x"], r["y"], r["layer"], r["seq"],
+             bytes(r["geom_px"]), tuple(sorted(r["attrs"].items())))
+            for r in df.collect())
+
+    inc_rows = rows(inc)
+    assert inc_rows == rows(full)
+    assert docs.filter(is_new).count() > 0
+    assert len(inc_rows) > 0
+
+    # cross-document layers are rejected, not silently spliced stale
+    with pytest.raises(ValueError, match="aggregate across documents"):
+        incremental_retile(
+            spark, base_dir, shard_dir, ckpt_base, base_out,
+            Config(only_layers=("water", "building"), max_zoom=10),
+        )
