@@ -537,6 +537,7 @@ def incremental_retile(
     base_tiles_dir: str,
     config: Config | None = None,
     new_doc_pred=None,
+    removed_doc_ids: list | None = None,
 ) -> DataFrame:
     """Append-shard incremental build — recompute ONLY the tiles the new
     shard touches, splice everything else through unchanged. The reference
@@ -560,9 +561,16 @@ def incremental_retile(
 
     Requires the base build's checkpoint dir (the ``tile_features`` stage
     is the pre-finalize table this reads; a killed/deleted checkpoint
-    falls back to an error — rerun the base build). Shard doc_ids must be
-    new (append semantics); replacing docs additionally needs a doc-keyed
-    delete, which the tile_features table doesn't carry.
+    falls back to an error — rerun the base build).
+
+    ``removed_doc_ids`` extends append to UPDATE/DELETE (the OSM daily-diff
+    shape): the pre-finalize table carries doc_id, so removed docs' rows
+    are dropped from the affected-tile recompute, and the tiles they used
+    to occupy join the affected set. A replace is remove(old id) + the new
+    version in the shard. Finding where removed docs lived costs one
+    column-pruned (doc_id, z, x, y) scan of the pre-finalize table — at
+    100 TB keep a doc→tile-range index beside the checkpoint if diffs are
+    frequent.
 
     Layer scope: only layers whose RENDER is per-document are eligible —
     layers with cross-document aggregation state (water's biggest-lake
@@ -611,6 +619,15 @@ def incremental_retile(
     )
     key = ["z", "x", "y"]
     affected = shard_feats.select(*key).distinct()
+    if removed_doc_ids:
+        rem = spark.createDataFrame(
+            [(str(i),) for i in removed_doc_ids], "doc_id string"
+        )
+        affected = affected.unionByName(
+            old_feats.join(F.broadcast(rem), "doc_id", "left_semi")
+            .select(*key).distinct()
+        ).distinct()
+        old_feats = old_feats.join(F.broadcast(rem), "doc_id", "left_anti")
     combined = old_feats.join(F.broadcast(affected), key, "left_semi").unionByName(
         shard_feats
     )

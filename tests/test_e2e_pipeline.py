@@ -368,3 +368,68 @@ def test_incremental_retile_parity_and_guard(spark, corpus_dir, tmp_path):
             spark, base_dir, shard_dir, ckpt_base, base_out,
             Config(only_layers=("water", "building"), max_zoom=10),
         )
+
+
+def test_incremental_retile_delete_and_replace(spark, corpus_dir, tmp_path):
+    """The OSM daily-diff shape: removed_doc_ids drops a doc's rows from
+    the affected-tile recompute. Delete parity: base build + remove(D)
+    must equal a full rebuild without D. Replace identity: remove(D) +
+    re-append identical D must reproduce the base build exactly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.pipeline import (
+        incremental_retile, write_tiles,
+    )
+
+    cfg = Config(only_layers=("building", "housenumber", "place"), max_zoom=9)
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    is_dim = ~F.col("doc_id").startswith("osm/")
+    is_del = F.col("doc_id").startswith("osm/") & F.substring(
+        F.col("doc_id"), -1, 1
+    ).isin("1")
+    deleted = [r["doc_id"] for r in docs.filter(is_del).select("doc_id").collect()]
+    assert deleted
+
+    def mk(name, pred):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        docs.filter(pred).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        for side in ("lake_centerlines.parquet", "natural_earth.parquet",
+                     "wikidata.parquet"):
+            src = os.path.join(corpus_dir, side)
+            dst = os.path.join(d, side)
+            (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+        return d
+
+    minus_dir = mk("minus", ~is_del)        # full corpus without D
+    dim_dir = mk("dim_only", is_dim)        # empty shard (dimensions only)
+    repl_dir = mk("repl", is_dim | is_del)  # D re-appended unchanged
+
+    ckpt = str(tmp_path / "ckpt_b")
+    base = build_tiles(spark, corpus_dir, cfg, checkpoint_dir=ckpt)
+    base_out = str(tmp_path / "b_out")
+    write_tiles(base, base_out)
+
+    def rows(df):
+        return sorted(
+            (r["z"], r["x"], r["y"], r["layer"], r["seq"],
+             bytes(r["geom_px"]), tuple(sorted(r["attrs"].items())))
+            for r in df.collect())
+
+    pred = F.col("doc_id").startswith("osm/")
+    inc_del = incremental_retile(
+        spark, corpus_dir, dim_dir, ckpt, base_out, cfg,
+        new_doc_pred=pred, removed_doc_ids=deleted,
+    )
+    full_minus = build_tiles(spark, minus_dir, cfg,
+                             checkpoint_dir=str(tmp_path / "ckpt_m"))
+    assert rows(inc_del) == rows(full_minus)
+
+    inc_repl = incremental_retile(
+        spark, corpus_dir, repl_dir, ckpt, base_out, cfg,
+        new_doc_pred=pred, removed_doc_ids=deleted,
+    )
+    assert rows(inc_repl) == rows(base)
