@@ -84,3 +84,120 @@ def incremental_tile_build(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_tile_stream(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config=None,
+    max_files_per_trigger: int = 16,
+):
+    """EXACT incremental tile materialization over a document stream —
+    the merge-on-read upgrade of ``incremental_tile_build`` (which defers
+    cross-batch merging). Per micro-batch:
+
+      1. render the batch's documents and APPEND their pre-finalize rows
+         to a cumulative ``state_tile_features`` table (the streaming
+         analog of the batch checkpoint ``incremental_retile`` reads);
+      2. recompute ONLY the affected tile keys from the cumulative state
+         (sound for the same reason as incremental_retile: every finalize
+         key starts with (z, x, y));
+      3. append the recomputed tiles stamped with the batch id — a later
+         batch's rows supersede earlier rows for the same tile key.
+
+    ``read_current_tiles`` resolves the latest version per tile key
+    (merge-on-read); ``compact_tiles`` rewrites the table to just the
+    current rows (the periodic compaction an Iceberg MOR table runs).
+    Restricted to the per-document layer allowlist (pipeline.PER_DOC_LAYERS)
+    — cross-document layers need a full rebuild."""
+    import os
+
+    from ..features import union_features
+    from ..layers import Config, LayerContext, transform_all
+    from ..pipeline import PER_DOC_LAYERS
+    from ..tiling.explode import render_tiles
+    from ..tiling.postprocess import finalize_tiles
+
+    config = config or Config()
+    bad = [n for n in config.active_layers() if n not in PER_DOC_LAYERS]
+    if bad:
+        raise ValueError(
+            f"incremental_tile_stream: layers {bad} aggregate across "
+            "documents; restrict Config(only_layers=...) to "
+            f"{sorted(PER_DOC_LAYERS)}"
+        )
+    state_dir = os.path.join(out_dir, "state_tile_features")
+    tiles_dir = os.path.join(out_dir, "tiles_mor")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        from ..layers.util import names_map
+
+        feats = decode_documents(batch_df).withColumn("names", names_map())
+        ctx = LayerContext(spark=spark, features=feats, side={}, config=config)
+        rendered = union_features(transform_all(ctx))
+        batch_feats = render_tiles(
+            rendered, config.max_zoom, config.simplify_tolerance, config.bounds
+        )
+        batch_feats.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(state_dir)
+        # re-read this batch's own rows from the state (cheap, pruned) so
+        # the render runs once; recompute from the CUMULATIVE state
+        state = spark.read.parquet(state_dir)
+        affected = (
+            state.filter(F.col("_batch_id") == batch_id)
+            .select("z", "x", "y").distinct()
+        )
+        combined = state.drop("_batch_id").join(
+            F.broadcast(affected), ["z", "x", "y"], "left_semi"
+        )
+        recomputed = finalize_tiles(combined)
+        recomputed.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(tiles_dir)
+        cached = getattr(recomputed, "_omt_cached", None)
+        if cached is not None:
+            cached.unpersist()
+
+    stream = stream_documents(spark, docs_path, max_files_per_trigger)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_current_tiles(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read: latest batch's rows per tile key. One aggregate on
+    the tile key + one co-partitioned join — the read-side cost compaction
+    amortizes away."""
+    import os
+
+    mor = spark.read.parquet(os.path.join(out_dir, "tiles_mor"))
+    latest = mor.groupBy("z", "x", "y").agg(
+        F.max("_batch_id").alias("_batch_id")
+    )
+    return mor.join(latest, ["z", "x", "y", "_batch_id"]).drop("_batch_id")
+
+
+def compact_tiles(spark: SparkSession, out_dir: str) -> int:
+    """Rewrite tiles_mor to only the current rows (drops superseded
+    versions); returns the current row count."""
+    import os
+
+    cur = read_current_tiles(spark, out_dir).withColumn(
+        "_batch_id", F.lit(-1)
+    )
+    tmp = os.path.join(out_dir, "tiles_mor_compact")
+    cur.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    final = os.path.join(out_dir, "tiles_mor")
+    shutil.rmtree(final)
+    os.replace(tmp, final)
+    return spark.read.parquet(final).count()

@@ -213,3 +213,71 @@ def test_windowed_counts_append_mode_drops_late_data(spark, tmp_path):
     # the 03:00 window is still open (watermark has not passed it), so
     # append mode has not emitted it yet
     assert "2026-01-01 03:00:00" not in rows
+
+
+def test_incremental_tile_stream_exact_mor(spark, corpus_dir, tmp_path):
+    """Exact streaming materialization: after two micro-batches, the
+    merge-on-read current tiles equal the batch pipeline over ALL docs
+    (same code path), and compaction preserves them while dropping
+    superseded versions."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.layers import Config, LayerContext, transform_all
+    from planetiler_openmaptiles_spark.layers.util import names_map
+    from planetiler_openmaptiles_spark.features import union_features
+    from planetiler_openmaptiles_spark.spans import decode_documents
+    from planetiler_openmaptiles_spark.streaming.incremental import (
+        compact_tiles, incremental_tile_stream, read_current_tiles,
+    )
+    from planetiler_openmaptiles_spark.tiling.explode import render_tiles
+    from planetiler_openmaptiles_spark.tiling.postprocess import finalize_tiles
+
+    cfg = Config(only_layers=("building", "housenumber", "transportation"),
+                 max_zoom=9)
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    split = F.substring(F.col("doc_id"), -1, 1).isin("3", "7")
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    import glob
+
+    for name, pred in (("b0.parquet", ~split), ("b1.parquet", split)):
+        d = str(tmp_path / ("w_" + name))
+        docs.filter(pred).coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0],
+                    os.path.join(src, name))
+
+    out = str(tmp_path / "mor_out")
+    q = incremental_tile_stream(
+        spark, src, out, str(tmp_path / "mor_ckpt"), config=cfg,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    feats = decode_documents(docs).withColumn("names", names_map())
+    ctx = LayerContext(spark=spark, features=feats, side={}, config=cfg)
+    full = finalize_tiles(render_tiles(
+        union_features(transform_all(ctx)), cfg.max_zoom,
+        cfg.simplify_tolerance, cfg.bounds))
+
+    def rows(df):
+        return sorted(
+            (r["z"], r["x"], r["y"], r["layer"], r["seq"],
+             bytes(r["geom_px"]), tuple(sorted(r["attrs"].items())))
+            for r in df.collect())
+
+    want = rows(full)
+    assert rows(read_current_tiles(spark, out)) == want
+    # superseded versions exist pre-compaction (batch 1 rewrote some keys)
+    mor = spark.read.parquet(os.path.join(out, "tiles_mor"))
+    assert mor.count() > len(want)
+    n = compact_tiles(spark, out)
+    assert n == len(want)
+    assert rows(read_current_tiles(spark, out)) == want
+
+    # cross-document layers rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="aggregate across documents"):
+        incremental_tile_stream(
+            spark, src, out, str(tmp_path / "mor_ckpt2"),
+            config=Config(only_layers=("water",)),
+        )
