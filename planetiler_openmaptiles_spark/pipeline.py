@@ -327,6 +327,16 @@ def _build_context(spark: SparkSession, corpus_dir: str, config: Config) -> Laye
         from .sources.wikidata_names import read_wikidata_names
 
         side["wikidata"] = read_wikidata_names(spark, cfg0.wikidata_json)
+    return context_from_docs(spark, docs, side, config)
+
+
+def context_from_docs(
+    spark: SparkSession, docs: DataFrame, side: dict, config: Config | None
+) -> LayerContext:
+    """documents DF (+ side tables) → LayerContext with the SAME decode /
+    wikidata / i18n-names treatment as a corpus-dir build — shared by
+    _build_context and the streaming incremental path so streamed tiles
+    carry identical name attrs to a batch build of the same corpus."""
     # the decoded features feed 30 table projections + several plan-time
     # collects (NE registries, region polygons) — persist the decode once.
     # At full scale this is the decode-stage checkpoint instead.
@@ -582,6 +592,8 @@ def incremental_retile(
     from .checkpoint import CheckpointManager
     from .tiling.postprocess import finalize_tiles
 
+    from .layers import load_addon_modules
+
     config = config or Config()
     bad = [n for n in config.active_layers() if n not in PER_DOC_LAYERS]
     if bad:
@@ -589,6 +601,13 @@ def incremental_retile(
             f"incremental_retile: layers {bad} aggregate across documents; "
             "restrict Config(only_layers=...) to per-document layers "
             f"({sorted(PER_DOC_LAYERS)}) or run a full rebuild"
+        )
+    if load_addon_modules(config):
+        # addons bypass active_layers(); their cross-document-ness is
+        # unknowable here, so reject rather than splice stale rows
+        raise ValueError(
+            "incremental_retile: addon layers are not supported — their "
+            "render may aggregate across documents; run a full rebuild"
         )
     cp = CheckpointManager(checkpoint_dir, enabled=True)
     fp = _fingerprint(base_corpus, sorted(vars(config).items()))
@@ -614,9 +633,21 @@ def incremental_retile(
     rendered = rendered_features(ctx)
     if new_doc_pred is not None:
         rendered = rendered.filter(new_doc_pred)
+    else:
+        # default: anything already in the base corpus is NOT new — this
+        # keeps the required ride-along dimension documents (and any
+        # accidentally re-shipped docs) from being emitted twice. One
+        # doc_id-pruned scan of the base corpus + an anti-join; pass an
+        # explicit predicate to skip it.
+        base_ids = load_documents(spark, base_corpus).select("doc_id")
+        rendered = rendered.join(base_ids, "doc_id", "left_anti")
     shard_feats = render_tiles(
         rendered, config.max_zoom, config.simplify_tolerance, config.bounds,
     )
+    # the shard render feeds BOTH the affected-key set and the combined
+    # union — materialize it once instead of re-running decode+layers+
+    # explode per consumer
+    shard_feats = shard_feats.localCheckpoint(eager=True)
     key = ["z", "x", "y"]
     affected = shard_feats.select(*key).distinct()
     if removed_doc_ids:

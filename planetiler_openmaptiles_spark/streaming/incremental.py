@@ -93,6 +93,7 @@ def incremental_tile_stream(
     checkpoint_dir: str,
     config=None,
     max_files_per_trigger: int = 16,
+    side_corpus: str | None = None,
 ):
     """EXACT incremental tile materialization over a document stream —
     the merge-on-read upgrade of ``incremental_tile_build`` (which defers
@@ -111,12 +112,27 @@ def incremental_tile_stream(
     (merge-on-read); ``compact_tiles`` rewrites the table to just the
     current rows (the periodic compaction an Iceberg MOR table runs).
     Restricted to the per-document layer allowlist (pipeline.PER_DOC_LAYERS)
-    — cross-document layers need a full rebuild."""
+    — cross-document layers need a full rebuild.
+
+    ``side_corpus``: a corpus dir whose documents (dimension sources) and
+    side tables (wikidata) join every batch for CONTEXT — place/NE joins
+    and name translations then match a batch build — without being
+    re-emitted (the side corpus's doc_ids are anti-joined out of each
+    batch's rendered rows).
+
+    Replay safety: both the cumulative state and the tiles table are
+    partitioned by ``_batch_id`` and written with dynamic partition
+    overwrite, so an at-least-once foreachBatch replay of batch N rewrites
+    partition N instead of duplicating it."""
     import os
 
     from ..features import union_features
-    from ..layers import Config, LayerContext, transform_all
-    from ..pipeline import PER_DOC_LAYERS
+    from ..layers import (
+        Config, LayerContext, load_addon_modules, transform_all,
+    )
+    from ..pipeline import (
+        PER_DOC_LAYERS, context_from_docs, load_documents, load_side_tables,
+    )
     from ..tiling.explode import render_tiles
     from ..tiling.postprocess import finalize_tiles
 
@@ -128,23 +144,42 @@ def incremental_tile_stream(
             "documents; restrict Config(only_layers=...) to "
             f"{sorted(PER_DOC_LAYERS)}"
         )
+    if load_addon_modules(config):
+        raise ValueError(
+            "incremental_tile_stream: addon layers are not supported — "
+            "their render may aggregate across documents"
+        )
     state_dir = os.path.join(out_dir, "state_tile_features")
     tiles_dir = os.path.join(out_dir, "tiles_mor")
+    side_docs = side_ids = None
+    side = {}
+    if side_corpus:
+        side_docs = load_documents(spark, side_corpus)
+        side_ids = side_docs.select("doc_id")
+        side = load_side_tables(spark, side_corpus)
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        from ..layers.util import names_map
-
-        feats = decode_documents(batch_df).withColumn("names", names_map())
-        ctx = LayerContext(spark=spark, features=feats, side={}, config=config)
+        docs = (
+            batch_df.unionByName(side_docs) if side_docs is not None
+            else batch_df
+        )
+        ctx = context_from_docs(spark, docs, side, config)
         rendered = union_features(transform_all(ctx))
+        if side_ids is not None:
+            rendered = rendered.join(side_ids, "doc_id", "left_anti")
         batch_feats = render_tiles(
             rendered, config.max_zoom, config.simplify_tolerance, config.bounds
         )
-        batch_feats.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(state_dir)
+        (
+            batch_feats.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_dir)
+        )
+        ctx.features.unpersist()
         # re-read this batch's own rows from the state (cheap, pruned) so
         # the render runs once; recompute from the CUMULATIVE state
         state = spark.read.parquet(state_dir)
@@ -156,9 +191,13 @@ def incremental_tile_stream(
             F.broadcast(affected), ["z", "x", "y"], "left_semi"
         )
         recomputed = finalize_tiles(combined)
-        recomputed.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(tiles_dir)
+        (
+            recomputed.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(tiles_dir)
+        )
         cached = getattr(recomputed, "_omt_cached", None)
         if cached is not None:
             cached.unpersist()
@@ -187,17 +226,22 @@ def read_current_tiles(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def compact_tiles(spark: SparkSession, out_dir: str) -> int:
     """Rewrite tiles_mor to only the current rows (drops superseded
-    versions); returns the current row count."""
+    versions); returns the current row count. Run with the stream STOPPED
+    (like an Iceberg maintenance job taking the table lock); the swap is
+    crash-safe — the old table is moved aside before the new one lands,
+    so no window exists where tiles_mor is missing both."""
     import os
+    import shutil
 
     cur = read_current_tiles(spark, out_dir).withColumn(
         "_batch_id", F.lit(-1)
     )
     tmp = os.path.join(out_dir, "tiles_mor_compact")
-    cur.write.mode("overwrite").parquet(tmp)
-    import shutil
-
+    cur.write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
     final = os.path.join(out_dir, "tiles_mor")
-    shutil.rmtree(final)
+    old = final + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(final, old)
     os.replace(tmp, final)
+    shutil.rmtree(old)
     return spark.read.parquet(final).count()

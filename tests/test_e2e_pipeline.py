@@ -346,9 +346,10 @@ def test_incremental_retile_parity_and_guard(spark, corpus_dir, tmp_path):
     base_out = str(tmp_path / "base_out")
     write_tiles(base, base_out)
 
+    # no new_doc_pred: the default anti-joins the base corpus's doc_ids,
+    # which must exclude the ride-along dimension documents on its own
     inc = incremental_retile(
         spark, base_dir, shard_dir, ckpt_base, base_out, cfg,
-        new_doc_pred=F.col("doc_id").startswith("osm/"),
     )
 
     def rows(df):

@@ -216,47 +216,61 @@ def test_windowed_counts_append_mode_drops_late_data(spark, tmp_path):
 
 
 def test_incremental_tile_stream_exact_mor(spark, corpus_dir, tmp_path):
-    """Exact streaming materialization: after two micro-batches, the
-    merge-on-read current tiles equal the batch pipeline over ALL docs
-    (same code path), and compaction preserves them while dropping
-    superseded versions."""
+    """Exact streaming materialization: after two micro-batches of OSM
+    documents (dimension docs + wikidata arriving via side_corpus), the
+    merge-on-read current tiles equal the REAL batch pipeline over the
+    whole corpus — including NE-joined place attrs and i18n names — and
+    compaction preserves them while dropping superseded versions."""
+    import glob
+
     from pyspark.sql import functions as F
 
-    from planetiler_openmaptiles_spark.layers import Config, LayerContext, transform_all
-    from planetiler_openmaptiles_spark.layers.util import names_map
-    from planetiler_openmaptiles_spark.features import union_features
-    from planetiler_openmaptiles_spark.spans import decode_documents
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import (
+        make_context, rendered_features,
+    )
     from planetiler_openmaptiles_spark.streaming.incremental import (
         compact_tiles, incremental_tile_stream, read_current_tiles,
     )
     from planetiler_openmaptiles_spark.tiling.explode import render_tiles
     from planetiler_openmaptiles_spark.tiling.postprocess import finalize_tiles
 
-    cfg = Config(only_layers=("building", "housenumber", "transportation"),
-                 max_zoom=9)
+    cfg = Config(
+        only_layers=("building", "housenumber", "transportation", "place"),
+        max_zoom=9,
+    )
     docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    is_osm = F.col("doc_id").startswith("osm/")
     split = F.substring(F.col("doc_id"), -1, 1).isin("3", "7")
+
     src = str(tmp_path / "docs_stream")
     os.makedirs(src)
-    import glob
-
-    for name, pred in (("b0.parquet", ~split), ("b1.parquet", split)):
+    for name, pred in (("b0.parquet", is_osm & ~split),
+                       ("b1.parquet", is_osm & split)):
         d = str(tmp_path / ("w_" + name))
         docs.filter(pred).coalesce(1).write.parquet(d)
         shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0],
                     os.path.join(src, name))
+    side_dir = str(tmp_path / "side_corpus")
+    os.makedirs(side_dir)
+    docs.filter(~is_osm).write.parquet(
+        os.path.join(side_dir, "documents.parquet"))
+    for side in ("lake_centerlines.parquet", "natural_earth.parquet",
+                 "wikidata.parquet"):
+        srcp = os.path.join(corpus_dir, side)
+        dstp = os.path.join(side_dir, side)
+        (shutil.copytree if os.path.isdir(srcp) else shutil.copy2)(srcp, dstp)
 
     out = str(tmp_path / "mor_out")
     q = incremental_tile_stream(
         spark, src, out, str(tmp_path / "mor_ckpt"), config=cfg,
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, side_corpus=side_dir,
     )
     q.awaitTermination(600)
 
-    feats = decode_documents(docs).withColumn("names", names_map())
-    ctx = LayerContext(spark=spark, features=feats, side={}, config=cfg)
+    ctx = make_context(spark, corpus_dir, cfg)
     full = finalize_tiles(render_tiles(
-        union_features(transform_all(ctx)), cfg.max_zoom,
+        rendered_features(ctx), cfg.max_zoom,
         cfg.simplify_tolerance, cfg.bounds))
 
     def rows(df):
@@ -267,6 +281,8 @@ def test_incremental_tile_stream_exact_mor(spark, corpus_dir, tmp_path):
 
     want = rows(full)
     assert rows(read_current_tiles(spark, out)) == want
+    # place must actually exercise the NE dimension join via side_corpus
+    assert any(t[3] == "place" for t in want)
     # superseded versions exist pre-compaction (batch 1 rewrote some keys)
     mor = spark.read.parquet(os.path.join(out, "tiles_mor"))
     assert mor.count() > len(want)

@@ -47,11 +47,15 @@ def main() -> None:
     )
     from planetiler_openmaptiles_spark.session import get_spark
 
+    from planetiler_openmaptiles_spark.pipeline import PER_DOC_LAYERS
+
     spark = get_spark(master=args.master)
-    cfg = Config(
-        only_layers=tuple(n for n in args.only_layers.split(",") if n),
-        max_zoom=args.max_zoom,
-    )
+    layers = tuple(n for n in args.only_layers.split(",") if n)
+    if not layers:
+        # the full 16-layer set includes cross-document layers the
+        # incremental guard rejects — default to the per-doc allowlist
+        layers = tuple(sorted(PER_DOC_LAYERS))
+    cfg = Config(only_layers=layers, max_zoom=args.max_zoom)
     pred = (
         F.col("doc_id").startswith(args.new_doc_prefix)
         if args.new_doc_prefix else None
