@@ -668,6 +668,9 @@ def incremental_retile(
     out = kept.unionByName(recomputed.select(*kept.columns))
     # pass the finalize cache handle through so write_tiles can unpersist
     out._omt_cached = getattr(recomputed, "_omt_cached", None)
+    # the affected key set, for downstream in-place archive updates
+    # (update_mbtiles) without recomputing it
+    out._omt_affected = affected
     return out
 
 
@@ -911,6 +914,71 @@ def write_mbtiles(
         "distinct_blobs": n_blobs if compact else n_tiles,
         "compact": compact,
     }
+
+
+def update_mbtiles(tiles: DataFrame, path: str, affected: DataFrame) -> dict:
+    """In-place incremental update of a COMPACT mbtiles archive: delete the
+    affected tile keys, insert their recomputed blobs (deduping against the
+    blobs already in ``tiles_data`` via indexed PK probes — no global hash
+    set on the driver), then garbage-collect orphaned blobs with one SQL
+    anti-join. Together with ``incremental_retile`` this takes a daily
+    append/diff all the way to the served archive without rewriting it.
+
+    ``tiles``: the recomputed feature rows for the affected keys (e.g.
+    ``incremental_retile``'s output semi-joined to them, or the whole
+    spliced frame — only rows matching ``affected`` are written).
+    ``affected``: DataFrame of (z, x, y) keys to replace (collected —
+    a diff touches few tiles)."""
+    import sqlite3
+
+    keys = [(int(r["z"]), int(r["x"]), int(r["y"]))
+            for r in affected.select("z", "x", "y").distinct().collect()]
+    if not keys:
+        return {"path": path, "updated": 0, "gc_blobs": 0}
+    kdf = tiles.sparkSession.createDataFrame(keys, "z int, x int, y int")
+    blobs = encode_mvt_blobs(
+        tiles.join(F.broadcast(kdf), ["z", "x", "y"], "left_semi")
+    ).withColumn("tile_data_id", F.xxhash64("tile_data"))
+
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    is_compact = cur.execute(
+        "SELECT count(*) FROM sqlite_master WHERE name='tiles_shallow'"
+    ).fetchone()[0]
+    if not is_compact:
+        con.close()
+        raise ValueError("update_mbtiles requires the compact schema "
+                         "(write_mbtiles compact=True)")
+    n = 0
+    for z, x, y in keys:
+        cur.execute(
+            "DELETE FROM tiles_shallow WHERE zoom_level=? AND tile_column=?"
+            " AND tile_row=?", (z, x, (1 << z) - 1 - y))
+    for row in blobs.toLocalIterator():
+        z, x, y = row["z"], row["x"], row["y"]
+        did = int(row["tile_data_id"])
+        have = cur.execute(
+            "SELECT tile_data FROM tiles_data WHERE tile_data_id=?", (did,)
+        ).fetchone()
+        blob = bytes(row["tile_data"])
+        if have is None:
+            cur.execute("INSERT INTO tiles_data VALUES (?, ?)", (did, blob))
+        elif bytes(have[0]) != blob:
+            con.close()
+            raise RuntimeError(
+                f"xxhash64 collision updating z{z}/{x}/{y} — rewrite the "
+                "archive with write_mbtiles")
+        cur.execute(
+            "INSERT INTO tiles_shallow VALUES (?, ?, ?, ?)",
+            (z, x, (1 << z) - 1 - y, did))
+        n += 1
+    gc = cur.execute(
+        "DELETE FROM tiles_data WHERE tile_data_id NOT IN"
+        " (SELECT tile_data_id FROM tiles_shallow)"
+    ).rowcount
+    con.commit()
+    con.close()
+    return {"path": path, "updated": n, "gc_blobs": gc}
 
 
 def write_layerstats(tiles: DataFrame, path: str) -> dict:

@@ -191,3 +191,42 @@ def test_decode_tiles_corrupt_gzip_raises_valueerror(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         ta.decode_tiles(ta.read_mbtiles(spark, path)).collect()
     assert "malformed MVT tile" in str(ei.value)
+
+
+def test_update_mbtiles_in_place_matches_fresh_write(spark, tmp_path):
+    """Incremental archive update: deleting + reinserting only the
+    affected keys (changed transportation tile, dropped place tile) makes
+    the archive byte-identical to a fresh write of the new build, and
+    orphaned blobs are garbage-collected."""
+    from planetiler_openmaptiles_spark.pipeline import (
+        update_mbtiles, write_mbtiles,
+    )
+
+    a, b = _tiles_df(spark, 0), _tiles_df(spark, 1)
+    upd = str(tmp_path / "upd.mbtiles")
+    fresh = str(tmp_path / "fresh.mbtiles")
+    write_mbtiles(a, upd, max_zoom=6)
+    write_mbtiles(b, fresh, max_zoom=6)
+
+    affected = spark.createDataFrame(
+        [(6, 12, 21), (6, 13, 21)], "z int, x int, y int"
+    )  # changed transportation + dropped place
+    rep = update_mbtiles(b, upd, affected)
+    assert rep["updated"] == 1          # only the transportation tile remains
+    assert rep["gc_blobs"] >= 1         # old transportation + place blobs
+
+    con_u = sqlite3.connect(upd)
+    con_f = sqlite3.connect(fresh)
+    q = ("SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+         " ORDER BY 1, 2, 3")
+    assert con_u.execute(q).fetchall() == con_f.execute(q).fetchall()
+    # dedup state identical to a fresh write (same xxhash64 ids, orphans gone)
+    cnt = "SELECT count(*) FROM tiles_data"
+    assert con_u.execute(cnt).fetchone() == con_f.execute(cnt).fetchone()
+    con_u.close(); con_f.close()
+
+    # plain-schema archives are rejected
+    plain = str(tmp_path / "plain.mbtiles")
+    write_mbtiles(a, plain, max_zoom=6, compact=False)
+    with pytest.raises(ValueError, match="compact"):
+        update_mbtiles(b, plain, affected)

@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--only-layers", default="")
     ap.add_argument("--max-zoom", type=int, default=14)
     ap.add_argument("--new-doc-prefix", default=None)
+    ap.add_argument("--update-mbtiles", default=None,
+                    help="also update this compact mbtiles archive in "
+                         "place (delete+reinsert only the affected tiles)")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
 
@@ -66,10 +69,17 @@ def main() -> None:
     )
     written = write_tiles(tiles, args.out)
     back = spark.read.parquet(written["path"])
-    print(json.dumps({
+    report = {
         "tile_features": back.count(),
         "tiles": back.select("z", "x", "y").distinct().count(),
-    }))
+    }
+    if args.update_mbtiles:
+        from planetiler_openmaptiles_spark.pipeline import update_mbtiles
+
+        report["mbtiles"] = update_mbtiles(
+            back, args.update_mbtiles, tiles._omt_affected
+        )
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
