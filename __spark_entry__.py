@@ -2661,6 +2661,68 @@ def _q_archive_read(spark, sf_dir):
     )
 
 
+def _archive_tile_rows(i: int, bump_rank: bool):
+    """The FEATURE rows behind _archive_tile (same arithmetic, pre-encode):
+    encode_mvt_blobs over these produces byte-identical blobs."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.geom import packed
+
+    rows = []
+    for j in range(1 + i % 3):
+        a = 16.0 + 12.5 * j
+        ring = np.array([[a, a], [a + 50.0, a], [a + 50.0, a + 50.0],
+                         [a, a + 50.0], [a, a]])
+        rank = (i * 7 + j) % 11 + (1 if bump_rank else 0)
+        rows.append((10, i % 32, i // 32, "water", j, i * 10 + j, "polygon",
+                     packed.from_polys([[ring]]),
+                     {"rank": str(rank), "class": f"c{(i + j) % 3}"}))
+    return rows
+
+
+def _q_archive_update(spark, sf_dir):
+    """In-place incremental archive update, cross-engine: copy the mbtiles
+    fixture, update_mbtiles the affected keys (delete i%17==0, rank-bump
+    i%5==0 — the same delta the pmtiles variant carries), read the updated
+    archive back distributed and roll up per y; DuckDB regenerates the
+    post-update rollup from the delta arithmetic without touching any
+    archive."""
+    import shutil
+
+    from planetiler_openmaptiles_spark.pipeline import update_mbtiles
+    from planetiler_openmaptiles_spark.sources.tile_archive import (
+        decode_tiles, read_mbtiles,
+    )
+
+    path_a, _ = _archive_fixtures(sf_dir)
+    n = _archive_fixture_count(sf_dir)
+    upd = path_a.replace(".mbtiles", "_upd.mbtiles")
+    tmp = upd + ".tmp"
+    shutil.copy(path_a, tmp)
+    keys = [i for i in range(n) if i % 5 == 0 or i % 17 == 0]
+    rows = [r for i in keys if i % 17 != 0
+            for r in _archive_tile_rows(i, i % 5 == 0)]
+    schema = ("z int, x int, y int, layer string, seq long, elem_id long,"
+              " kind string, geom_px binary, attrs map<string,string>")
+    tiles_df = spark.createDataFrame(rows, schema)
+    affected = spark.createDataFrame(
+        [(10, i % 32, i // 32) for i in keys], "z int, x int, y int"
+    )
+    update_mbtiles(tiles_df, tmp, affected)
+    os.replace(tmp, upd)
+    feats = decode_tiles(read_mbtiles(spark, upd))
+    return (
+        feats.groupBy("y")
+        .agg(
+            F.countDistinct("x").alias("n_tiles"),
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.element_at("attrs", "rank").cast("long")).alias("sum_rank"),
+            F.countDistinct(F.element_at("attrs", "class")).alias("n_classes"),
+        )
+        .orderBy("y")
+    )
+
+
 def _q_archive_diff(spark, sf_dir):
     """CompareArchives parity, cross-engine AND cross-format: diff the
     mbtiles fixture against the pmtiles variant (dropped + rank-bumped
@@ -2715,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikidata_names_roundtrip": _q_wikidata_names_roundtrip,
         "archive_read": _q_archive_read,
         "archive_diff": _q_archive_diff,
+        "archive_update": _q_archive_update,
         "geo_s2_cells": _q_geo_s2_cells,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_bounds": _q_geo_tiles_bounds,
@@ -3093,6 +3156,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT i % 32) AS BIGINT) AS n_tiles,
                    CAST(count(*) AS BIGINT) AS n_features,
                    CAST(sum((i * 7 + j) % 11) AS BIGINT) AS sum_rank,
+                   CAST(count(DISTINCT (i + j) % 3) AS BIGINT) AS n_classes
+            FROM feat GROUP BY 1 ORDER BY y
+        """,
+        # In-place update replay: the updated archive's content is the
+        # delta applied to A — drop i%17==0, rank+1 on i%5==0 — so the
+        # per-y rollup is closed-form over range(n) with those rules.
+        "archive_update": f"""
+            WITH feat AS (
+              SELECT i, j FROM range({_archive_fixture_count('/x/' + ORACLE_SF)}) t(i),
+                   range(3) s(j) WHERE j <= i % 3 AND i % 17 <> 0
+            )
+            SELECT CAST(i // 32 AS INT) AS y,
+                   CAST(count(DISTINCT i % 32) AS BIGINT) AS n_tiles,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(sum((i * 7 + j) % 11
+                            + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sum_rank,
                    CAST(count(DISTINCT (i + j) % 3) AS BIGINT) AS n_classes
             FROM feat GROUP BY 1 ORDER BY y
         """,
