@@ -976,6 +976,31 @@ def update_mbtiles(tiles: DataFrame, path: str, affected: DataFrame) -> dict:
         "DELETE FROM tiles_data WHERE tile_data_id NOT IN"
         " (SELECT tile_data_id FROM tiles_shallow)"
     ).rowcount
+    # refresh the metadata rows the update can shift (zoom extremes, and
+    # bounds/center from the deepest zoom's covered range) — index-only
+    # probes, no blob scan
+    zr = cur.execute(
+        "SELECT min(zoom_level), max(zoom_level) FROM tiles_shallow"
+    ).fetchone()
+    if zr[0] is not None:
+        from .geom import mercator
+
+        zmax = int(zr[1])
+        x0, x1, r0, r1 = cur.execute(
+            "SELECT min(tile_column), max(tile_column), min(tile_row),"
+            " max(tile_row) FROM tiles_shallow WHERE zoom_level=?", (zmax,)
+        ).fetchone()
+        nt = 1 << zmax
+        y0, y1 = nt - 1 - int(r1), nt - 1 - int(r0)  # undo TMS flip
+        w, n_lat = mercator.world_to_lonlat(x0 / nt, y0 / nt)
+        e, s_lat = mercator.world_to_lonlat((x1 + 1) / nt, (y1 + 1) / nt)
+        for k, v in (
+            ("minzoom", str(int(zr[0]))),
+            ("maxzoom", str(zmax)),
+            ("bounds", f"{w:.5f},{s_lat:.5f},{e:.5f},{n_lat:.5f}"),
+            ("center", f"{(w + e) / 2:.5f},{(s_lat + n_lat) / 2:.5f},{zmax}"),
+        ):
+            cur.execute("UPDATE metadata SET value=? WHERE name=?", (v, k))
     con.commit()
     con.close()
     return {"path": path, "updated": n, "gc_blobs": gc}

@@ -223,6 +223,10 @@ def test_update_mbtiles_in_place_matches_fresh_write(spark, tmp_path):
     # dedup state identical to a fresh write (same xxhash64 ids, orphans gone)
     cnt = "SELECT count(*) FROM tiles_data"
     assert con_u.execute(cnt).fetchone() == con_f.execute(cnt).fetchone()
+    # metadata refreshed to match the post-update content
+    meta = "SELECT name, value FROM metadata WHERE name IN" \
+           " ('minzoom','maxzoom','bounds','center') ORDER BY name"
+    assert con_u.execute(meta).fetchall() == con_f.execute(meta).fetchall()
     con_u.close(); con_f.close()
 
     # plain-schema archives are rejected
