@@ -1830,6 +1830,41 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_features(docs).orderBy("doc_id")
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Robust winnowing fingerprint selection (Schleimer et al. 2003,
+    the MOSS scheme). Spark checkpoints every k-gram hash to aux;
+    DuckDB independently replays the windowed min + rightmost tie-break
+    + overlap dedup — the selection logic itself — over those hashes."""
+    from planetiler_openmaptiles_spark.textops.textstats import (
+        winnow_fingerprints, winnow_gram_hashes)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(winnow_gram_hashes(F.col("text"), 5)).alias("pos", "h"),
+    )
+    _write_aux(grams, sf_dir, "winnow_grams")
+    return winnow_fingerprints(docs, k=5, w=4).orderBy("doc_id", "pos")
+
+
+def _q_winnow_matches(spark, sf_dir):
+    """Document-overlap candidates from shared winnowing fingerprints
+    (df-capped self-join). DuckDB replays selection AND the cap/join/
+    threshold from the same gram-hash aux."""
+    from planetiler_openmaptiles_spark.textops.textstats import (
+        winnow_gram_hashes, winnow_matches)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(winnow_gram_hashes(F.col("text"), 5)).alias("pos", "h"),
+    )
+    _write_aux(grams, sf_dir, "winnow_grams")
+    return winnow_matches(docs, k=5, w=4, min_shared=2, max_df=10).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def _q_hash_split(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.mixing import hash_split
 
@@ -2796,6 +2831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_matches": _q_winnow_matches,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
         "domain_mix": _q_domain_mix,
@@ -3539,6 +3576,50 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor((tok_start + n_tokens - 1) / 2048.0)
                    - floor(tok_start / 2048.0) + 1 AS INT) AS n_chunks
             FROM s ORDER BY doc_id
+        """,
+        "winnow_fingerprints": f"""
+            WITH g AS (SELECT doc_id, pos, h
+                       FROM read_parquet('{_aux_path("winnow_grams")}/*.parquet')),
+            n AS (SELECT doc_id, count(*) AS nh FROM g GROUP BY 1),
+            win AS (SELECT doc_id, unnest(range(greatest(nh - 3, 1))) AS j FROM n),
+            cand AS (
+              SELECT w.doc_id, w.j, g.pos, g.h
+              FROM win w JOIN g ON g.doc_id = w.doc_id
+                               AND g.pos BETWEEN w.j AND w.j + 3),
+            sel AS (
+              SELECT doc_id, pos, h FROM (
+                SELECT c.*, row_number() OVER (PARTITION BY doc_id, j
+                              ORDER BY h, pos DESC) AS rn
+                FROM cand c) WHERE rn = 1)
+            SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h AS fp
+            FROM sel ORDER BY doc_id, pos
+        """,
+        "winnow_matches": f"""
+            WITH g AS (SELECT doc_id, pos, h
+                       FROM read_parquet('{_aux_path("winnow_grams")}/*.parquet')),
+            n AS (SELECT doc_id, count(*) AS nh FROM g GROUP BY 1),
+            win AS (SELECT doc_id, unnest(range(greatest(nh - 3, 1))) AS j FROM n),
+            cand AS (
+              SELECT w.doc_id, w.j, g.pos, g.h
+              FROM win w JOIN g ON g.doc_id = w.doc_id
+                               AND g.pos BETWEEN w.j AND w.j + 3),
+            sel AS (
+              SELECT doc_id, pos, h FROM (
+                SELECT c.*, row_number() OVER (PARTITION BY doc_id, j
+                              ORDER BY h, pos DESC) AS rn
+                FROM cand c) WHERE rn = 1),
+            dfp AS (SELECT DISTINCT doc_id, h AS fp FROM sel),
+            ok AS (SELECT fp FROM (
+                     SELECT fp, count(DISTINCT doc_id) AS df FROM dfp GROUP BY 1)
+                   WHERE df <= 10),
+            rare AS (SELECT dfp.doc_id, dfp.fp FROM dfp JOIN ok USING (fp))
+            SELECT doc_a, doc_b, n_shared FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(DISTINCT a.fp) AS INT) AS n_shared
+              FROM rare a JOIN rare b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE n_shared >= 2 ORDER BY doc_a, doc_b
         """,
         "hash_split": r"""
             WITH u AS (

@@ -253,6 +253,103 @@ def tfidf_top_terms(docs, text_col: str = "text", k: int = 5,
     )
 
 
+# ------------------------------------------------ winnowing (Schleimer 2003)
+
+
+def winnow_gram_hashes(text: Column, k: int = 5) -> Column:
+    """Array of word ``k``-gram hashes in position order (xxhash64 of the
+    space-joined gram, JVM-side). Empty array for docs shorter than ``k``
+    words."""
+    words = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    nh = F.size(words) - (k - 1)
+    return F.when(
+        nh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nh),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_fingerprints(docs, k: int = 5, w: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Robust winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    fingerprint selection): slide a window of ``w`` consecutive k-gram
+    hashes over each document and keep the minimum hash per window,
+    rightmost occurrence on ties; overlapping windows re-selecting the
+    same position collapse to one fingerprint. Guarantees every shared
+    substring of length >= k + w - 1 words contributes at least one
+    common selected fingerprint between two documents — the property
+    that makes the *selected subset* (~1/w of all grams) sufficient for
+    plagiarism/overlap detection.
+
+    Returns exploded ``(doc_id, pos, fp)`` rows, one per selected
+    fingerprint (``pos`` = 0-based gram position).
+
+    Scale shape: selection is pure per-row array math (whole-stage
+    codegen, no shuffle, no Python); the explode multiplies rows by
+    ~n_grams/w, a w-fold REDUCTION over indexing every gram. Documents
+    shorter than one window degrade to the global-min fingerprint.
+    """
+    hashes = winnow_gram_hashes(F.col(text_col), k)
+    d = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
+    nh = F.size(F.col("hs"))
+    nw = F.greatest(nh - (w - 1), F.lit(1))
+    # per window j (0-based): min over struct(hash, -pos) = min hash,
+    # rightmost position on ties; guard the tail for the degenerate
+    # shorter-than-w case via least(j+w, nh)
+    sel = F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(j, F.least(j + F.lit(w), nh) - 1),
+                lambda p: F.struct(
+                    F.element_at(F.col("hs"), p + 1).alias("h"),
+                    (-p).alias("negp"),
+                ),
+            )
+        ),
+    )
+    fps = F.array_distinct(
+        F.transform(sel, lambda s: F.struct((-s["negp"]).cast("int").alias("pos"),
+                                            s["h"].alias("fp")))
+    )
+    return (
+        d.filter(nh >= 1)
+        .select("doc_id", F.explode(fps).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_matches(docs, k: int = 5, w: int = 4, min_shared: int = 2,
+                   max_df: int = 10, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Document-overlap candidates from shared winnowing fingerprints:
+    pairs (a < b) sharing >= ``min_shared`` distinct selected
+    fingerprints. Fingerprints selected in more than ``max_df``
+    documents (boilerplate) are dropped BEFORE the self-join, bounding
+    the join at df^2 per fingerprint instead of corpus-quadratic — same
+    inverted-index cap discipline as ``ngram_jaccard``."""
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                              id_col=id_col).select("doc_id", "fp").distinct()
+    df_ok = (
+        fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    rare = fps.join(df_ok, "fp")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count_distinct(F.col("a.fp")).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ------------------------------------------------------- sequence packing
 
 

@@ -967,3 +967,77 @@ def test_hash_embed_unit_norm_and_similarity(spark):
     assert vecs[0] == vecs[1]
     cos = sum(a * b for a, b in zip(vecs[0], vecs[2]))
     assert cos < 0.9  # disjoint vocab -> far from identical direction
+
+
+def test_winnow_fingerprints_python_reference(spark):
+    """Winnowing selection matches a literal python implementation of
+    Schleimer et al. 2003 (window min, rightmost tie-break, overlap
+    dedup), including the shorter-than-one-window degenerate case."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.textstats import (
+        winnow_fingerprints, winnow_gram_hashes)
+
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "x y a b c d e f g z"),      # shares the a..g run with doc 1
+        (3, "p q r s t u"),               # 6 words -> 2 grams < one window
+        (4, "one two three four five"),   # exactly one gram
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 5, 4
+
+    # python reference over the engine's own gram hashes (xxhash64 is
+    # JVM-side; selection logic is what's under test)
+    grams = {
+        r["doc_id"]: r["hs"]
+        for r in docs.select(
+            "doc_id", winnow_gram_hashes(F.col("text"), k).alias("hs")
+        ).collect()
+    }
+    expect = set()
+    for did, hs in grams.items():
+        if not hs:
+            continue
+        nw = max(len(hs) - w + 1, 1)
+        for j in range(nw):
+            window = hs[j:j + w]
+            m = min(window)
+            pos = j + max(i for i, h in enumerate(window) if h == m)
+            expect.add((did, pos, m))
+
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+    assert got == expect
+    # winnowing guarantee: docs 1 and 2 share a >= k+w-1 word run, so at
+    # least one selected fingerprint must be common
+    f1 = {fp for d, p, fp in got if d == 1}
+    f2 = {fp for d, p, fp in got if d == 2}
+    assert f1 & f2
+
+
+def test_winnow_matches_pairs_and_cap(spark):
+    from planetiler_openmaptiles_spark.textops.textstats import winnow_matches
+
+    base = "the quick brown fox jumps over the lazy dog today again"
+    rows = [
+        (1, base),
+        (2, base + " extra trailing words here"),
+        (3, "totally disjoint vocabulary sentence nothing shared at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_matches(docs, k=5, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in pair for pair in got)
+    # df cap: a fingerprint present in every doc is dropped before the join
+    many = [(i, base) for i in range(1, 8)]
+    docs2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert winnow_matches(docs2, k=5, w=4, min_shared=1, max_df=3).count() == 0
