@@ -1865,6 +1865,19 @@ def _q_winnow_matches(spark, sf_dir):
     )
 
 
+def _q_link_pagerank(spark, sf_dir):
+    """Content-link graph + weighted PageRank (the centrality weighting a
+    crawl-quality pipeline applies; Common Crawl publishes host-level
+    PageRank for exactly this). Edges = documents sharing a rare word
+    8-gram (df-capped inverted-index join); 5 PageRank iterations. The
+    DuckDB oracle re-derives the graph from raw text AND unrolls all 5
+    iterations as chained CTEs — nothing is trusted."""
+    from planetiler_openmaptiles_spark.textops.graph import document_pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return document_pagerank(docs, n=8, max_df=4, iters=5).orderBy("doc_id")
+
+
 def _q_hash_split(spark, sf_dir):
     from planetiler_openmaptiles_spark.textops.mixing import hash_split
 
@@ -2833,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,
+        "link_pagerank": _q_link_pagerank,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
         "domain_mix": _q_domain_mix,
@@ -2877,6 +2891,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ==================================================================== oracles
+
+
+def _pagerank_oracle_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled-iteration PageRank replay (train_logreg precedent): DuckDB
+    re-derives the rare-8-gram link graph from raw text, then chains one
+    CTE per PageRank iteration."""
+    lead = " || ' ' || ".join(
+        ["g"] + [f"lead(g, {i}) OVER win" for i in range(1, 8)]
+    )
+    sql = f"""
+        WITH w AS (SELECT doc_id,
+                          regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                   FROM documents),
+        wpos AS (SELECT doc_id, unnest(words) AS g,
+                        generate_subscripts(words, 1) AS pos FROM w),
+        g8 AS (SELECT DISTINCT doc_id, {lead} AS gram
+               FROM wpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+               QUALIFY gram IS NOT NULL),
+        dfc AS (SELECT gram FROM (
+                  SELECT gram, count(*) AS df FROM g8 GROUP BY 1)
+                WHERE df <= 4),
+        rg AS (SELECT g8.doc_id, g8.gram FROM g8 JOIN dfc USING (gram)),
+        edges AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                         count(DISTINCT a.gram) AS weight
+                  FROM rg a JOIN rg b
+                    ON a.gram = b.gram AND a.doc_id != b.doc_id
+                  GROUP BY 1, 2),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        ow AS (SELECT src, sum(weight) AS wout FROM edges GROUP BY 1),
+        e AS (SELECT src, dst, CAST(weight AS DOUBLE) / wout AS share
+              FROM edges JOIN ow USING (src)),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+        pr{i} AS (
+          SELECT n.node,
+                 CAST({1.0 - d} AS DOUBLE) / nn.n
+                   + {d} * coalesce(sum(p.rank * e.share), 0) AS rank
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN e ON e.dst = n.node
+          LEFT JOIN pr{i - 1} p ON p.node = e.src
+          GROUP BY n.node, nn.n)"""
+    sql += f""",
+        deg AS (SELECT src AS node, CAST(count(*) AS INT) AS degree
+                FROM edges GROUP BY 1)
+        SELECT node AS doc_id, round(rank, 6) AS rank, degree
+        FROM pr{iters} JOIN deg USING (node) ORDER BY doc_id
+    """
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3577,6 +3642,7 @@ def oracle_sql() -> dict[str, str]:
                    - floor(tok_start / 2048.0) + 1 AS INT) AS n_chunks
             FROM s ORDER BY doc_id
         """,
+        "link_pagerank": _pagerank_oracle_sql(iters=5, d=0.85),
         "winnow_fingerprints": f"""
             WITH g AS (SELECT doc_id, pos, h
                        FROM read_parquet('{_aux_path("winnow_grams")}/*.parquet')),

@@ -1041,3 +1041,55 @@ def test_winnow_matches_pairs_and_cap(spark):
     many = [(i, base) for i in range(1, 8)]
     docs2 = spark.createDataFrame(many, "doc_id long, text string")
     assert winnow_matches(docs2, k=5, w=4, min_shared=1, max_df=3).count() == 0
+
+
+def test_pagerank_numpy_reference(spark):
+    """Distributed PageRank matches a dense numpy power-iteration on a
+    hand-built weighted graph, iteration for iteration."""
+    import numpy as np
+
+    from planetiler_openmaptiles_spark.textops.graph import pagerank
+
+    # 0-1-2 triangle plus a 3-4 dumbbell edge (symmetric, weighted)
+    raw = [(0, 1, 2), (0, 2, 1), (1, 2, 1), (3, 4, 1)]
+    sym = raw + [(b, a, w) for a, b, w in raw]
+    edges = spark.createDataFrame(sym, "src long, dst long, weight int")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=5, d=0.85).collect()}
+
+    nodes = sorted({x for a, b, _ in sym for x in (a, b)})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    share = np.zeros((n, n))
+    wout = {}
+    for a, b, w in sym:
+        wout[a] = wout.get(a, 0) + w
+    for a, b, w in sym:
+        share[idx[b], idx[a]] = w / wout[a]
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = (1 - 0.85) / n + 0.85 * share @ r
+    for node, i in idx.items():
+        assert abs(got[node] - round(r[i], 6)) < 2e-6
+    # symmetric graph conserves mass
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_shared_gram_edges_symmetric_and_capped(spark):
+    from planetiler_openmaptiles_spark.textops.graph import shared_gram_edges
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    rows = [
+        (1, run + " one"),
+        (2, run + " two"),       # shares the rare 8-gram with 1
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in shared_gram_edges(docs, n=8, max_df=4).collect()}
+    assert (1, 2) in got and (2, 1) in got        # both directions
+    assert got[(1, 2)] == got[(2, 1)] == 1
+    assert all(3 not in k for k in got)
+    # df cap: the same gram in 5 docs (> max_df) produces no edges
+    many = [(i, run) for i in range(10, 15)]
+    docs2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert shared_gram_edges(docs2, n=8, max_df=4).count() == 0
