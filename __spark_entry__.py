@@ -1865,6 +1865,20 @@ def _q_winnow_matches(spark, sf_dir):
     )
 
 
+def _q_minhash_recall(spark, sf_dir):
+    """Dedup-index evaluation: recall/precision of the banded MinHash-LSH
+    candidates vs EXACT shingle Jaccard at 0.5/0.7/0.9 — the tuning loop
+    before a 100 TB dedup pass (ann_recall's sibling for the dedup
+    family). DuckDB re-derives the exact truth from raw text and replays
+    the capped LSH bucket join over the bands aux."""
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        minhash_bands, minhash_recall)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _write_aux(minhash_bands(docs), sf_dir, "minhash_bands")
+    return minhash_recall(docs).orderBy("threshold")
+
+
 def _q_link_pagerank(spark, sf_dir):
     """Content-link graph + weighted PageRank (the centrality weighting a
     crawl-quality pipeline applies; Common Crawl publishes host-level
@@ -2847,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,
         "link_pagerank": _q_link_pagerank,
+        "minhash_recall": _q_minhash_recall,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
         "domain_mix": _q_domain_mix,
@@ -3643,6 +3658,57 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_oracle_sql(iters=5, d=0.85),
+        "minhash_recall": f"""
+            WITH d AS (SELECT doc_id,
+                              lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                       FROM documents),
+            w AS (SELECT doc_id, string_split(t, ' ') AS words FROM d),
+            wpos AS (SELECT doc_id, unnest(words) AS g,
+                            generate_subscripts(words, 1) AS pos FROM w),
+            g5 AS (SELECT DISTINCT doc_id,
+                          g || ' ' || lead(g,1) OVER win || ' ' || lead(g,2) OVER win
+                            || ' ' || lead(g,3) OVER win || ' ' || lead(g,4) OVER win AS s
+                   FROM wpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                   QUALIFY s IS NOT NULL),
+            sh AS (SELECT doc_id, s FROM g5
+                   WHERE doc_id IN (SELECT doc_id FROM w WHERE len(words) >= 5)
+                   UNION ALL
+                   SELECT doc_id, array_to_string(words, ' ') AS s
+                   FROM w WHERE len(words) < 5),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            truth AS (SELECT doc_a, doc_b,
+                             CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int) AS jac
+                      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                                 JOIN sizes sb ON sb.doc_id = doc_b),
+            banded0 AS (SELECT doc_id, band, bucket
+                        FROM read_parquet('{_aux_path("minhash_bands")}/*.parquet')),
+            banded AS (SELECT doc_id, band, bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY band, bucket
+                              ORDER BY doc_id) AS rn
+                FROM banded0) WHERE rn <= 200),
+            lsh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM banded a JOIN banded b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id),
+            nl AS (SELECT count(*) AS n_lsh FROM lsh),
+            tj AS (SELECT t.*, (l.doc_a IS NOT NULL) AS hit
+                   FROM truth t LEFT JOIN lsh l USING (doc_a, doc_b)),
+            th AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE),
+                                  CAST(0.9 AS DOUBLE)]) AS threshold),
+            res AS (SELECT th.threshold,
+                           count(*) FILTER (WHERE tj.jac >= th.threshold) AS n_true,
+                           count(*) FILTER (WHERE tj.jac >= th.threshold AND tj.hit) AS n_hit
+                    FROM th CROSS JOIN tj GROUP BY 1)
+            SELECT threshold, n_true, n_hit, n_lsh,
+              CASE WHEN n_true > 0
+                   THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) ELSE 1.0 END AS recall,
+              CASE WHEN n_lsh > 0
+                   THEN round(CAST(n_hit AS DOUBLE) / n_lsh, 6) ELSE 1.0 END AS precision
+            FROM res CROSS JOIN nl ORDER BY threshold
+        """,
         "winnow_fingerprints": f"""
             WITH g AS (SELECT doc_id, pos, h
                        FROM read_parquet('{_aux_path("winnow_grams")}/*.parquet')),

@@ -510,3 +510,105 @@ def exact_substring_dedup(docs: DataFrame, text_col: str = "text",
         F.coalesce(F.col("removed_chars"), F.lit(0)).cast("int").alias("removed_chars"),
         rebuilt.alias("dedup_text"),
     ).withColumn("kept_len", F.length("dedup_text").cast("int"))
+
+
+def minhash_recall(
+    docs: DataFrame,
+    thresholds: tuple = (0.5, 0.7, 0.9),
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 200,
+    sample_frac: float = 1.0,
+) -> DataFrame:
+    """Dedup-index tuning harness: recall and precision of the banded
+    MinHash-LSH candidate pairs against EXACT shingle-set Jaccard, per
+    Jaccard threshold — the measurement loop a team runs to pick
+    (num_hashes, bands) before committing a 100 TB dedup pass.
+
+    Ground truth is all pairs sharing at least one shingle (pairs sharing
+    none have Jaccard 0 and can never reach a positive threshold), built
+    from the same inverted-index self-join shape as ``ngram_jaccard`` but
+    deliberately UNCAPPED — a df cap would bias the truth set. That makes
+    this stage quadratic in the worst case, which is why ``sample_frac``
+    exists: evaluation runs on a deterministic md5-uniform document sample
+    (exactly how you'd run it at production scale), never the full corpus.
+
+    Returns one row per threshold:
+    ``(threshold, n_true, n_hit, n_lsh, recall, precision)``.
+    """
+    if sample_frac < 1.0:
+        u = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") / F.lit(4294967296.0)
+        )
+        docs = docs.filter(u < sample_frac)
+    docs = docs.select("doc_id", text_col).persist()
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_int"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int"))).alias("jac"),
+        )
+    )
+    lsh = minhash_lsh_pairs(
+        docs, text_col, num_hashes, bands, shingle_n, max_bucket
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+
+    joined = truth.join(lsh, ["doc_a", "doc_b"], "left")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        aggs.append(F.count_if(F.col("jac") >= t).alias(f"t{i}"))
+        aggs.append(
+            F.count_if((F.col("jac") >= t) & F.col("hit").isNotNull()).alias(f"h{i}")
+        )
+    row = joined.agg(*aggs).crossJoin(
+        lsh.agg(F.count("*").alias("n_lsh"))
+    )
+    per_t = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(t)).alias("threshold"),
+                    F.col(f"t{i}").alias("n_true"),
+                    F.col(f"h{i}").alias("n_hit"),
+                )
+                for i, t in enumerate(thresholds)
+            ]
+        )
+    )
+    out = row.select(per_t.alias("r"), "n_lsh").select(
+        "r.threshold", "r.n_true", "r.n_hit", "n_lsh"
+    )
+    docs.unpersist()
+    recall = F.when(
+        F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)
+    ).otherwise(F.lit(1.0))
+    precision = F.when(
+        F.col("n_lsh") > 0, F.round(F.col("n_hit") / F.col("n_lsh"), 6)
+    ).otherwise(F.lit(1.0))
+    return out.select(
+        "threshold", "n_true", "n_hit", "n_lsh",
+        recall.alias("recall"), precision.alias("precision"),
+    )

@@ -1093,3 +1093,25 @@ def test_shared_gram_edges_symmetric_and_capped(spark):
     many = [(i, run) for i in range(10, 15)]
     docs2 = spark.createDataFrame(many, "doc_id long, text string")
     assert shared_gram_edges(docs2, n=8, max_df=4).count() == 0
+
+
+def test_minhash_recall_harness(spark):
+    """Identical docs have Jaccard 1.0 and collide in every LSH band, so
+    recall at every threshold must count them; disjoint docs never enter
+    the truth set."""
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),   # exact dup of 1
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),   # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from planetiler_openmaptiles_spark.textops.dedup import minhash_recall
+
+    got = {r["threshold"]: r for r in minhash_recall(docs).collect()}
+    for t in (0.5, 0.7, 0.9):
+        assert got[t]["n_true"] == 1 and got[t]["n_hit"] == 1
+        assert got[t]["recall"] == 1.0
+    # deterministic md5 sampling: same frac -> same rows, 0 frac -> empty
+    a = minhash_recall(docs, sample_frac=0.6).collect()
+    b = minhash_recall(docs, sample_frac=0.6).collect()
+    assert a == b
