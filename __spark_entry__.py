@@ -1865,6 +1865,19 @@ def _q_winnow_matches(spark, sf_dir):
     )
 
 
+def _q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): mutual-best
+    ratio-margin pairs between the en and es corpus sides over hashing-
+    trick embeddings. DuckDB re-derives the embeddings from raw text (md5
+    buckets), the cross-side cosines, the top-k hub normalizers, and both
+    mutual-best windows — end-to-end, no aux."""
+    from planetiler_openmaptiles_spark.textops.bitext import mine_bitext
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mine_bitext(docs, lang_x="en", lang_y="es", k=4,
+                       threshold=1.0).orderBy("x_id")
+
+
 def _q_minhash_recall(spark, sf_dir):
     """Dedup-index evaluation: recall/precision of the banded MinHash-LSH
     candidates vs EXACT shingle Jaccard at 0.5/0.7/0.9 — the tuning loop
@@ -2862,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches": _q_winnow_matches,
         "link_pagerank": _q_link_pagerank,
         "minhash_recall": _q_minhash_recall,
+        "bitext_mine": _q_bitext_mine,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
         "domain_mix": _q_domain_mix,
@@ -3658,6 +3672,64 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_oracle_sql(iters=5, d=0.85),
+        "bitext_mine": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents WHERE lang IN ('en', 'es')),
+            kv AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(x.t), 1, 8))::BIGINT % 64 AS b
+              FROM toks, unnest(w) AS x(t)),
+            counts AS (SELECT doc_id, lang, b, count(*) AS c
+                       FROM kv GROUP BY 1, 2, 3),
+            nrm AS (SELECT doc_id, sqrt(sum(CAST(c AS DOUBLE) * c)) AS n
+                    FROM counts GROUP BY 1),
+            vec AS (SELECT c.doc_id, c.lang, c.b,
+                           CAST(c.c AS DOUBLE) / n.n AS v
+                    FROM counts c JOIN nrm n USING (doc_id)),
+            vnorm AS (SELECT doc_id, sqrt(sum(v * v)) AS vn
+                      FROM vec GROUP BY 1),
+            dots AS (
+              SELECT a.doc_id AS x_id, b.doc_id AS y_id, sum(a.v * b.v) AS dot
+              FROM vec a JOIN vec b ON a.b = b.b
+              WHERE a.lang = 'en' AND b.lang = 'es'
+              GROUP BY 1, 2),
+            -- zero-overlap side pairs never join above; cos would be 0 and
+            -- can only lower the top-k normalizer averages, so they must
+            -- be present: rebuild the full cross product with coalesce
+            allp AS (
+              SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+                     round(coalesce(d.dot, 0)
+                           / greatest(nx.vn * ny.vn, 1e-12), 9) AS cos
+              FROM (SELECT DISTINCT doc_id FROM vec
+                    WHERE lang = 'en') x
+              CROSS JOIN (SELECT DISTINCT doc_id FROM vec
+                          WHERE lang = 'es') y
+              LEFT JOIN dots d ON d.x_id = x.doc_id AND d.y_id = y.doc_id
+              JOIN vnorm nx ON nx.doc_id = x.doc_id
+              JOIN vnorm ny ON ny.doc_id = y.doc_id),
+            ax AS (SELECT x_id, avg(cos) AS ax FROM (
+                     SELECT *, row_number() OVER (PARTITION BY x_id
+                               ORDER BY cos DESC, y_id) AS rn FROM allp)
+                   WHERE rn <= 4 GROUP BY 1),
+            ay AS (SELECT y_id, avg(cos) AS ay FROM (
+                     SELECT *, row_number() OVER (PARTITION BY y_id
+                               ORDER BY cos DESC, x_id) AS rn FROM allp)
+                   WHERE rn <= 4 GROUP BY 1),
+            m AS (SELECT p.x_id, p.y_id,
+                         round(p.cos / ((ax.ax + ay.ay) / 2.0), 6) AS margin
+                  FROM allp p JOIN ax USING (x_id) JOIN ay USING (y_id)),
+            ranked AS (SELECT *,
+                         row_number() OVER (PARTITION BY x_id
+                               ORDER BY margin DESC, y_id) AS rx,
+                         row_number() OVER (PARTITION BY y_id
+                               ORDER BY margin DESC, x_id) AS ry
+                       FROM m)
+            SELECT x_id, y_id, margin FROM ranked
+            WHERE rx = 1 AND ry = 1 AND margin >= 1.0
+            ORDER BY x_id
+        """,
         "minhash_recall": f"""
             WITH d AS (SELECT doc_id,
                               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t

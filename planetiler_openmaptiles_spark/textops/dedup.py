@@ -544,7 +544,7 @@ def minhash_recall(
             .cast("bigint") / F.lit(4294967296.0)
         )
         docs = docs.filter(u < sample_frac)
-    docs = docs.select("doc_id", text_col).persist()
+    docs = docs.select("doc_id", text_col)
 
     sh = docs.select(
         "doc_id",
@@ -601,7 +601,6 @@ def minhash_recall(
     out = row.select(per_t.alias("r"), "n_lsh").select(
         "r.threshold", "r.n_true", "r.n_hit", "n_lsh"
     )
-    docs.unpersist()
     recall = F.when(
         F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)
     ).otherwise(F.lit(1.0))

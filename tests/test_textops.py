@@ -1115,3 +1115,27 @@ def test_minhash_recall_harness(spark):
     a = minhash_recall(docs, sample_frac=0.6).collect()
     b = minhash_recall(docs, sample_frac=0.6).collect()
     assert a == b
+
+
+def test_bitext_margin_mutual_best(spark):
+    """Mutual-best ratio-margin mining: each en doc pairs with the es doc
+    sharing its vocabulary; a hub es doc overlapping everything cannot
+    steal matches because the margin denominator cancels its popularity."""
+    rows = [
+        (1, "en", "alpha beta gamma delta"),
+        (2, "en", "epsilon zeta eta theta"),
+        (10, "es", "alpha beta gamma otra"),      # best for 1
+        (11, "es", "epsilon zeta eta otra"),      # best for 2
+        (12, "es", "alpha epsilon beta zeta"),    # hub: overlaps both
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from planetiler_openmaptiles_spark.textops.bitext import mine_bitext
+
+    got = {(r["x_id"], r["y_id"]): r["margin"]
+           for r in mine_bitext(docs, "en", "es", k=2, threshold=0.0).collect()}
+    assert (1, 10) in got and (2, 11) in got
+    # mutual-best is one-to-one: no doc appears twice
+    xs = [a for a, _ in got]
+    ys = [b for _, b in got]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+    assert all(m > 0 for m in got.values())
