@@ -1673,6 +1673,32 @@ def _q_geo_raster_coverage(spark, sf_dir):
     ).orderBy("poly_id")
 
 
+def _q_geo_raster_vectorize(spark, sf_dir):
+    """Raster→vector round trip: each landuse polygon is rasterized on the
+    32×32 grid, then the mask is re-vectorized by the boundary tracer the
+    polygon-merge reducers use (geom/raster.py trace_rings). Output per
+    polygon: mask cardinality, boundary segment count (numpy transitions),
+    total traced-ring perimeter in cell units (must equal the segment
+    count — computed independently from the traced world rings), and the
+    ring-orientation Euler number (#outers − #holes). DuckDB recomputes
+    the mask pixel-exactly in SQL, the segment count from pixel
+    adjacency, and the Euler number via Gray's 2×2 quad-count formula —
+    a scanline, saddle-resolution, or ring-orientation bug breaks it."""
+    from planetiler_openmaptiles_spark import spatial
+
+    feats = _decoded(spark, sf_dir)
+    polys = feats.filter(
+        (F.col("geom_kind") == "polygon")
+        & F.element_at(F.col("tags"), "landuse").isNotNull()
+    )
+    v = spatial.raster_vectorize_udf(32)
+    return (
+        polys.select(F.col("doc_id").alias("poly_id"), v(F.col("geom_wkt")).alias("v"))
+        .select("poly_id", "v.n_pixels", "v.n_edges", "v.perim_units", "v.euler")
+        .orderBy("poly_id")
+    )
+
+
 # ------------------------------------------------------------------ textops
 
 
@@ -2863,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_cells": _q_geo_pip_cells,
         "geo_knn_cells": _q_geo_knn_cells,
         "geo_raster_coverage": _q_geo_raster_coverage,
+        "geo_raster_vectorize": _q_geo_raster_vectorize,
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -5112,6 +5139,64 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3)
             SELECT poly_id, CAST(count(*) FILTER (WHERE nc % 2 = 1) AS BIGINT) AS n_pixels
             FROM cnt GROUP BY poly_id ORDER BY poly_id
+        """,
+        "geo_raster_vectorize": decode + f""",
+            {_LANDUSE_RING_CTE},
+            bb AS (SELECT poly_id, min(wx) AS x0, min(wy) AS y0,
+                          greatest(max(wx) - min(wx), max(wy) - min(wy)) / 32 AS cell
+                   FROM lvw GROUP BY poly_id),
+            pixr AS (SELECT poly_id, x0, y0, cell,
+                            unnest(generate_series(0, 31)) AS r FROM bb),
+            ctr AS (SELECT poly_id, r, unnest(generate_series(0, 31)) AS c,
+                           x0, y0, cell FROM pixr),
+            ctr2 AS (SELECT poly_id, r, c,
+                            x0 + (c + 0.5) * cell AS px,
+                            y0 + (r + 0.5) * cell AS py FROM ctr),
+            cnt AS (SELECT t.poly_id, t.r, t.c,
+                count(*) FILTER (WHERE ((e.ey1 > t.py) <> (e.ey2 > t.py))
+                    AND t.px < e.ex1 + (t.py - e.ey1) * (e.ex2 - e.ex1) / (e.ey2 - e.ey1)) AS nc
+              FROM ctr2 t JOIN ledges e ON e.poly_id = t.poly_id
+              GROUP BY 1, 2, 3),
+            pix AS (SELECT poly_id, r, c FROM cnt WHERE nc % 2 = 1),
+            np AS (SELECT poly_id, count(*) AS n_pixels FROM pix GROUP BY 1),
+            adj AS (SELECT a.poly_id, count(*) AS n_adj
+                    FROM pix a JOIN pix b ON b.poly_id = a.poly_id
+                      AND ((b.r = a.r AND b.c = a.c + 1)
+                        OR (b.r = a.r + 1 AND b.c = a.c))
+                    GROUP BY 1),
+            blocks AS (SELECT DISTINCT p.poly_id, p.r + d1.dr AS rr, p.c + d2.dc AS cc
+                       FROM pix p,
+                            (SELECT unnest([-1, 0]) AS dr) d1,
+                            (SELECT unnest([-1, 0]) AS dc) d2),
+            blk AS (SELECT b.poly_id, b.rr, b.cc,
+                           count(*) AS nf,
+                           count(*) FILTER (WHERE p.r = b.rr     AND p.c = b.cc)     AS tl,
+                           count(*) FILTER (WHERE p.r = b.rr     AND p.c = b.cc + 1) AS tr,
+                           count(*) FILTER (WHERE p.r = b.rr + 1 AND p.c = b.cc)     AS bl,
+                           count(*) FILTER (WHERE p.r = b.rr + 1 AND p.c = b.cc + 1) AS br
+                    FROM blocks b JOIN pix p ON p.poly_id = b.poly_id
+                      AND p.r BETWEEN b.rr AND b.rr + 1
+                      AND p.c BETWEEN b.cc AND b.cc + 1
+                    GROUP BY 1, 2, 3),
+            qq AS (SELECT poly_id,
+                          count(*) FILTER (WHERE nf = 1) AS q1,
+                          count(*) FILTER (WHERE nf = 3) AS q3,
+                          count(*) FILTER (WHERE nf = 2
+                              AND ((tl = 1 AND br = 1) OR (tr = 1 AND bl = 1))) AS qd
+                   FROM blk GROUP BY 1),
+            base AS (SELECT DISTINCT poly_id FROM lpolys)
+            SELECT base.poly_id,
+                   CAST(coalesce(np.n_pixels, 0) AS BIGINT) AS n_pixels,
+                   CAST(4 * coalesce(np.n_pixels, 0)
+                        - 2 * coalesce(adj.n_adj, 0) AS BIGINT) AS n_edges,
+                   CAST(4 * coalesce(np.n_pixels, 0)
+                        - 2 * coalesce(adj.n_adj, 0) AS BIGINT) AS perim_units,
+                   CAST(coalesce((qq.q1 - qq.q3 + 2 * qq.qd) // 4, 0) AS BIGINT) AS euler
+            FROM base
+            LEFT JOIN np USING (poly_id)
+            LEFT JOIN adj USING (poly_id)
+            LEFT JOIN qq USING (poly_id)
+            ORDER BY base.poly_id
         """,
         "geo_tiles_mvt": f"""
             WITH rtp AS (SELECT side, z, x, y, layer, idx, gtype, geom_s, attrs_s

@@ -400,6 +400,79 @@ def raster_coverage_udf(grid: int = 32):
     return cov
 
 
+def raster_vectorize_udf(grid: int = 32):
+    """WKT polygon → raster→vector round-trip diagnostics on the same
+    grid×grid center-sampled raster as ``raster_coverage_udf``:
+
+    * ``n_pixels`` — covered pixel count (mask cardinality),
+    * ``n_edges``  — boundary unit segments of the mask (filled↔unfilled
+      4-neighbor transitions, outer border included),
+    * ``perim_units`` — total perimeter of the rings RE-TRACED from the
+      mask by ``geom/raster.py trace_rings`` (the vectorizer the polygon
+      union/merge reducers rely on), expressed in cell units. Boundary
+      tracing covers each boundary segment exactly once, so this must
+      equal ``n_edges`` — the engine computes the two INDEPENDENTLY
+      (numpy transitions vs traced world rings) and the oracle pins both
+      to its own SQL edge count.
+    * ``euler`` — #outer rings − #holes from traced ring orientation;
+      the oracle recomputes it as the 4-connectivity Euler number via
+      Gray's 2×2 quad-count formula (Q1 − Q3 + 2·Qd)/4 — a winding,
+      saddle-resolution, or orientation bug in the tracer breaks it.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("n_edges", T.LongType()),
+            T.StructField("perim_units", T.LongType()),
+            T.StructField("euler", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def vec(wkts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for w in wkts:
+            g = _parse_world(w)
+            polys = None
+            if g is not None:
+                polys = (
+                    [g[1]] if g[0] == "Polygon"
+                    else (list(g[1]) if g[0] == "MultiPolygon" else None)
+                )
+            if not polys:
+                rows.append((0, 0, 0, 0))
+                continue
+            x0, y0, x1, y1 = ops.bbox(g)
+            cell = max(x1 - x0, y1 - y0) / grid
+            if cell <= 0:
+                rows.append((0, 0, 0, 0))
+                continue
+            mask = raster.rasterize(polys, x0, y0, cell, (grid, grid))
+            n_pixels = int(np.count_nonzero(mask))
+            pad = np.zeros((grid + 2, grid + 2), dtype=bool)
+            pad[1:-1, 1:-1] = mask
+            n_edges = int(
+                (pad[1:, :] & ~pad[:-1, :]).sum()
+                + (pad[:-1, :] & ~pad[1:, :]).sum()
+                + (pad[:, 1:] & ~pad[:, :-1]).sum()
+                + (pad[:, :-1] & ~pad[:, 1:]).sum()
+            )
+            rings = raster.trace_rings(mask, x0, y0, cell)
+            perim = sum(
+                float(np.abs(np.diff(r, axis=0)).sum()) for r in rings
+            )
+            perim_units = int(round(perim / cell)) if cell > 0 else 0
+            euler = sum(
+                1 if raster.ring_signed_area(r) > 0 else -1 for r in rings
+            )
+            rows.append((n_pixels, n_edges, perim_units, euler))
+        return pd.DataFrame(
+            rows, columns=["n_pixels", "n_edges", "perim_units", "euler"]
+        )
+
+    return vec
+
+
 @pandas_udf(T.StringType())
 def strip_accents_udf(s: pd.Series) -> pd.Series:
     """Apache-commons StringUtils.stripAccents equivalent (J4 city match)."""

@@ -140,3 +140,35 @@ def test_point_cell_scientific_notation(spark):
         "pid string, wkt string",
     ).select(spatial.point_cell(F.col("wkt"), 10).alias("cell")).collect()
     assert eq[0]["cell"] == eq[1]["cell"]
+
+
+def test_raster_vectorize_roundtrip(spark):
+    """Raster→vector diagnostics: traced-ring perimeter equals the numpy
+    boundary-segment count, and a polygon with a hole has Euler number 0
+    (one outer, one hole) while a solid square has 1."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark import spatial
+
+    solid = "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))"
+    holed = ("POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), "
+             "(10 10, 30 10, 30 30, 10 30, 10 10))")
+    df = spark.createDataFrame(
+        [(1, solid), (2, holed)], "poly_id long, wkt string"
+    )
+    v = spatial.raster_vectorize_udf(16)
+    got = {
+        r["poly_id"]: r
+        for r in df.select(
+            "poly_id", v(F.col("wkt")).alias("v")
+        ).select("poly_id", "v.*").collect()
+    }
+    assert got[1]["euler"] == 1
+    assert got[2]["euler"] == 0
+    for r in got.values():
+        assert r["n_pixels"] > 0
+        assert r["perim_units"] == r["n_edges"]  # tracer covers each segment once
+    # solid square: one full-width band of the 16x16 grid (mercator
+    # y-extent exceeds the x-extent for a 40-degree box, so the square
+    # dimension is the y side and x covers 15 of 16 columns)
+    assert got[1]["n_pixels"] == 240 and got[1]["n_edges"] == 62
