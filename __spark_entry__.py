@@ -1891,6 +1891,45 @@ def _q_winnow_matches(spark, sf_dir):
     )
 
 
+def _q_events_hll(spark, sf_dir):
+    """From-scratch HyperLogLog distinct-user estimate per event type,
+    next to the exact count (the 100 TB profiling shape: registers
+    shuffle, values don't). Integer bit-length rank — no floating log2 —
+    so DuckDB replays every register and the estimate exactly."""
+    from planetiler_openmaptiles_spark.textops.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = hll_distinct(ev, "user_id", ["event_type"], p=8)
+    true = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_true")
+    )
+    out = est.join(true, "event_type").select(
+        "event_type", "n_true", "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_true")) / F.col("n_true"), 4
+        ).alias("rel_err"),
+    )
+    return out.orderBy("event_type")
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters over document words: the sketch (4x1024
+    integer counters) answers point queries for a candidate vocabulary;
+    top-20 by estimated count. DuckDB replays the salted cells, the
+    min-over-rows estimates, and the ranked cut — integer-exact."""
+    from planetiler_openmaptiles_spark.textops.sketches import cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+        ).alias("word")
+    )
+    return cms_heavy_hitters(
+        words, "word", words.select("word").distinct(), d=4, w=1024, k=20
+    ).orderBy("rank")
+
+
 def _q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019): mutual-best
     ratio-margin pairs between the en and es corpus sides over hashing-
@@ -2903,6 +2942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _q_link_pagerank,
         "minhash_recall": _q_minhash_recall,
         "bitext_mine": _q_bitext_mine,
+        "events_hll_distinct": _q_events_hll,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
         "domain_mix": _q_domain_mix,
@@ -3699,6 +3740,63 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_oracle_sql(iters=5, d=0.85),
+        # the alpha*m^2 constant is computed ONCE in python and inlined into
+        # both engines (stepwise SQL re-derivation could differ by an ulp)
+        "events_hll_distinct": f"""
+            WITH h AS (
+              SELECT event_type, user_id,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+              FROM events),
+            r AS (SELECT event_type, hv >> 24 AS bucket,
+                         CASE WHEN (hv & 16777215) = 0 THEN 25
+                              ELSE 24 - length(bin(hv & 16777215)) + 1 END AS rank
+                  FROM h),
+            regs AS (SELECT event_type, bucket, max(rank) AS reg
+                     FROM r GROUP BY 1, 2),
+            agg AS (SELECT event_type,
+                           sum(power(2.0, -reg)) AS s, count(*) AS nz
+                    FROM regs GROUP BY 1),
+            est AS (SELECT event_type,
+                           {0.7213 / (1.0 + 1.079 / 256) * 256 * 256!r}
+                             / (s + (256 - nz)) AS raw,
+                           256 - nz AS v
+                    FROM agg),
+            fin AS (SELECT event_type,
+                           CASE WHEN raw <= 2.5 * 256 AND v > 0
+                                THEN 256.0 * ln(256.0 / v) ELSE raw END AS e
+                    FROM est),
+            tru AS (SELECT event_type, count(DISTINCT user_id) AS n_true
+                    FROM events GROUP BY 1)
+            SELECT f.event_type, t.n_true, round(f.e, 4) AS hll_estimate,
+                   round(abs(round(f.e, 4) - t.n_true) / t.n_true, 4) AS rel_err
+            FROM fin f JOIN tru t USING (event_type)
+            ORDER BY f.event_type
+        """,
+        "cms_heavy_hitters": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents),
+            rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+            cells AS (
+              SELECT w.word, r.row,
+                     ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|' || w.word), 1, 8))::BIGINT
+                       % 1024 AS cell
+              FROM w CROSS JOIN rows_ r),
+            sk AS (SELECT row, cell, count(*) AS c
+                   FROM cells GROUP BY 1, 2),
+            probes AS (SELECT DISTINCT word FROM w),
+            pc AS (SELECT p.word, r.row,
+                          ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|' || p.word), 1, 8))::BIGINT
+                            % 1024 AS cell
+                   FROM probes p CROSS JOIN rows_ r),
+            est AS (SELECT pc.word AS value, min(coalesce(sk.c, 0)) AS est
+                    FROM pc LEFT JOIN sk USING (row, cell)
+                    GROUP BY 1)
+            SELECT value, est, rank FROM (
+              SELECT *, row_number() OVER (ORDER BY est DESC, value) AS rank
+              FROM est)
+            WHERE rank <= 20 ORDER BY rank
+        """,
         "bitext_mine": r"""
             WITH toks AS (
               SELECT doc_id, lang,

@@ -1139,3 +1139,48 @@ def test_bitext_margin_mutual_best(spark):
     ys = [b for _, b in got]
     assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
     assert all(m > 0 for m in got.values())
+
+
+def test_hll_accuracy_and_determinism(spark):
+    """HLL estimate lands within the ~1.04/sqrt(m) relative-error band
+    (m=256 -> 6.5%; allow 3 sigma) on a 5000-distinct-value column, and
+    duplicates never change the registers."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.sketches import hll_distinct
+
+    vals = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    est = hll_distinct(vals, "v", ["grp"]).collect()[0]["hll_estimate"]
+    assert abs(est - 5000) / 5000 < 0.20
+    dup = vals.union(vals)  # same distinct set
+    est2 = hll_distinct(dup, "v", ["grp"]).collect()[0]["hll_estimate"]
+    assert est2 == est
+    # small-range linear counting: 3 distinct values estimate ~exactly
+    small = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", 3), ("g", 3)], "grp string, v long"
+    )
+    est3 = hll_distinct(small, "v", ["grp"]).collect()[0]["hll_estimate"]
+    assert abs(est3 - 3) < 0.1
+
+
+def test_cms_one_sided_and_heavy_hitters(spark):
+    """Count-Min point estimates are never below the true count, and the
+    planted heavy hitter ranks first."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.sketches import (
+        cms_counts, cms_heavy_hitters)
+
+    rows = [("hot",)] * 50 + [(f"w{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "word string")
+    top = cms_heavy_hitters(df, "word", df.select("word"), k=5).collect()
+    assert top[0]["value"] == "hot" and top[0]["est"] >= 50
+    true = {r["word"]: r["cnt"] for r in
+            df.groupBy("word").agg(F.count("*").alias("cnt")).collect()}
+    est = {r["value"]: r["est"]
+           for r in cms_heavy_hitters(df, "word", df.select("word"), k=300).collect()}
+    assert all(est[wd] >= c for wd, c in true.items())
+    # sketch size is d*w regardless of input
+    assert cms_counts(df, "word", d=4, w=64).count() <= 4 * 64
