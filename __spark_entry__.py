@@ -1673,6 +1673,43 @@ def _q_geo_raster_coverage(spark, sf_dir):
     ).orderBy("poly_id")
 
 
+def _q_geo_heatmap_pyramid(spark, sf_dir):
+    """Point-density pyramid z0-z14 (heatmap rollup): finest-zoom counts
+    first, ancestors by bit shift over the aggregates — one corpus-sized
+    shuffle total. Output: per-zoom tile count, point total, hottest
+    tile + its count. DuckDB replays the whole pyramid with its own
+    mercator/tile math and an independent argmax."""
+    from planetiler_openmaptiles_spark import spatial
+    from planetiler_openmaptiles_spark.tiling import cells
+
+    feats = _decoded(spark, sf_dir).filter(F.col("geom_kind") == "point")
+    lon = F.regexp_extract("geom_wkt", _PT_RE, 1).cast("double")
+    lat = F.regexp_extract("geom_wkt", _PT_RE, 2).cast("double")
+    pts = feats.select(
+        cells.world_x(lon).alias("wx"), cells.world_y(lat).alias("wy")
+    )
+    pyr = spatial.point_density_pyramid(pts, "wx", "wy", max_zoom=14)
+    top = F.max(
+        F.struct(
+            F.col("n"), (-F.col("x")).alias("nx"), (-F.col("y")).alias("ny")
+        )
+    )
+    return (
+        pyr.groupBy("z")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n").alias("n_points"),
+            F.max("n").alias("max_n"),
+            top.alias("t"),
+        )
+        .select(
+            "z", "n_tiles", "n_points", "max_n",
+            (-F.col("t.nx")).alias("top_x"), (-F.col("t.ny")).alias("top_y"),
+        )
+        .orderBy("z")
+    )
+
+
 def _q_geo_raster_vectorize(spark, sf_dir):
     """Raster→vector round trip: each landuse polygon is rasterized on the
     32×32 grid, then the mask is re-vectorized by the boundary tracer the
@@ -2929,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn_cells": _q_geo_knn_cells,
         "geo_raster_coverage": _q_geo_raster_coverage,
         "geo_raster_vectorize": _q_geo_raster_vectorize,
+        "geo_heatmap_pyramid": _q_geo_heatmap_pyramid,
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -5237,6 +5275,26 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3)
             SELECT poly_id, CAST(count(*) FILTER (WHERE nc % 2 = 1) AS BIGINT) AS n_pixels
             FROM cnt GROUP BY poly_id ORDER BY poly_id
+        """,
+        "geo_heatmap_pyramid": decode + f""",
+            base AS (SELECT tx, ty, count(*) AS n FROM (
+                       SELECT {tile_xy} FROM feat2 WHERE geom_kind = 'point')
+                     GROUP BY 1, 2),
+            lv AS (SELECT tx, ty, n, unnest(generate_series(0, 14)) AS z
+                   FROM base),
+            pyr AS (SELECT z, tx >> (14 - z) AS x, ty >> (14 - z) AS y,
+                           sum(n) AS n
+                    FROM lv GROUP BY 1, 2, 3),
+            top AS (SELECT z, x AS top_x, y AS top_y FROM (
+                      SELECT *, row_number() OVER (PARTITION BY z
+                                ORDER BY n DESC, x, y) AS rn FROM pyr)
+                    WHERE rn = 1),
+            roll AS (SELECT z, count(*) AS n_tiles,
+                            CAST(sum(n) AS BIGINT) AS n_points,
+                            CAST(max(n) AS BIGINT) AS max_n
+                     FROM pyr GROUP BY 1)
+            SELECT roll.z, n_tiles, n_points, max_n, top_x, top_y
+            FROM roll JOIN top USING (z) ORDER BY roll.z
         """,
         "geo_raster_vectorize": decode + f""",
             {_LANDUSE_RING_CTE},

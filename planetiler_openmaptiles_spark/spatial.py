@@ -400,6 +400,48 @@ def raster_coverage_udf(grid: int = 32):
     return cov
 
 
+def point_density_pyramid(points: DataFrame, wx_col: str = "wx",
+                          wy_col: str = "wy", max_zoom: int = 14,
+                          min_zoom: int = 0) -> DataFrame:
+    """Multi-resolution point-density pyramid — the heatmap/cluster rollup
+    a map-analytics service precomputes for every zoom. Returns one row
+    per non-empty tile per zoom: ``(z, x, y, n)``.
+
+    Two-stage shape chosen for 10^12 points: first count per FINEST-zoom
+    tile (the only shuffle whose input scales with the corpus; its key
+    space is bounded by 4^max_zoom, and map-side combine collapses each
+    partition to its distinct tiles before the exchange), then explode
+    each z_max aggregate row to its (max_zoom+1) ancestors by integer
+    right-shift and re-aggregate — the second shuffle carries
+    #distinct-tiles × zoom-levels rows, independent of input size. The
+    naive per-zoom re-aggregation of raw points would shuffle the corpus
+    15 times.
+    """
+    from .tiling import cells
+
+    tx = cells.tile_coord(F.col(wx_col), max_zoom)
+    ty = cells.tile_coord(F.col(wy_col), max_zoom)
+    base = (
+        points.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+    lv = base.select(
+        "tx", "ty", "n",
+        F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom))).alias("z"),
+    )
+    return (
+        lv.select(
+            "z",
+            F.expr(f"shiftright(tx, {max_zoom} - z)").alias("x"),
+            F.expr(f"shiftright(ty, {max_zoom} - z)").alias("y"),
+            "n",
+        )
+        .groupBy("z", "x", "y")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def raster_vectorize_udf(grid: int = 32):
     """WKT polygon → raster→vector round-trip diagnostics on the same
     grid×grid center-sampled raster as ``raster_coverage_udf``:

@@ -172,3 +172,29 @@ def test_raster_vectorize_roundtrip(spark):
     # y-extent exceeds the x-extent for a 40-degree box, so the square
     # dimension is the y side and x covers 15 of 16 columns)
     assert got[1]["n_pixels"] == 240 and got[1]["n_edges"] == 62
+
+
+def test_point_density_pyramid(spark):
+    """Pyramid invariants: every zoom preserves the total point count,
+    tile counts shrink monotonically toward z0, and a child's ancestor
+    cell holds at least the child's count."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark import spatial
+
+    pts = spark.createDataFrame(
+        [(0.1, 0.1), (0.1, 0.1), (0.6, 0.6), (0.9, 0.2)], "wx double, wy double"
+    )
+    pyr = spatial.point_density_pyramid(pts, "wx", "wy", max_zoom=6).collect()
+    byz = {}
+    for r in pyr:
+        byz.setdefault(r["z"], []).append(r)
+    assert set(byz) == set(range(7))
+    for z in range(7):
+        assert sum(r["n"] for r in byz[z]) == 4
+    assert len(byz[0]) == 1 and byz[0][0]["n"] == 4
+    for z in range(1, 7):
+        assert len(byz[z]) >= len(byz[z - 1])
+        parents = {(r["x"], r["y"]): r["n"] for r in byz[z - 1]}
+        for r in byz[z]:
+            assert parents[(r["x"] // 2, r["y"] // 2)] >= r["n"]
