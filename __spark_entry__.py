@@ -1928,6 +1928,36 @@ def _q_winnow_matches(spark, sf_dir):
     )
 
 
+def _q_bloom_prune(spark, sf_dir):
+    """Bloom-filter pre-shuffle prune for incremental dedup: build a
+    packed-word filter over the existing corpus half's normalized text,
+    probe the new half. No false negatives (every true dup flagged
+    maybe); false positives at the designed rate. DuckDB replays the
+    salted bit positions and the all-k-bits membership from raw text —
+    the packed-word representation itself is pytest-parity-checked."""
+    from planetiler_openmaptiles_spark.textops.dedup import normalize_text
+    from planetiler_openmaptiles_spark.textops.sketches import (
+        bloom_build, bloom_probe)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", normalize_text(F.col("text")).alias("t")
+    )
+    ex = docs.filter(F.col("doc_id") % 2 == 0)
+    nw = docs.filter(F.col("doc_id") % 2 == 1)
+    bloom = bloom_build(ex, "t", m=8192, k=4)
+    probed = bloom_probe(nw, "t", bloom, m=8192, k=4, keep_cols=["doc_id"])
+    exact = ex.select("t").distinct().withColumn("_d", F.lit(1))
+    return (
+        probed.join(exact, probed.v == exact.t, "left")
+        .select(
+            "doc_id",
+            F.col("maybe_member").cast("int").alias("maybe_dup"),
+            F.col("_d").isNotNull().cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_events_hll(spark, sf_dir):
     """From-scratch HyperLogLog distinct-user estimate per event type,
     next to the exact count (the 100 TB profiling shape: registers
@@ -2981,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": _q_minhash_recall,
         "bitext_mine": _q_bitext_mine,
         "events_hll_distinct": _q_events_hll,
+        "bloom_prune": _q_bloom_prune,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
@@ -3778,6 +3809,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_oracle_sql(iters=5, d=0.85),
+        "bloom_prune": r"""
+            WITH d AS (SELECT doc_id,
+                              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                       FROM documents),
+            ex AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+            nw AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+            rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            expos AS (SELECT DISTINCT
+                        ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || ex.t), 1, 8))::BIGINT
+                          % 8192 AS p
+                      FROM ex CROSS JOIN rows_ r),
+            np AS (SELECT nw.doc_id, nw.t, r.i,
+                          ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || nw.t), 1, 8))::BIGINT
+                            % 8192 AS p
+                   FROM nw CROSS JOIN rows_ r),
+            hits AS (SELECT np.doc_id, np.t,
+                            count(*) FILTER (WHERE ep.p IS NOT NULL) AS nhit
+                     FROM np LEFT JOIN expos ep ON ep.p = np.p
+                     GROUP BY 1, 2)
+            SELECT h.doc_id,
+                   CAST(nhit = 4 AS INT) AS maybe_dup,
+                   CAST(h.t IN (SELECT t FROM ex) AS INT) AS is_dup
+            FROM hits h ORDER BY h.doc_id
+        """,
         # the alpha*m^2 constant is computed ONCE in python and inlined into
         # both engines (stepwise SQL re-derivation could differ by an ulp)
         "events_hll_distinct": f"""

@@ -138,3 +138,61 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, candidates: DataFrame,
         .filter(F.col("rank") <= k)
         .select("value", "est", "rank")
     )
+
+
+def _bloom_positions(m: int, k: int):
+    """k salted bit positions for the value column ``v``: the explode
+    column (i) and the position expression over (i, v)."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = F.pmod(
+        _hash32(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("v"))),
+        F.lit(m),
+    )
+    return i, pos
+
+
+def bloom_build(values: DataFrame, value_col: str, m: int = 8192,
+                k: int = 4) -> DataFrame:
+    """Build a Bloom filter as packed 64-bit words: ``(word, bits)``,
+    m/64 rows max — the broadcastable membership structure for pruning a
+    10^12-row anti-join before it shuffles (ship the filter to the big
+    side's mappers; only maybe-members enter the exchange). One explode
+    by k + one map-side-combined bit_or aggregate."""
+    i, pos = _bloom_positions(m, k)
+    p = values.select(F.col(value_col).alias("v"), i).select(pos.alias("p"))
+    word = F.floor(F.col("p") / 64).cast("long")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+    return (
+        p.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(probes: DataFrame, value_col: str, bloom: DataFrame,
+                m: int = 8192, k: int = 4,
+                keep_cols: list[str] | None = None) -> DataFrame:
+    """Probe the packed filter: adds ``maybe_member`` — true iff ALL k
+    salted bits are set (Bloom guarantee: no false negatives; false
+    positives at the designed rate). The filter is broadcast; the probe
+    side never shuffles."""
+    keep_cols = keep_cols or [c for c in probes.columns if c != value_col]
+    i, pos = _bloom_positions(m, k)
+    pp = probes.select(*keep_cols, F.col(value_col).alias("v"), i).select(
+        *keep_cols, "v", "i", pos.alias("p")
+    )
+    word = F.floor(F.col("p") / 64).cast("long")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+    hit = (
+        pp.select(*keep_cols, "v", "i", word.alias("word"), mask.alias("mask"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            *keep_cols, "v",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+             != 0).cast("int").alias("bit_set"),
+        )
+    )
+    return (
+        hit.groupBy(*keep_cols, "v")
+        .agg((F.sum("bit_set") == k).alias("maybe_member"))
+    )

