@@ -644,6 +644,50 @@ def _q_media_g711(spark, sf_dir):
     )
 
 
+def _q_media_frame_energy(spark, sf_dir):
+    """Frame-wise audio energy over REAL PCM WAV bytes: per document a
+    deterministic varying signal (s_i = ((d + 3i) % 97 − 48)·100) is
+    encoded to a real RIFF-PCM16 file, decoded by the distributed
+    strict-mode operator, and profiled into 256-sample frames. Energies
+    are integer sums of squares — DuckDB re-derives every frame energy,
+    the argmax frame, and the totals from doc_id arithmetic alone (no
+    shared code, no float tolerance)."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, audio_frame_energy)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 1500)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 300 + d % 200
+                i = np.arange(n, dtype=np.int64)
+                sig = (((d + 3 * i) % 97) - 48) * 100
+                rows.append((f"fe{d}", str(d), "audio",
+                             codecs.encode_wav(sig.astype(np.int16), 8000),
+                             None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    return (
+        audio_frame_energy(media, frame_len=256, strict=True)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_frames", "max_frame", "max_energy", "total_energy",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_media_compressed(spark, sf_dir):
     """REAL compressed-media decode, independently verifiable: per document,
     synthesize a baseline JPEG (flat gray — the DC quant step at q90 is 3,
@@ -2975,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_roundtrip": _q_media_decode,
         "media_compressed_roundtrip": _q_media_compressed,
         "media_g711_roundtrip": _q_media_g711,
+        "media_frame_energy": _q_media_frame_energy,
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
         "osm_mp_assembly": _q_osm_mp_assembly,
@@ -3666,6 +3711,27 @@ def oracle_sql() -> dict[str, str]:
               CAST(4 + doc_id % 5 AS INT) AS frame_h,
               CAST((doc_id * 7) % 256 AS INT) AS frame0_gray
             FROM documents WHERE doc_id < 1500 ORDER BY doc_id
+        """,
+        "media_frame_energy": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 1500),
+            par AS (SELECT doc_id, 300 + doc_id % 200 AS n FROM d),
+            idx AS (SELECT doc_id, n, unnest(range(n)) AS i FROM par),
+            s AS (SELECT doc_id, i // 256 AS f,
+                         (((doc_id + 3 * i) % 97) - 48) * 100 AS v
+                  FROM idx),
+            fe AS (SELECT doc_id, f, sum(v * v) AS e FROM s GROUP BY 1, 2),
+            agg AS (SELECT doc_id, count(*) AS n_frames,
+                           sum(e) AS total_energy
+                    FROM fe GROUP BY 1),
+            mx AS (SELECT doc_id, f AS max_frame, e AS max_energy FROM (
+                     SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY e DESC, f) AS rn FROM fe)
+                   WHERE rn = 1)
+            SELECT a.doc_id, CAST(n_frames AS INT) AS n_frames,
+                   CAST(max_frame AS INT) AS max_frame,
+                   CAST(max_energy AS BIGINT) AS max_energy,
+                   CAST(total_energy AS BIGINT) AS total_energy
+            FROM agg a JOIN mx USING (doc_id) ORDER BY a.doc_id
         """,
         "media_g711_roundtrip": """
             -- full SQL replay of the G.711 companding round trip over the

@@ -325,3 +325,63 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: float = 1.0) -> DataFra
             (F.col("i").cast("double") * every_n_seconds).alias("frame_ts"),
         )
     )
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("max_frame", T.IntegerType()),
+        T.StructField("max_energy", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_len: int = 256,
+                       strict: bool = False) -> DataFrame:
+    """Frame-wise audio energy profile — the feature-extraction shape of a
+    speech/audio training pipeline (VAD gating, loudness normalization,
+    segment selection): decode each WAV, split channel 0 into
+    ``frame_len``-sample frames (tail frame partial), and report per clip
+    the frame count, the argmax-energy frame (lowest index on ties), its
+    energy, and the total energy. Energies are integer sums of squared
+    int16 samples — exact, so a cross-engine comparison has no float
+    tolerance anywhere. Arrow-batched mapInPandas; one pass per clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                if codecs.sniff(r.content) == "wav":
+                    x, _rate = codecs.decode_wav_any(r.content)
+                    # decode_wav_any normalizes by 1/32768 (a power of two,
+                    # exact in float32) — scale back to integer PCM units so
+                    # energies are exact int64 sums
+                    s = np.rint(x[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+                    n = len(s)
+                    nf = max((n + frame_len - 1) // frame_len, 0)
+                    if nf == 0:
+                        rows.append((r.media_id, r.doc_id, 0, -1, 0, 0))
+                        continue
+                    pad = np.zeros(nf * frame_len, dtype=np.int64)
+                    pad[:n] = s
+                    e = (pad * pad).reshape(nf, frame_len).sum(axis=1)
+                    mi = int(np.argmax(e))  # first max — lowest index tie
+                    rows.append(
+                        (r.media_id, r.doc_id, int(nf), mi, int(e[mi]),
+                         int(e.sum()))
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "compressed-audio decode requires ffmpeg — not in"
+                        " this container (RIFF WAV decodes natively)"
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_ENERGY_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, FRAME_ENERGY_SCHEMA)

@@ -1211,3 +1211,30 @@ def test_bloom_no_false_negatives_and_packing(spark):
     )
     rej = bloom_probe(other, "t", bloom, m=8192, k=4, keep_cols=["doc_id"])
     assert rej.filter(~F.col("maybe_member")).count() > 80
+
+
+def test_audio_frame_energy(spark):
+    """Framewise energy over a real PCM WAV: integer-exact energies, the
+    loud frame wins the argmax, the partial tail frame is zero-padded."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, audio_frame_energy)
+
+    quiet = np.full(256, 10, dtype=np.int16)
+    loud = np.full(256, 1000, dtype=np.int16)
+    tail = np.full(100, 10, dtype=np.int16)
+    sig = np.concatenate([quiet, loud, tail])
+    wav = codecs.encode_wav(sig, 8000)
+    rows = [("m1", "1", "audio", bytearray(wav), None)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        MEDIA_SCHEMA,
+    )
+    got = audio_frame_energy(media, frame_len=256, strict=True).collect()[0]
+    assert got["n_frames"] == 3
+    assert got["max_frame"] == 1
+    assert got["max_energy"] == 256 * 1000 * 1000
+    assert got["total_energy"] == 256 * 100 + 256 * 1000 * 1000 + 100 * 100
