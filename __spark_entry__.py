@@ -1754,6 +1754,26 @@ def _q_geo_heatmap_pyramid(spark, sf_dir):
     )
 
 
+def _q_geo_density_isobands(spark, sf_dir):
+    """Heatmap contour extraction: threshold the z6 point-density grid
+    and re-vectorize each level-set mask with the boundary tracer —
+    isoband polygons of the corpus density, entirely in-engine. DuckDB
+    rebuilds the z6 grid with its own tile math and checks each mask's
+    cell count, boundary segments, and quad-count Euler number."""
+    from planetiler_openmaptiles_spark import spatial
+    from planetiler_openmaptiles_spark.tiling import cells
+
+    feats = _decoded(spark, sf_dir).filter(F.col("geom_kind") == "point")
+    lon = F.regexp_extract("geom_wkt", _PT_RE, 1).cast("double")
+    lat = F.regexp_extract("geom_wkt", _PT_RE, 2).cast("double")
+    pts = feats.select(
+        cells.world_x(lon).alias("wx"), cells.world_y(lat).alias("wy")
+    )
+    return spatial.density_isobands(
+        pts, thresholds=(1, 2, 5), zoom=6
+    ).orderBy("threshold")
+
+
 def _q_geo_raster_vectorize(spark, sf_dir):
     """Raster→vector round trip: each landuse polygon is rasterized on the
     32×32 grid, then the mask is re-vectorized by the boundary tracer the
@@ -3042,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_raster_coverage": _q_geo_raster_coverage,
         "geo_raster_vectorize": _q_geo_raster_vectorize,
         "geo_heatmap_pyramid": _q_geo_heatmap_pyramid,
+        "geo_density_isobands": _q_geo_density_isobands,
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -5416,6 +5437,50 @@ def oracle_sql() -> dict[str, str]:
                      FROM pyr GROUP BY 1)
             SELECT roll.z, n_tiles, n_points, max_n, top_x, top_y
             FROM roll JOIN top USING (z) ORDER BY roll.z
+        """,
+        "geo_density_isobands": decode + f""",
+            base AS (SELECT tx >> 8 AS c, ty >> 8 AS r, count(*) AS n FROM (
+                       SELECT {tile_xy} FROM feat2 WHERE geom_kind = 'point')
+                     GROUP BY 1, 2),
+            th AS (SELECT unnest([1, 2, 5]) AS threshold),
+            pix AS (SELECT th.threshold, b.r, b.c
+                    FROM th JOIN base b ON b.n >= th.threshold),
+            np AS (SELECT threshold, count(*) AS n_cells FROM pix GROUP BY 1),
+            adj AS (SELECT a.threshold, count(*) AS n_adj
+                    FROM pix a JOIN pix b ON b.threshold = a.threshold
+                      AND ((b.r = a.r AND b.c = a.c + 1)
+                        OR (b.r = a.r + 1 AND b.c = a.c))
+                    GROUP BY 1),
+            blocks AS (SELECT DISTINCT p.threshold, p.r + d1.dr AS rr,
+                                       p.c + d2.dc AS cc
+                       FROM pix p,
+                            (SELECT unnest([-1, 0]) AS dr) d1,
+                            (SELECT unnest([-1, 0]) AS dc) d2),
+            blk AS (SELECT b.threshold, b.rr, b.cc,
+                           count(*) AS nf,
+                           count(*) FILTER (WHERE p.r = b.rr     AND p.c = b.cc)     AS tl,
+                           count(*) FILTER (WHERE p.r = b.rr     AND p.c = b.cc + 1) AS tr,
+                           count(*) FILTER (WHERE p.r = b.rr + 1 AND p.c = b.cc)     AS bl,
+                           count(*) FILTER (WHERE p.r = b.rr + 1 AND p.c = b.cc + 1) AS br
+                    FROM blocks b JOIN pix p ON p.threshold = b.threshold
+                      AND p.r BETWEEN b.rr AND b.rr + 1
+                      AND p.c BETWEEN b.cc AND b.cc + 1
+                    GROUP BY 1, 2, 3),
+            qq AS (SELECT threshold,
+                          count(*) FILTER (WHERE nf = 1) AS q1,
+                          count(*) FILTER (WHERE nf = 3) AS q3,
+                          count(*) FILTER (WHERE nf = 2
+                              AND ((tl = 1 AND br = 1) OR (tr = 1 AND bl = 1))) AS qd
+                   FROM blk GROUP BY 1)
+            SELECT CAST(np.threshold AS INT) AS threshold,
+                   CAST(np.n_cells AS BIGINT) AS n_cells,
+                   CAST(4 * np.n_cells - 2 * coalesce(adj.n_adj, 0) AS BIGINT) AS n_edges,
+                   CAST(4 * np.n_cells - 2 * coalesce(adj.n_adj, 0) AS BIGINT) AS perim_units,
+                   CAST((qq.q1 - qq.q3 + 2 * qq.qd) // 4 AS BIGINT) AS euler
+            FROM np
+            LEFT JOIN adj USING (threshold)
+            JOIN qq USING (threshold)
+            ORDER BY np.threshold
         """,
         "geo_raster_vectorize": decode + f""",
             {_LANDUSE_RING_CTE},

@@ -442,6 +442,75 @@ def point_density_pyramid(points: DataFrame, wx_col: str = "wx",
     )
 
 
+def mask_vector_stats(mask: "np.ndarray", x0: float = 0.0, y0: float = 0.0,
+                      cell: float = 1.0) -> tuple[int, int, int, int]:
+    """(n_pixels, n_edges, perim_units, euler) for a binary mask:
+    boundary unit segments from numpy 4-neighbor transitions, traced-ring
+    perimeter (independent recomputation via geom/raster.py trace_rings),
+    and the ring-orientation Euler number. Shared by the raster→vector
+    round-trip UDF and the density-isoband query."""
+    n_pixels = int(np.count_nonzero(mask))
+    pad = np.zeros((mask.shape[0] + 2, mask.shape[1] + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    n_edges = int(
+        (pad[1:, :] & ~pad[:-1, :]).sum()
+        + (pad[:-1, :] & ~pad[1:, :]).sum()
+        + (pad[:, 1:] & ~pad[:, :-1]).sum()
+        + (pad[:, :-1] & ~pad[:, 1:]).sum()
+    )
+    rings = raster.trace_rings(mask, x0, y0, cell)
+    perim = sum(float(np.abs(np.diff(r, axis=0)).sum()) for r in rings)
+    perim_units = int(round(perim / cell)) if cell > 0 else 0
+    euler = sum(1 if raster.ring_signed_area(r) > 0 else -1 for r in rings)
+    return n_pixels, n_edges, perim_units, euler
+
+
+def density_isobands(points: DataFrame, thresholds=(1, 5, 20),
+                     zoom: int = 6, wx_col: str = "wx",
+                     wy_col: str = "wy") -> DataFrame:
+    """Density isobands: threshold the zoom-level point-density grid and
+    re-vectorize each level-set mask with the engine's boundary tracer —
+    contour polygons of a heatmap, entirely in-engine. Returns one row
+    per threshold: ``(threshold, n_cells, n_edges, perim_units, euler)``.
+
+    Scale shape: the density grid comes from ``point_density_pyramid``
+    (one corpus-sized shuffle); the per-threshold vectorization works on
+    the AGGREGATE grid (<= 4^zoom cells — bounded by construction, not by
+    input size), one Arrow task per threshold."""
+    import pandas as pd  # noqa: F811 — local for the kernel closure
+
+    pyr = point_density_pyramid(points, wx_col, wy_col,
+                                max_zoom=zoom, min_zoom=zoom)
+    side = 1 << zoom
+    tagged = pyr.select(
+        "x", "y", "n",
+        F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias(
+            "threshold"
+        ),
+    ).filter(F.col("n") >= F.col("threshold"))
+
+    schema = T.StructType(
+        [
+            T.StructField("threshold", T.IntegerType()),
+            T.StructField("n_cells", T.LongType()),
+            T.StructField("n_edges", T.LongType()),
+            T.StructField("perim_units", T.LongType()),
+            T.StructField("euler", T.LongType()),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mask = np.zeros((side, side), dtype=bool)
+        mask[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = True
+        n_px, n_e, perim, euler = mask_vector_stats(mask)
+        return pd.DataFrame(
+            [(int(key[0]), n_px, n_e, perim, euler)],
+            columns=["threshold", "n_cells", "n_edges", "perim_units", "euler"],
+        )
+
+    return tagged.groupBy("threshold").applyInPandas(kernel, schema)
+
+
 def raster_vectorize_udf(grid: int = 32):
     """WKT polygon → raster→vector round-trip diagnostics on the same
     grid×grid center-sampled raster as ``raster_coverage_udf``:
@@ -490,24 +559,7 @@ def raster_vectorize_udf(grid: int = 32):
                 rows.append((0, 0, 0, 0))
                 continue
             mask = raster.rasterize(polys, x0, y0, cell, (grid, grid))
-            n_pixels = int(np.count_nonzero(mask))
-            pad = np.zeros((grid + 2, grid + 2), dtype=bool)
-            pad[1:-1, 1:-1] = mask
-            n_edges = int(
-                (pad[1:, :] & ~pad[:-1, :]).sum()
-                + (pad[:-1, :] & ~pad[1:, :]).sum()
-                + (pad[:, 1:] & ~pad[:, :-1]).sum()
-                + (pad[:, :-1] & ~pad[:, 1:]).sum()
-            )
-            rings = raster.trace_rings(mask, x0, y0, cell)
-            perim = sum(
-                float(np.abs(np.diff(r, axis=0)).sum()) for r in rings
-            )
-            perim_units = int(round(perim / cell)) if cell > 0 else 0
-            euler = sum(
-                1 if raster.ring_signed_area(r) > 0 else -1 for r in rings
-            )
-            rows.append((n_pixels, n_edges, perim_units, euler))
+            rows.append(mask_vector_stats(mask, x0, y0, cell))
         return pd.DataFrame(
             rows, columns=["n_pixels", "n_edges", "perim_units", "euler"]
         )

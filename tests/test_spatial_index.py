@@ -198,3 +198,28 @@ def test_point_density_pyramid(spark):
         parents = {(r["x"], r["y"]): r["n"] for r in byz[z - 1]}
         for r in byz[z]:
             assert parents[(r["x"] // 2, r["y"] // 2)] >= r["n"]
+
+
+def test_density_isobands(spark):
+    """Isoband masks: the low threshold covers a superset of the high
+    one, and a single dense blob yields euler 1 with perimeter equal to
+    the independent segment count."""
+    rows = []
+    # 3x3 dense blob: 5 points per cell around (10..12, 10..12) at z6
+    for cx in (10, 11, 12):
+        for cy in (10, 11, 12):
+            for _ in range(5):
+                rows.append(((cx + 0.5) / 64.0, (cy + 0.5) / 64.0))
+    # sparse singles elsewhere
+    rows += [((40 + 0.5) / 64.0, (40 + 0.5) / 64.0)]
+    pts = spark.createDataFrame(rows, "wx double, wy double")
+    from planetiler_openmaptiles_spark import spatial
+
+    got = {r["threshold"]: r
+           for r in spatial.density_isobands(pts, thresholds=(1, 5), zoom=6).collect()}
+    assert got[1]["n_cells"] == 10 and got[5]["n_cells"] == 9
+    assert got[5]["euler"] == 1            # one solid 3x3 blob
+    assert got[1]["euler"] == 2            # blob + isolated cell
+    for r in got.values():
+        assert r["perim_units"] == r["n_edges"]
+    assert got[5]["n_edges"] == 12          # 3x3 square boundary
