@@ -110,3 +110,27 @@ def windowed_event_counts(
             F.col("n"),
         )
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame, value_col: str = "user_id", window: str = "1 hour",
+    watermark: str = "1 day", p: int = 8
+) -> DataFrame:
+    """Streaming HyperLogLog pre-aggregation: per (tumbling window,
+    event_type) maintain the HLL register table incrementally —
+    ``max(rank)`` is algebraic, so Structured Streaming folds each
+    micro-batch into watermarked register state without reprocessing
+    history; state per key is <= 2^p tiny rows regardless of event
+    volume. Structured Streaming allows one aggregation per query, so
+    the estimate itself is finished batch-side on the sink with
+    ``textops.sketches.hll_estimate_from_registers`` — the standard
+    lakehouse split (streaming pre-aggregate, batch finish)."""
+    from ..textops.sketches import hll_registers
+
+    w = events.withWatermark("ts", watermark).select(
+        F.window("ts", window).alias("w"), "event_type",
+        F.col(value_col).alias("v"),
+    )
+    return hll_registers(w, "v", ["w", "event_type"], p).select(
+        F.col("w.start").alias("window_start"), "event_type", "bucket", "reg"
+    )

@@ -70,9 +70,20 @@ def hll_distinct(df: DataFrame, value_col: str, group_cols: list[str],
     the paper; 32-bit-range correction is omitted (hash space 2^32,
     corpus cardinalities here are far below 2^27 where it activates).
     """
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str],
+                                p: int = 8) -> DataFrame:
+    """Finish a register table ``(group_cols..., bucket, reg)`` into the
+    HLL estimate — split out so a STREAMING pre-aggregation (registers
+    maintained incrementally under a watermark; max is an algebraic
+    streaming aggregate) can be finished batch-side on the sink table
+    (Structured Streaming allows one aggregation per query)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(df, value_col, group_cols, p)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s"),
         F.count("*").alias("nz"),

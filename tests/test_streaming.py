@@ -297,3 +297,61 @@ def test_incremental_tile_stream_exact_mor(spark, corpus_dir, tmp_path):
             spark, src, out, str(tmp_path / "mor_ckpt2"),
             config=Config(only_layers=("water",)),
         )
+
+
+def test_streaming_windowed_hll_matches_batch(spark, tmp_path):
+    """Streaming HLL register maintenance (one watermarked aggregation)
+    finished batch-side equals the batch hll_distinct over the same
+    events — register state is algebraic, so incremental folding across
+    micro-batches loses nothing."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.streaming.stateful import (
+        windowed_hll_registers)
+    from planetiler_openmaptiles_spark.textops.sketches import (
+        hll_distinct, hll_estimate_from_registers)
+
+    src = str(tmp_path / "hll_in")
+    os.makedirs(src)
+    ts = pd.to_datetime(
+        ["2026-01-01 00:05"] * 40 + ["2026-01-01 01:10"] * 25
+    ).astype("datetime64[us]")
+    users = list(range(40)) + [1000 + i % 10 for i in range(25)]
+    pd.DataFrame(
+        {"ts": ts[:30], "event_type": "click", "user_id": users[:30]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+    pd.DataFrame(
+        {"ts": ts[30:], "event_type": "click", "user_id": users[30:]}
+    ).to_parquet(os.path.join(src, "b2.parquet"))
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, user_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        windowed_hll_registers(stream, "user_id", window="1 hour")
+        .writeStream.format("memory").queryName("hll_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    regs = spark.sql("select * from hll_regs")
+    est = {
+        (str(r["window_start"]), r["event_type"]): r["hll_estimate"]
+        for r in hll_estimate_from_registers(
+            regs, ["window_start", "event_type"]
+        ).collect()
+    }
+    batch = spark.read.parquet(src).select(
+        F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+    ).select(F.col("w.start").alias("window_start"), "event_type", "user_id")
+    want = {
+        (str(r["window_start"]), r["event_type"]): r["hll_estimate"]
+        for r in hll_distinct(
+            batch, "user_id", ["window_start", "event_type"]
+        ).collect()
+    }
+    assert est == want and len(est) == 2
+    # small-cardinality windows resolve near-exactly via linear counting
+    assert abs(est[("2026-01-01 01:00:00", "click")] - 10) < 1
+    assert abs(est[("2026-01-01 00:00:00", "click")] - 40) < 8
