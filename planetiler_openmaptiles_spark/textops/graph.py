@@ -40,10 +40,21 @@ def shared_gram_edges(docs: DataFrame, n: int = 8, max_df: int = 4,
         .select("doc_id", F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    rare = (
+    # df gate FIRST, as a count (map-side-combined — skew-safe even for a
+    # boilerplate gram in 10^9 docs), THEN collect the per-gram doc list:
+    # after the semi-join every list is bounded by max_df. Collecting
+    # before filtering would accumulate an unbounded list on the hottest
+    # gram key — the classic OOM-at-scale shape.
+    df_ok = (
         grams.groupBy("gh")
-        .agg(F.collect_list("doc_id").alias("ds"), F.count("*").alias("df"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_df)
+        .select("gh")
+    )
+    rare = (
+        grams.join(df_ok, "gh")
+        .groupBy("gh")
+        .agg(F.collect_list("doc_id").alias("ds"))
     )
     # expand the capped per-gram doc list to ordered pairs without a second
     # shuffle: df <= max_df rows per gram, so the cross product is array math

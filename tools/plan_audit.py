@@ -175,6 +175,52 @@ def main():
     sections.append(("S2 cell aggregation (Arrow UDF + codegen bit math)",
                      explain_str(s2q)))
 
+    # 12. PageRank — edge derivation is one explode + one groupBy (pairs
+    # expand in array math, never a second shuffle); each iteration is one
+    # hash join rank⋈edges + one map-side-combined groupBy(dst), and
+    # localCheckpoint truncates lineage so the printed plan stays flat at
+    # iteration 5 (no 5×-nested join tree).
+    from planetiler_openmaptiles_spark.textops.graph import (
+        document_pagerank, shared_gram_edges)
+
+    sections.append(
+        (
+            "PageRank (df-capped edges, flat per-iteration plan)",
+            "Edge derivation:\n"
+            + explain_str(shared_gram_edges(sfdocs))
+            + "\n\nFull 5-iteration query (localCheckpoint keeps it flat):\n"
+            + explain_str(document_pagerank(sfdocs, iters=2)),
+        )
+    )
+
+    # 13. HLL registers — the ONLY corpus-sized shuffle carries (group,
+    # bucket, rank) with partial max (map-side combine) before the
+    # exchange; the estimate groupBy runs over <= 256 rows per group.
+    from planetiler_openmaptiles_spark.textops.sketches import hll_distinct
+
+    sections.append(
+        (
+            "HyperLogLog (register-level shuffle, partial max)",
+            explain_str(hll_distinct(ev, "user_id", ["event_type"])),
+        )
+    )
+
+    # 14. density pyramid — stage 1 groupBy is the only corpus-sized
+    # exchange (key space bounded by 4^z); the ancestor explode runs over
+    # the aggregate and re-aggregates a zoom-levels×distinct-tiles table.
+    from planetiler_openmaptiles_spark.spatial import point_density_pyramid
+
+    wpts = spark.range(20000).select(
+        ((F.col("id") * 7919 % 10007) / 10007.0).alias("wx"),
+        ((F.col("id") * 104729 % 10007) / 10007.0).alias("wy"),
+    )
+    sections.append(
+        (
+            "Density pyramid (finest-zoom aggregate, bit-shift ancestors)",
+            explain_str(point_density_pyramid(wpts, max_zoom=10)),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
         "Checks: PushedFilters / pruned ReadSchema on scans; BroadcastHashJoin"
