@@ -850,6 +850,106 @@ def _q_osm_pbf_roundtrip(spark, sf_dir):
     )
 
 
+def _osc_fixture(sf_dir: str) -> str:
+    """Deterministic OsmChange diff over the `_pbf_fixture` extract, every
+    operation derived from index arithmetic so DuckDB can regenerate the
+    post-diff entity table AND the affected-element propagation from
+    `range()` with zero shared code. Coordinates are exact multiples of
+    1e-6 deg (%.9f text round-trips losslessly)."""
+    n_nodes, n_ways, n_rels = _pbf_fixture_counts(sf_dir)
+    path = os.path.join(GEN_ROOT, f"osc_rt_n{n_nodes}_s{SEED}_v1.osc")
+    if os.path.exists(path):
+        return path
+    os.makedirs(GEN_ROOT, exist_ok=True)
+    parts = ["<?xml version='1.0' encoding='UTF-8'?>",
+             '<osmChange version="0.6" generator="fixture">']
+    parts.append("<create>")
+    for j in range(n_nodes // 20):
+        lat = (((j * 6007) % 160_000_000) * 1000 - 80_000_000_000) * 1e-9
+        lon = (((j * 9973) % 340_000_000) * 1000 - 170_000_000_000) * 1e-9
+        parts.append(
+            f'<node id="{n_nodes + j + 1}" lat="{lat:.9f}" lon="{lon:.9f}">'
+            f'<tag k="name" v="c{j}"/><tag k="natural" v="peak"/></node>'
+        )
+    parts.append("</create>")
+    parts.append("<modify>")
+    for i in range(0, n_nodes, 13):
+        lat = (((i * 7433) % 160_000_000) * 1000 - 80_000_000_000) * 1e-9
+        lon = (((i * 99991) % 340_000_000) * 1000 - 170_000_000_000) * 1e-9
+        tags = (f'<tag k="name" v="m{i}"/><tag k="natural" v="peak"/>'
+                if i % 7 == 0 else "")
+        parts.append(
+            f'<node id="{i + 1}" lat="{lat:.9f}" lon="{lon:.9f}">{tags}</node>'
+        )
+    for w in range(0, n_ways, 5):
+        nds = "".join(f'<nd ref="{5 * w + k + 1}"/>' for k in range(6))
+        parts.append(
+            f'<way id="{100_000 + w}">{nds}'
+            f'<tag k="highway" v="primary"/><tag k="ref" v="M{w}"/></way>'
+        )
+    if n_rels > 0:
+        mems = ('<member type="way" ref="100000" role="member"/>'
+                '<member type="way" ref="100001" role=""/>')
+        parts.append(
+            f'<relation id="900000">{mems}'
+            '<tag k="type" v="route"/><tag k="route" v="road"/>'
+            '<tag k="network" v="US:NEW"/></relation>'
+        )
+    parts.append("</modify>")
+    parts.append("<delete>")
+    for i in range(0, n_nodes, 17):
+        if i % 13 != 0:
+            parts.append(f'<node id="{i + 1}"/>')
+    for w in range(3, n_ways, 11):
+        if w % 5 != 0:
+            parts.append(f'<way id="{100_000 + w}"/>')
+    parts.append("</delete>")
+    parts.append("</osmChange>")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(parts))
+    os.replace(tmp, path)
+    return path
+
+
+def _q_osc_apply(spark, sf_dir):
+    """OsmChange diff application (the osmosis replication shape planetiler
+    lacks): merge create/modify/delete into the base extract's entity view
+    and propagate the affected set (moved node → referencing ways →
+    touching relations → member ways). DuckDB regenerates the post-diff
+    entity table AND replays the whole propagation from closed-form
+    arithmetic."""
+    from planetiler_openmaptiles_spark.sources.osm_osc import (
+        affected_elements, merge_entities, read_osmchange)
+    from planetiler_openmaptiles_spark.sources.osm_pbf import read_osm_entities
+
+    base = read_osm_entities(spark, _pbf_fixture(sf_dir))
+    change = read_osmchange(spark, _osc_fixture(sf_dir))
+    merged = merge_entities(base, change)
+    aff = affected_elements(base, merged, change).withColumn(
+        "affected", F.lit(1)
+    )
+    return (
+        merged.join(aff, ["etype", "id"], "left")
+        .select(
+            F.col("etype").cast("long").alias("etype"),
+            "id",
+            F.round(F.col("lat") * 1e9).cast("long").alias("lat_nano"),
+            F.round(F.col("lon") * 1e9).cast("long").alias("lon_nano"),
+            F.array_join(
+                F.array_sort(
+                    F.transform("tags", lambda t: F.concat(t["key"], F.lit("="), t["value"]))
+                ),
+                ";",
+            ).alias("tags_s"),
+            F.size("refs").cast("long").alias("n_refs"),
+            F.size("members").cast("long").alias("n_members"),
+            F.coalesce(F.col("affected"), F.lit(0)).cast("long").alias("affected"),
+        )
+        .orderBy("etype", "id")
+    )
+
+
 def _mp_fixture_count(sf_dir: str) -> int:
     name = os.path.basename(os.path.normpath(sf_dir))
     return max(10, _SF_DOCS.get(name, 4000) // 200)
@@ -3043,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_span_roundtrip": _q_geo_span_roundtrip,
         "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
         "osm_mp_assembly": _q_osm_mp_assembly,
+        "osc_apply": _q_osc_apply,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
         "natural_earth_roundtrip": _q_natural_earth_roundtrip,
         "geojson_roundtrip": _q_geojson_roundtrip,
@@ -3411,6 +3512,84 @@ def oracle_sql() -> dict[str, str]:
                 CAST(2 AS BIGINT), CAST(100000+3*r AS BIGINT), CAST(100000+3*r+1 AS BIGINT)
               FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[2]}) t(r))
             SELECT * FROM nodes UNION ALL SELECT * FROM ways UNION ALL SELECT * FROM rels
+            ORDER BY etype, id
+        """,
+        # OsmChange apply: the post-diff entity table AND the affected-set
+        # propagation (changed node → referencing ways → touching relations
+        # → member ways) regenerated entirely from the fixture arithmetic.
+        "osc_apply": f"""
+            WITH chn AS (
+              SELECT CAST(i + 1 AS BIGINT) AS id
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[0]}) t(i)
+              WHERE i % 13 = 0 OR (i % 17 = 0 AND i % 13 <> 0)
+              UNION ALL
+              SELECT CAST({_pbf_fixture_counts('/x/' + ORACLE_SF)[0]} + j + 1 AS BIGINT)
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[0] // 20}) t(j)),
+            wchanged AS (
+              SELECT w FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[1]}) t(w)
+              WHERE w % 5 = 0 OR (w % 11 = 3 AND w % 5 <> 0)),
+            whit AS (
+              SELECT DISTINCT w
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[1]}) t(w),
+                   range(6) k(k)
+              WHERE (5 * w + k.k + 1) IN (SELECT id FROM chn)),
+            aff_ways AS (SELECT w FROM wchanged UNION SELECT w FROM whit),
+            rhit AS (
+              SELECT r FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[2]}) t(r),
+                   (SELECT unnest([0, 1]) AS o) o
+              WHERE (3 * r + o.o) IN (SELECT w FROM aff_ways)),
+            aff_rels AS (
+              SELECT 0 AS r FROM range(1)
+              WHERE {_pbf_fixture_counts('/x/' + ORACLE_SF)[2]} > 0
+              UNION SELECT r FROM rhit),
+            aff_ways2 AS (
+              SELECT w FROM aff_ways
+              UNION SELECT 3 * r FROM aff_rels
+              UNION SELECT 3 * r + 1 FROM aff_rels),
+            node_rows AS (
+              SELECT CAST(i + 1 AS BIGINT) AS id,
+                CAST(((i * 7919) % 160000000) * 1000 - 80000000000 AS BIGINT) AS lat_nano,
+                CAST(((i * 104729) % 340000000) * 1000 - 170000000000 AS BIGINT) AS lon_nano,
+                CASE WHEN i % 7 = 0 THEN 'name=n' || i || ';natural=peak' ELSE '' END AS tags_s
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[0]}) t(i)
+              WHERE i % 13 <> 0 AND NOT (i % 17 = 0 AND i % 13 <> 0)
+              UNION ALL
+              SELECT CAST(i + 1 AS BIGINT),
+                CAST(((i * 7433) % 160000000) * 1000 - 80000000000 AS BIGINT),
+                CAST(((i * 99991) % 340000000) * 1000 - 170000000000 AS BIGINT),
+                CASE WHEN i % 7 = 0 THEN 'name=m' || i || ';natural=peak' ELSE '' END
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[0]}) t(i)
+              WHERE i % 13 = 0
+              UNION ALL
+              SELECT CAST({_pbf_fixture_counts('/x/' + ORACLE_SF)[0]} + j + 1 AS BIGINT),
+                CAST(((j * 6007) % 160000000) * 1000 - 80000000000 AS BIGINT),
+                CAST(((j * 9973) % 340000000) * 1000 - 170000000000 AS BIGINT),
+                'name=c' || j || ';natural=peak'
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[0] // 20}) t(j)),
+            out_nodes AS (
+              SELECT CAST(0 AS BIGINT) AS etype, id, lat_nano, lon_nano, tags_s,
+                     CAST(0 AS BIGINT) AS n_refs, CAST(0 AS BIGINT) AS n_members,
+                     CAST(CASE WHEN id IN (SELECT id FROM chn) THEN 1 ELSE 0 END AS BIGINT) AS affected
+              FROM node_rows),
+            out_ways AS (
+              SELECT CAST(1 AS BIGINT), CAST(100000 + w AS BIGINT),
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                     CASE WHEN w % 5 = 0 THEN 'highway=primary;ref=M' || w
+                          ELSE 'highway=primary;ref=W' || w END,
+                     CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST(CASE WHEN w IN (SELECT w FROM aff_ways2) THEN 1 ELSE 0 END AS BIGINT)
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[1]}) t(w)
+              WHERE NOT (w % 11 = 3 AND w % 5 <> 0)),
+            out_rels AS (
+              SELECT CAST(2 AS BIGINT), CAST(900000 + r AS BIGINT),
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                     CASE WHEN r = 0 THEN 'network=US:NEW;route=road;type=route'
+                          ELSE 'route=road;type=route' END,
+                     CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+                     CAST(CASE WHEN r IN (SELECT r FROM aff_rels) THEN 1 ELSE 0 END AS BIGINT)
+              FROM range({_pbf_fixture_counts('/x/' + ORACLE_SF)[2]}) t(r))
+            SELECT * FROM out_nodes UNION ALL SELECT * FROM out_ways
+            UNION ALL SELECT * FROM out_rels
             ORDER BY etype, id
         """,
         # Multipolygon assembly invariants regenerated from the fixture's

@@ -795,6 +795,21 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
         return cached
 
     ents = read_osm_entities(spark, path, partitions)
+    docs = entities_to_documents(spark, ents)
+    _DOCS_CACHE[memo_key] = docs
+    return docs
+
+
+def entities_to_documents(spark, ents):
+    """Entity DataFrame (``_ENTITY_SCHEMA``) → canonical documents table.
+    Split out of ``pbf_to_documents`` so a MERGED entity view — base
+    extract with an OsmChange diff applied (``sources/osm_osc.py``) — runs
+    through the identical assembly; the file connector is just
+    read + this."""
+    from pyspark.sql import functions as F
+
+    from ..spans import reencode_spans
+
     ents = ents.persist()
     _CACHES.append(ents)
     # ONE refs⋈nodes exchange (the connector's biggest shuffle), shared by
@@ -888,5 +903,4 @@ def pbf_to_documents(spark, path: str, partitions: int | None = None):
         .withColumn("media_refs", F.array().cast("array<string>"))
         .select("doc_id", reencode_spans().alias("spans"))
     )
-    _DOCS_CACHE[memo_key] = docs
     return docs
