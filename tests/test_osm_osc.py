@@ -155,3 +155,55 @@ def test_read_osmchange_actions(spark, tmp_path):
     assert len(mods[0]["members"]) == 2 and mods[0]["members"][0]["mtype"] == 1
     w500 = [r for r in ch if r["id"] == 100500][0]
     assert list(w500["refs"]) == [31, 32, 33]
+
+
+def test_osc_incremental_tiles_parity(spark, tmp_path):
+    """The full replication loop: base extract → tiles, then an OsmChange
+    diff applied INCREMENTALLY (affected tiles recomputed, rest spliced)
+    must be row-identical to a full rebuild over the post-change corpus."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import (
+        build_tiles, incremental_retile, write_tiles)
+
+    base_path = str(tmp_path / "base.osm.pbf")
+    n, w, r = _base_entities()
+    write_osm_pbf(base_path, n, w, r, block_size=32)
+    osc_path = str(tmp_path / "diff.osc")
+    with open(osc_path, "w") as f:
+        f.write(_OSC)
+
+    merged_docs, new_docs, removed = apply_osmchange(spark, base_path, osc_path)
+    merged_dir = str(tmp_path / "merged_corpus")
+    shard_dir = str(tmp_path / "shard_corpus")
+    for d, df in ((merged_dir, merged_docs), (shard_dir, new_docs)):
+        os.makedirs(d, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    cfg = Config(only_layers=("transportation", "mountain_peak"), max_zoom=8)
+    full = build_tiles(spark, merged_dir, cfg,
+                       checkpoint_dir=str(tmp_path / "ckpt_full"))
+
+    base_corpus = "pbf:" + base_path
+    ckpt_base = str(tmp_path / "ckpt_base")
+    base = build_tiles(spark, base_corpus, cfg, checkpoint_dir=ckpt_base)
+    base_out = str(tmp_path / "base_out")
+    write_tiles(base, base_out)
+
+    # every shard doc IS new content (modified docs keep their doc_id, so
+    # the default existing-id anti-join would wrongly drop them)
+    inc = incremental_retile(
+        spark, base_corpus, shard_dir, ckpt_base, base_out, cfg,
+        new_doc_pred=F.lit(True), removed_doc_ids=removed,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["z"], r["x"], r["y"], r["layer"], r["seq"],
+             bytes(r["geom_px"]), tuple(sorted(r["attrs"].items())))
+            for r in df.collect())
+
+    inc_rows = rows(inc)
+    assert inc_rows == rows(full)
+    assert len(inc_rows) > 0
