@@ -9,6 +9,11 @@ Usage:
     [--only-layers building,housenumber,...] [--max-zoom 14] \
     [--new-doc-prefix osm/] [--master local[8]]
 
+  OSM replication shape (no shard corpus needed — the diff derives it):
+  python -m tools.incremental_retile \
+    --base-corpus pbf:planet.osm.pbf --osc minute/123.osc \
+    --checkpoints CKPT --base-out DIR --out DIR [--update-mbtiles X.mbtiles]
+
 The shard corpus must carry the dimension documents (natural_earth /
 water_polygons / lake_centerlines) for join context; --new-doc-prefix
 selects the genuinely new documents so dimensions aren't re-emitted.
@@ -29,7 +34,12 @@ sys.path.insert(0, REPO)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-corpus", required=True)
-    ap.add_argument("--shard-corpus", required=True)
+    ap.add_argument("--shard-corpus", default=None,
+                    help="parquet corpus of new documents (or use --osc)")
+    ap.add_argument("--osc", default=None,
+                    help="OsmChange .osc diff applied to the base extract "
+                         "(replication shape); derives the shard and the "
+                         "removed-document set automatically")
     ap.add_argument("--checkpoints", required=True)
     ap.add_argument("--base-out", required=True)
     ap.add_argument("--out", required=True)
@@ -52,6 +62,9 @@ def main() -> None:
 
     from planetiler_openmaptiles_spark.pipeline import PER_DOC_LAYERS
 
+    if bool(args.shard_corpus) == bool(args.osc):
+        ap.error("exactly one of --shard-corpus or --osc is required")
+
     spark = get_spark(master=args.master)
     layers = tuple(n for n in args.only_layers.split(",") if n)
     if not layers:
@@ -63,9 +76,30 @@ def main() -> None:
         F.col("doc_id").startswith(args.new_doc_prefix)
         if args.new_doc_prefix else None
     )
+    removed = None
+    shard = args.shard_corpus
+    if args.osc:
+        import tempfile
+
+        from planetiler_openmaptiles_spark.sources.osm_osc import (
+            apply_osmchange,
+        )
+
+        if not args.base_corpus.startswith("pbf:"):
+            ap.error("--osc requires --base-corpus pbf:<extract>")
+        _, new_docs, removed = apply_osmchange(
+            spark, args.base_corpus[len("pbf:"):], args.osc
+        )
+        shard = tempfile.mkdtemp(prefix="osc_shard_")
+        new_docs.write.mode("overwrite").parquet(
+            os.path.join(shard, "documents.parquet")
+        )
+        # modified docs keep their doc_id — the default existing-id
+        # anti-join would drop them; every shard doc IS new content
+        pred = F.lit(True)
     tiles = incremental_retile(
-        spark, args.base_corpus, args.shard_corpus, args.checkpoints,
-        args.base_out, cfg, new_doc_pred=pred,
+        spark, args.base_corpus, shard, args.checkpoints,
+        args.base_out, cfg, new_doc_pred=pred, removed_doc_ids=removed,
     )
     written = write_tiles(tiles, args.out)
     back = spark.read.parquet(written["path"])
