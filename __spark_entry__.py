@@ -3032,6 +3032,48 @@ def _q_archive_read(spark, sf_dir):
     )
 
 
+def _q_archive_overzoom(spark, sf_dir):
+    """Tile overzooming (the standard OpenMapTiles deployment serves z>14
+    by overzooming z14 client-side; here it's a distributed batch op over
+    the archive): every fixture z10 tile transforms+clips into its z11
+    children. The fixture squares live in the (0,0) quadrant, so exactly
+    one child per parent survives, every feature interior (clip-path
+    coverage lives in test_overzoom.py's boundary vectors). DuckDB
+    regenerates child keys, feature counts, bbox checksums of the DOUBLED
+    coordinates, and rank sums from range() arithmetic alone."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.sources.tile_archive import read_mbtiles
+    from planetiler_openmaptiles_spark.tiling import mvt
+    from planetiler_openmaptiles_spark.tiling.overzoom import overzoom_tiles
+
+    path_a, _ = _archive_fixtures(sf_dir)
+    kids = overzoom_tiles(read_mbtiles(spark, path_a), 11)
+    schema = "z int, x int, y int, n_features int, coord_sum long, rank_sum long"
+
+    def summarize(batches):
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"],
+                                     pdf["tile_data"]):
+                n = csum = rsum = 0
+                for layer in mvt.decode_tile(bytes(blob)).values():
+                    for f in layer["features"]:
+                        n += 1
+                        pts = np.vstack([np.asarray(p) for p in f["paths"]])
+                        csum += int(pts[:, 0].min() + pts[:, 0].max()
+                                    + pts[:, 1].min() + pts[:, 1].max())
+                        rsum += int(f["attrs"]["rank"])
+                rows.append((int(z), int(x), int(y), n, csum, rsum))
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "x", "y", "n_features", "coord_sum", "rank_sum"],
+            )
+
+    return kids.mapInPandas(summarize, schema).orderBy("z", "x", "y")
+
+
 def _archive_tile_rows(i: int, bump_rank: bool):
     """The FEATURE rows behind _archive_tile (same arithmetic, pre-encode):
     encode_mvt_blobs over these produces byte-identical blobs."""
@@ -3151,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_read": _q_archive_read,
         "archive_diff": _q_archive_diff,
         "archive_update": _q_archive_update,
+        "archive_overzoom": _q_archive_overzoom,
         "geo_s2_cells": _q_geo_s2_cells,
         "geo_tiles_water": _q_geo_tiles_water,
         "geo_tiles_bounds": _q_geo_tiles_bounds,
@@ -3675,6 +3718,23 @@ def oracle_sql() -> dict[str, str]:
         # In-place update replay: the updated archive's content is the
         # delta applied to A — drop i%17==0, rank+1 on i%5==0 — so the
         # per-y rollup is closed-form over range(n) with those rules.
+        # Overzoom replay: fixture squares occupy the (0,0) quadrant, so
+        # parent i yields exactly child (2*(i%32), 2*(i//32)); coordinates
+        # double (a_px -> 2a, x16 integer grid), bbox checksum per square j
+        # = 4*A_u + 2*C_u with A_u=(32+25j)*16=512+400j, C_u=1600.
+        "archive_overzoom": f"""
+            WITH f AS (SELECT i, j
+                       FROM range({_archive_fixture_count('/x/' + ORACLE_SF)}) t(i),
+                            range(3) s(j)
+                       WHERE j <= i % 3)
+            SELECT CAST(11 AS INT) AS z,
+                   CAST(2 * (i % 32) AS INT) AS x,
+                   CAST(2 * (i // 32) AS INT) AS y,
+                   CAST(count(*) AS INT) AS n_features,
+                   CAST(sum(4 * (512 + 400 * j) + 3200) AS BIGINT) AS coord_sum,
+                   CAST(sum((i * 7 + j) % 11) AS BIGINT) AS rank_sum
+            FROM f GROUP BY i ORDER BY z, x, y
+        """,
         "archive_update": f"""
             WITH feat AS (
               SELECT i, j FROM range({_archive_fixture_count('/x/' + ORACLE_SF)}) t(i),
