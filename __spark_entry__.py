@@ -2641,6 +2641,7 @@ def _q_ann_recall(spark, sf_dir):
     rows = []
     for method, fn in (
         ("lsh", _q_ann_lsh),
+        ("lsh_mp", _q_ann_lsh_mp),
         ("ivf", _q_ann_ivf),
         ("pq", _q_ann_pq),
     ):
@@ -2708,6 +2709,29 @@ def _q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     return lsh_topk(emb, probes, dim=64, k=10).select(
+        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
+def _q_ann_lsh_mp(spark, sf_dir):
+    """Multiprobe LSH (Lv et al. 2007): each query also probes the
+    num_planes buckets one sign-flip away — the standard recall fix for
+    hyperplane LSH. DuckDB replays the flip expansion over the same
+    bucket aux."""
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        lsh_bucket, lsh_multiprobe_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    _write_aux(
+        emb.select("vec_id", lsh_bucket(F.col("embedding"), 64, 8).alias("bucket")),
+        sf_dir, "emb_buckets8",
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return lsh_multiprobe_topk(emb, probes, dim=64, k=10).select(
         "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("probe_id", "rank")
 
@@ -3259,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "simhash_near_dups": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_mp_topk": _q_ann_lsh_mp,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "semantic_dedup": _q_semantic_dedup,
@@ -4654,6 +4679,21 @@ def oracle_sql() -> dict[str, str]:
                       SELECT *, row_number() OVER (PARTITION BY probe_id
                         ORDER BY cosine DESC, vec_id ASC) AS rank
                       FROM l_scored) WHERE rank <= 10),
+            mp_scored AS (
+              SELECT DISTINCT probe_id, eb.vec_id,
+                     round(list_dot_product(eb.v, pv) /
+                           greatest(sqrt(list_dot_product(eb.v, eb.v))
+                                    * sqrt(list_dot_product(pv, pv)),
+                                    1e-12), 6) AS cosine
+              FROM eb JOIN lprobes
+                ON list_contains(
+                     list_transform([0, 1, 2, 4, 8, 16, 32, 64, 128],
+                                    f -> xor(lprobes.pbucket, f)),
+                     eb.bucket)),
+            lsh_mp AS (SELECT probe_id, vec_id FROM (
+                         SELECT *, row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                         FROM mp_scored) WHERE rank <= 10),
             cl AS (SELECT vec_id, cl
                    FROM read_parquet('{_aux_path("emb_ivf_clusters")}/*.parquet')),
             ec AS (SELECT e.vec_id, v, cl FROM e JOIN cl USING (vec_id)),
@@ -4703,6 +4743,11 @@ def oracle_sql() -> dict[str, str]:
                      round((SELECT count(*) FROM lsh JOIN ex
                             USING (probe_id, vec_id)) * 1.0 / tot.n, 6)
                        AS recall FROM tot
+              UNION ALL
+              SELECT 'lsh_mp',
+                     round((SELECT count(*) FROM lsh_mp JOIN ex
+                            USING (probe_id, vec_id)) * 1.0 / tot.n, 6)
+                     FROM tot
               UNION ALL
               SELECT 'ivf',
                      round((SELECT count(*) FROM ivf JOIN ex
@@ -5306,6 +5351,28 @@ def oracle_sql() -> dict[str, str]:
                      round(list_dot_product(eb.v, pv) /
                            greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
               FROM eb JOIN probes ON eb.bucket = probes.pbucket)
+            SELECT probe_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
+        """,
+        "ann_lsh_mp_topk": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            bk AS (SELECT vec_id, bucket
+                   FROM read_parquet('{_aux_path("emb_buckets8")}/*.parquet')),
+            eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+            probes AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+                       FROM eb WHERE vec_id < 5),
+            scored AS (
+              SELECT DISTINCT probe_id, eb.vec_id,
+                     round(list_dot_product(eb.v, pv) /
+                           greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+              FROM eb JOIN probes
+                ON list_contains(
+                     list_transform([0, 1, 2, 4, 8, 16, 32, 64, 128],
+                                    f -> xor(probes.pbucket, f)),
+                     eb.bucket))
             SELECT probe_id, vec_id, cosine, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY probe_id
                         ORDER BY cosine DESC, vec_id ASC) AS rank

@@ -449,3 +449,47 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Multiprobe LSH top-k (Lv et al. 2007): each query probes its own
+    bucket AND the ``num_planes`` buckets at Hamming distance 1 (one
+    hyperplane sign flipped) — the standard recall fix for hyperplane LSH:
+    near neighbors that land just across one cutting plane are recovered
+    without adding tables. Candidate volume grows (planes+1)x, still
+    ~(planes+1)/2^planes of a scan; the probe side stays broadcast (it's
+    exploded BEFORE the join, so the big embedding side never duplicates).
+    """
+    e = embeddings.withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), dim, num_planes)
+    )
+    base = probes.withColumn("_b0", lsh_bucket(F.col(probe_vec_col), dim, num_planes))
+    flips = F.array(
+        F.lit(0), *[F.lit(1 << i) for i in range(num_planes)]
+    )
+    p = base.select(
+        "*", F.explode(flips).alias("_flip")
+    ).withColumn(
+        "_bucket", F.col("_b0").bitwiseXOR(F.col("_flip"))
+    )
+    j = e.join(F.broadcast(p), "_bucket")
+    sim = cosine(F.col(vec_col), F.col(probe_vec_col))
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        j.select(F.col(probe_id_col), F.col(id_col), sim.alias("cosine"))
+        .distinct()  # a candidate can match through several probed buckets
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1238,3 +1238,30 @@ def test_audio_frame_energy(spark):
     assert got["max_frame"] == 1
     assert got["max_energy"] == 256 * 1000 * 1000
     assert got["total_energy"] == 256 * 100 + 256 * 1000 * 1000 + 100 * 100
+
+
+def test_lsh_multiprobe_superset(spark):
+    """Multiprobe candidates include every single-probe candidate (flip 0
+    keeps the home bucket), so multiprobe recall can only improve."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        lsh_multiprobe_topk, lsh_topk)
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    single = {(r["probe_id"], r["vec_id"])
+              for r in lsh_topk(emb, probes, dim=16, k=500, num_planes=6).collect()}
+    multi = {(r["probe_id"], r["vec_id"])
+             for r in lsh_multiprobe_topk(emb, probes, dim=16, k=500,
+                                          num_planes=6).collect()}
+    # k exceeds the corpus so nothing is cut: the multiprobe CANDIDATE set
+    # (home bucket = flip 0, plus one-bit flips) must be a superset
+    assert single <= multi
+    assert len(multi) > len(single)
