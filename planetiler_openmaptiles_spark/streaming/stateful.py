@@ -134,3 +134,32 @@ def windowed_hll_registers(
     return hll_registers(w, "v", ["w", "event_type"], p).select(
         F.col("w.start").alias("window_start"), "event_type", "bucket", "reg"
     )
+
+
+def attributed_events(
+    impressions: DataFrame, clicks: DataFrame,
+    window_seconds: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval join (the attribution shape:
+    click joins the impression that preceded it within the window). Both
+    sides carry watermarks plus the time-range predicate, so Spark bounds
+    EACH side's join state and evicts rows older than watermark + range —
+    without the interval condition the state grows forever. Returns one
+    row per attributed pair ``(user_id, imp_ts, click_ts, lag_seconds)``."""
+    imp = impressions.select(
+        F.col("user_id").alias("i_user"), F.col("ts").alias("imp_ts")
+    ).withWatermark("imp_ts", watermark)
+    clk = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("i_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts")
+           <= F.col("imp_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return imp.join(clk, cond).select(
+        F.col("i_user").alias("user_id"), "imp_ts", "click_ts",
+        (F.unix_timestamp("click_ts")
+         - F.unix_timestamp("imp_ts")).alias("lag_seconds"),
+    )

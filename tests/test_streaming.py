@@ -355,3 +355,52 @@ def test_streaming_windowed_hll_matches_batch(spark, tmp_path):
     # small-cardinality windows resolve near-exactly via linear counting
     assert abs(est[("2026-01-01 01:00:00", "click")] - 10) < 1
     assert abs(est[("2026-01-01 00:00:00", "click")] - 40) < 8
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream attribution join (availableNow over two
+    file streams) equals the batch interval join over the same data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.streaming.stateful import (
+        attributed_events)
+
+    imp_dir = str(tmp_path / "imp")
+    clk_dir = str(tmp_path / "clk")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    imp_ts = pd.to_datetime(
+        ["2026-01-01 00:00", "2026-01-01 02:00", "2026-01-01 00:30"]
+    ).astype("datetime64[us]")
+    pd.DataFrame({"ts": imp_ts, "user_id": [1, 1, 2]}).to_parquet(
+        os.path.join(imp_dir, "i1.parquet"))
+    clk_ts = pd.to_datetime(
+        ["2026-01-01 00:40",   # joins user1 imp@00:00
+         "2026-01-01 02:10",   # joins user1 imp@02:00
+         "2026-01-01 03:00",   # exactly 3600s after imp@02:00 (inclusive)
+         "2026-01-01 00:35"]   # user2 imp@00:30
+    ).astype("datetime64[us]")
+    pd.DataFrame({"ts": clk_ts, "user_id": [1, 1, 1, 2]}).to_parquet(
+        os.path.join(clk_dir, "c1.parquet"))
+
+    schema = "ts timestamp, user_id long"
+    s_imp = spark.readStream.schema(schema).parquet(imp_dir)
+    s_clk = spark.readStream.schema(schema).parquet(clk_dir)
+    q = (
+        attributed_events(s_imp, s_clk, window_seconds=3600)
+        .writeStream.format("memory").queryName("attrib")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], str(r["imp_ts"]), str(r["click_ts"]), r["lag_seconds"])
+           for r in spark.sql("select * from attrib").collect()}
+
+    b_imp = spark.read.parquet(imp_dir)
+    b_clk = spark.read.parquet(clk_dir)
+    want = {(r["user_id"], str(r["imp_ts"]), str(r["click_ts"]), r["lag_seconds"])
+            for r in attributed_events(b_imp, b_clk, window_seconds=3600).collect()}
+    assert got == want
+    assert len(got) == 4
+    assert (1, "2026-01-01 00:00:00", "2026-01-01 00:40:00", 2400) in got
+    assert (1, "2026-01-01 02:00:00", "2026-01-01 03:00:00", 3600) in got
