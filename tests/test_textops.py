@@ -973,8 +973,6 @@ def test_winnow_fingerprints_python_reference(spark):
     """Winnowing selection matches a literal python implementation of
     Schleimer et al. 2003 (window min, rightmost tie-break, overlap
     dedup), including the shorter-than-one-window degenerate case."""
-    import re
-
     from pyspark.sql import functions as F
 
     from planetiler_openmaptiles_spark.textops.textstats import (
