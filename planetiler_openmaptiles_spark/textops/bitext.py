@@ -59,12 +59,20 @@ def mine_bitext(
         text_col=text_col, id_col=id_col,
     ).select(F.col("doc_id").alias("y_id"), F.col("vec").alias("yv"))
 
+    # broadcast the genuinely SMALLER side (one cheap count per side —
+    # nothing here is materialized yet); the docstring's low-resource-side
+    # assumption must not become a silent OOM when a caller passes the big
+    # side as lang_y. Column roles (x/y) are unchanged either way.
+    if y.count() <= x.count():
+        pairs = x.join(F.broadcast(y), F.lit(True))
+    else:
+        pairs = y.join(F.broadcast(x), F.lit(True))
     # localCheckpoint: the scored pair table feeds four windows/joins below;
     # eager materialization computes the cross-side similarity exactly once
     # and truncates the plan (blocks are freed when the DF is GC'd — no
     # dangling persist to leak into later stages)
     scored = (
-        x.join(F.broadcast(y), F.lit(True))
+        pairs
         .select("x_id", "y_id", F.round(cosine(F.col("xv"), F.col("yv")), 9).alias("cos"))
         .localCheckpoint(eager=True)
     )

@@ -77,7 +77,8 @@ def shared_gram_edges(docs: DataFrame, n: int = 8, max_df: int = 4,
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 5, d: float = 0.85) -> DataFrame:
+def pagerank(edges: DataFrame, iters: int = 5, d: float = 0.85,
+             materialize: bool = True) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, weight)``.  Nodes are the
     union of endpoints; symmetric edge lists have no dangling nodes, so no
     mass-redistribution term is needed (an assert would cost a pass; the
@@ -91,10 +92,16 @@ def pagerank(edges: DataFrame, iters: int = 5, d: float = 0.85) -> DataFrame:
     at 10^12 docs per-iteration lineage otherwise compounds into
     analysis-time blowup.
     """
+    # materialize the (possibly corpus-scale) edge derivation ONCE: every
+    # iteration's localCheckpoint re-executes its inputs, so an
+    # unmaterialized edge plan would re-run the derivation iters+1 times
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -131,11 +138,15 @@ def document_pagerank(docs: DataFrame, n: int = 8, max_df: int = 4,
     """End-to-end: derive the content-link graph, run PageRank, return
     ``(doc_id, rank, degree)`` for every document that has at least one
     link (isolated documents carry no graph signal)."""
-    edges = shared_gram_edges(docs, n=n, max_df=max_df)
+    # one materialization of the edge derivation feeds degree AND all
+    # PageRank iterations (pagerank skips its own with materialize=False)
+    edges = shared_gram_edges(docs, n=n, max_df=max_df).localCheckpoint(
+        eager=True
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("int").alias("degree")
     )
-    pr = pagerank(edges, iters=iters, d=d)
+    pr = pagerank(edges, iters=iters, d=d, materialize=False)
     return (
         pr.join(deg, "node")
         .select(F.col("node").alias("doc_id"), "rank", "degree")

@@ -83,7 +83,11 @@ def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str],
     streaming aggregate) can be finished batch-side on the sink table
     (Structured Streaming allows one aggregation per query)."""
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Flajolet et al. Fig. 3: exact alpha for small m; the closed form is
+    # the m >= 128 asymptote
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s"),
         F.count("*").alias("nz"),
@@ -141,13 +145,16 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, candidates: DataFrame,
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: parallel partial
+    # top-k per partition), NOT an unpartitioned rank window — that would
+    # serialize the whole candidate table through one task. The rank
+    # window below runs over only the k surviving rows.
     from pyspark.sql import Window
 
+    top = est.orderBy(F.desc("est"), F.asc("value")).limit(k)
     wnd = Window.orderBy(F.desc("est"), F.asc("value"))
-    return (
-        est.withColumn("rank", F.row_number().over(wnd))
-        .filter(F.col("rank") <= k)
-        .select("value", "est", "rank")
+    return top.withColumn("rank", F.row_number().over(wnd)).select(
+        "value", "est", "rank"
     )
 
 
@@ -203,7 +210,11 @@ def bloom_probe(probes: DataFrame, value_col: str, bloom: DataFrame,
              != 0).cast("int").alias("bit_set"),
         )
     )
+    # all-k-bits-set via min, not sum == k: duplicate probe rows (same
+    # value appearing N times) put N*k bit rows in the group, and a sum
+    # test would declare a TRUE member absent — a false negative, the one
+    # error class a Bloom filter must never make
     return (
         hit.groupBy(*keep_cols, "v")
-        .agg((F.sum("bit_set") == k).alias("maybe_member"))
+        .agg((F.min("bit_set") == 1).alias("maybe_member"))
     )

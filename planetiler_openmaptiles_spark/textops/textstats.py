@@ -259,16 +259,25 @@ def tfidf_top_terms(docs, text_col: str = "text", k: int = 5,
 def winnow_gram_hashes(text: Column, k: int = 5) -> Column:
     """Array of word ``k``-gram hashes in position order (xxhash64 of the
     space-joined gram, JVM-side). Empty array for docs shorter than ``k``
-    words."""
+    words.
+
+    Built as a zip_with chain over shifted word arrays (the
+    ``dedup.shingles`` construction, kept non-distinct and in position
+    order): the ``transform(sequence, i -> slice(words, i, k))`` form
+    re-evaluates the captured normalize+split per element — measured
+    5-10x slower on long documents. zip_with pads the tail with nulls
+    (concat of null is null); the final slice drops them, and the hash
+    transform runs over the materialized gram array once."""
     words = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    acc = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.size(words))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
     nh = F.size(words) - (k - 1)
-    return F.when(
-        nh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), nh),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    grams = F.when(nh >= 1, F.slice(acc, 1, nh)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.transform(grams, lambda g: F.xxhash64(g))
 
 
 def winnow_fingerprints(docs, k: int = 5, w: int = 4,

@@ -52,47 +52,58 @@ _KIND = {mvt.GEOM_POINT: "point", mvt.GEOM_LINE: "linestring",
          mvt.GEOM_POLY: "polygon"}
 
 
+def _decode_parent(blob: bytes) -> list:
+    """Decode + rebuild geometry ONCE per parent: list of
+    (layer, id, ftype, geom_tuple, attrs). Quadrant loops transform these
+    — never re-running the protobuf decode per child."""
+    out = []
+    for lname, layer in mvt.decode_tile(blob).items():
+        for f in layer["features"]:
+            geom = _feature_geom(f["type"], f["paths"])
+            if geom is not None:
+                out.append((lname, f["id"], f["type"], geom, f["attrs"]))
+    return out
+
+
+def _child_from_decoded(decoded: list, dz: int, qx: int, qy: int,
+                        buffer_px: float) -> bytes | None:
+    scale = float(1 << dz)
+    off = np.array([qx * 256.0, qy * 256.0])
+
+    def _tx(a):
+        return np.asarray(a, dtype=np.float64) * scale - off
+
+    layers_out: dict = {}
+    for lname, fid, ftype, geom, attrs in decoded:
+        kind, data = geom
+        if kind in ("Point", "MultiPoint", "LineString"):
+            g2 = (kind, _tx(data))
+        elif kind == "MultiLineString":
+            g2 = (kind, [_tx(l) for l in data])
+        elif kind == "Polygon":
+            g2 = (kind, [_tx(r) for r in data])
+        else:  # MultiPolygon
+            g2 = (kind, [[_tx(r) for r in rings] for rings in data])
+        clipped = clip_geom_box(
+            g2, -buffer_px, -buffer_px, 256.0 + buffer_px, 256.0 + buffer_px
+        )
+        if clipped is None:
+            continue
+        layers_out.setdefault(lname, []).append(
+            (fid if fid is not None else -1, _KIND[ftype], clipped, attrs)
+        )
+    if not layers_out:
+        return None
+    return mvt.encode_tile(layers_out)
+
+
 def overzoom_blob(blob: bytes, dz: int, qx: int, qy: int,
                   buffer_px: float = 4.0) -> bytes | None:
     """Parent tile blob → child blob for quadrant (qx, qy) at +``dz``
     zooms (0 <= qx, qy < 2^dz), or None when nothing survives. Output is
-    uncompressed MVT (caller gzips for archives)."""
-    scale = float(1 << dz)
-    layers_out: dict = {}
-    for lname, layer in mvt.decode_tile(blob).items():
-        feats = []
-        for f in layer["features"]:
-            geom = _feature_geom(f["type"], f["paths"])
-            if geom is None:
-                continue
-            kind, data = geom
-
-            def _tx(a):
-                return np.asarray(a, dtype=np.float64) * scale - np.array(
-                    [qx * 256.0, qy * 256.0])
-
-            if kind == "Point":
-                g2 = (kind, _tx(data))
-            elif kind in ("MultiPoint", "LineString"):
-                g2 = (kind, _tx(data))
-            elif kind == "MultiLineString":
-                g2 = (kind, [_tx(l) for l in data])
-            elif kind == "Polygon":
-                g2 = (kind, [_tx(r) for r in data])
-            else:  # MultiPolygon
-                g2 = (kind, [[_tx(r) for r in rings] for rings in data])
-            clipped = clip_geom_box(
-                g2, -buffer_px, -buffer_px, 256.0 + buffer_px, 256.0 + buffer_px
-            )
-            if clipped is None:
-                continue
-            feats.append((f["id"] if f["id"] is not None else -1,
-                          _KIND[f["type"]], clipped, f["attrs"]))
-        if feats:
-            layers_out[lname] = feats
-    if not layers_out:
-        return None
-    return mvt.encode_tile(layers_out)
+    uncompressed MVT (caller gzips for archives). For all 4^dz children
+    of one parent, use ``overzoom_tiles`` — it decodes once."""
+    return _child_from_decoded(_decode_parent(blob), dz, qx, qy, buffer_px)
 
 
 def overzoom_tiles(tiles, target_zoom: int, buffer_px: float = 4.0):
@@ -111,10 +122,11 @@ def overzoom_tiles(tiles, target_zoom: int, buffer_px: float = 4.0):
                 dz = target_zoom - int(z)
                 if dz <= 0:
                     continue
+                decoded = _decode_parent(bytes(blob))  # once per parent
                 for qy in range(1 << dz):
                     for qx in range(1 << dz):
-                        child = overzoom_blob(bytes(blob), dz, qx, qy,
-                                              buffer_px)
+                        child = _child_from_decoded(decoded, dz, qx, qy,
+                                                    buffer_px)
                         if child is not None:
                             rows.append(
                                 (target_zoom, (int(x) << dz) + qx,

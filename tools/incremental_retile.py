@@ -78,6 +78,7 @@ def main() -> None:
     )
     removed = None
     shard = args.shard_corpus
+    tmp_shard = None
     if args.osc:
         import tempfile
 
@@ -90,7 +91,7 @@ def main() -> None:
         _, new_docs, removed = apply_osmchange(
             spark, args.base_corpus[len("pbf:"):], args.osc
         )
-        shard = tempfile.mkdtemp(prefix="osc_shard_")
+        shard = tmp_shard = tempfile.mkdtemp(prefix="osc_shard_")
         new_docs.write.mode("overwrite").parquet(
             os.path.join(shard, "documents.parquet")
         )
@@ -113,6 +114,13 @@ def main() -> None:
         report["mbtiles"] = update_mbtiles(
             back, args.update_mbtiles, tiles._omt_affected
         )
+    if tmp_shard:
+        # every job that reads the derived shard has run (write_tiles and
+        # the archive update are both materializing) — a replication loop
+        # must not accumulate one shard dir per minutely diff
+        import shutil
+
+        shutil.rmtree(tmp_shard, ignore_errors=True)
     print(json.dumps(report))
 
 
