@@ -78,7 +78,7 @@ def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running it per query was pure waste."""
     from planetiler_openmaptiles_spark.spans import decode_documents
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DECODED_CACHE:
         docs = spark.read.parquet(_docs_path(sf_dir))
         _DECODED_CACHE[key] = decode_documents(docs).persist()
@@ -3181,7 +3181,71 @@ def _wrap(fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION (round 4): the driver's correctness board covers the FIRST 50
+    # entries only.  r1-r3 left 44 queries with no driver-side verdict (new
+    # queries were prepended in r3, pushing them past the cap).  This round
+    # those 44 occupy positions 1-44, followed by 6 of the 10 entries that
+    # were driver-green in r1/r2 but fell off the r3 board.  Everything from
+    # position 51 on is already driver-green in CORRECTNESS_r01-r03 (see
+    # COVERAGE.md "ROTATION" for the query -> proving-round map).
     return {k: _wrap(v) for k, v in {
+        # --- never driver-verified before r4 (44) -------------------------
+        "geo_tag_stats": _q_geo_tag_stats,
+        "text_repetition": _q_text_repetition,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_matches": _q_winnow_matches,
+        "link_pagerank": _q_link_pagerank,
+        "minhash_recall": _q_minhash_recall,
+        "bitext_mine": _q_bitext_mine,
+        "events_hll_distinct": _q_events_hll,
+        "bloom_prune": _q_bloom_prune,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "pack_sequences": _q_pack_sequences,
+        "hash_split": _q_hash_split,
+        "domain_mix": _q_domain_mix,
+        "mix_sample": _q_mix_sample,
+        "dsir_weights": _q_dsir_weights,
+        "bm25_search": _q_bm25_search,
+        "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
+        "events_props_rollup": _q_events_props_rollup,
+        "inverted_index": _q_inverted_index,
+        "corpus_stats": _q_corpus_stats,
+        "events_funnel": _q_events_funnel,
+        "events_cohorts": _q_events_cohorts,
+        "stratified_sample": _q_stratified_sample,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "train_logreg": _q_train_logreg,
+        "lm_perplexity": _q_lm_perplexity,
+        "logreg_filter": _q_logreg_filter,
+        "training_pipeline": _q_training_pipeline,
+        "geo_tile_diff": _q_geo_tile_diff,
+        "shard_dedup": _q_shard_dedup,
+        "bpe_encode": _q_bpe_encode,
+        "geo_layer_stats": _q_geo_layer_stats,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "dedup_clusters": _q_dedup_clusters,
+        "cluster_dedup_best": _q_cluster_dedup_best,
+        "ann_recall": _q_ann_recall,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "exact_substring_dedup": _q_exact_substring_dedup,
+        "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
+        "ann_lsh_mp_topk": _q_ann_lsh_mp,
+        "ann_pq_topk": _q_ann_pq,
+        "semantic_dedup": _q_semantic_dedup,
+        # --- green in r1/r2 but off the r3 board: refresh 6 of 10 ---------
+        "minhash_lsh": _q_minhash_lsh,
+        "ann_topk": _q_ann_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "text_quality": _q_text_quality,
+        "ann_ivf_topk": _q_ann_ivf,
+        "simhash_near_dups": _q_simhash,
+        # --- position 51+: driver-green at least once in r1-r3 ------------
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_scores": _q_text_lang_scores,
         # relational coverage
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -3197,7 +3261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_label_grid": _q_geo_label_grid,
         "geo_rel_min_admin": _q_geo_rel_min_admin,
         "geo_media_refs": _q_geo_media_refs,
-        "geo_tag_stats": _q_geo_tag_stats,
         "events_top_paths": _q_events_top_paths,
         "hash_embed": _q_hash_embed,
         "events_anomalies": _q_events_anomalies,
@@ -3235,59 +3298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "text_tokens": _q_text_tokens,
-        "text_lang_scores": _q_text_lang_scores,
-        "text_quality": _q_text_quality,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_repetition": _q_text_repetition,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_matches": _q_winnow_matches,
-        "link_pagerank": _q_link_pagerank,
-        "minhash_recall": _q_minhash_recall,
-        "bitext_mine": _q_bitext_mine,
-        "events_hll_distinct": _q_events_hll,
-        "bloom_prune": _q_bloom_prune,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "pack_sequences": _q_pack_sequences,
-        "hash_split": _q_hash_split,
-        "domain_mix": _q_domain_mix,
-        "mix_sample": _q_mix_sample,
-        "dsir_weights": _q_dsir_weights,
-        "bm25_search": _q_bm25_search,
-        "events_sessionize": _q_events_sessionize,
-        "events_asof": _q_events_asof,
-        "events_props_rollup": _q_events_props_rollup,
-        "inverted_index": _q_inverted_index,
-        "corpus_stats": _q_corpus_stats,
-        "events_funnel": _q_events_funnel,
-        "events_cohorts": _q_events_cohorts,
-        "stratified_sample": _q_stratified_sample,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "train_logreg": _q_train_logreg,
-        "lm_perplexity": _q_lm_perplexity,
-        "logreg_filter": _q_logreg_filter,
-        "training_pipeline": _q_training_pipeline,
-        "geo_tile_diff": _q_geo_tile_diff,
-        "shard_dedup": _q_shard_dedup,
-        "bpe_encode": _q_bpe_encode,
-        "geo_layer_stats": _q_geo_layer_stats,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "ann_topk": _q_ann_topk,
-        "minhash_lsh": _q_minhash_lsh,
-        "dedup_clusters": _q_dedup_clusters,
-        "cluster_dedup_best": _q_cluster_dedup_best,
-        "ann_recall": _q_ann_recall,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "exact_substring_dedup": _q_exact_substring_dedup,
-        "pii_redact": _q_pii_redact,
-        "decontaminate": _q_decontaminate,
-        "simhash_near_dups": _q_simhash,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_lsh_mp_topk": _q_ann_lsh_mp,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_pq_topk": _q_ann_pq,
-        "semantic_dedup": _q_semantic_dedup,
-        "embedding_near_dups": _q_embedding_near_dups,
     }.items()}
 
 
@@ -3454,8 +3464,11 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *,
                     row_number() OVER (PARTITION BY k
                       ORDER BY nv DESC, v DESC) AS rn,
-                    sum(nv) OVER (PARTITION BY k) AS n,
-                    count(*) OVER (PARTITION BY k) AS n_values
+                    -- CAST: DuckDB window sum(BIGINT) yields HUGEINT, which
+                    -- the driver's canonicalizer hashes differently from
+                    -- Spark's BIGINT even when values agree (r3's only red).
+                    CAST(sum(nv) OVER (PARTITION BY k) AS BIGINT) AS n,
+                    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_values
                   FROM pkv)
             SELECT k AS key, n, n_values, v AS top_value, nv AS top_n
             FROM r WHERE rn = 1 AND n >= 10
@@ -4131,7 +4144,7 @@ def oracle_sql() -> dict[str, str]:
             g5agg AS (SELECT doc_id, sum(c) AS n_g5,
                              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_g5
                       FROM g5c GROUP BY 1)
-            SELECT w.doc_id, n_words,
+            SELECT w.doc_id, CAST(n_words AS BIGINT) AS n_words,
               round((n_words - n_distinct) / greatest(n_words, 1), 6) AS dup_word_frac,
               round(coalesce(top_g2, 0) / greatest(coalesce(n_g2, 0), 1), 6) AS top_2gram_frac,
               round(coalesce(dup_g5, 0) / greatest(coalesce(n_g5, 0), 1), 6) AS dup_5gram_frac
@@ -4152,7 +4165,8 @@ def oracle_sql() -> dict[str, str]:
                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
               FROM t)
-            SELECT doc_id, n_tokens, tok_start,
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+              CAST(tok_start AS BIGINT) AS tok_start,
               CAST(floor(tok_start / 2048.0) AS INT) AS first_chunk,
               CAST(floor((tok_start + n_tokens - 1) / 2048.0) AS INT) AS last_chunk,
               CAST(floor((tok_start + n_tokens - 1) / 2048.0)
@@ -4502,9 +4516,9 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT z, layer,
                    count(*) AS n_tiles,
-                   sum(n_features) AS n_features,
-                   sum(bytes) AS total_bytes,
-                   sum(gz_bytes) AS total_gz_bytes,
+                   CAST(sum(n_features) AS BIGINT) AS n_features,
+                   CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                   CAST(sum(gz_bytes) AS BIGINT) AS total_gz_bytes,
                    max(bytes) AS max_bytes,
                    max(CASE WHEN rn = 1 THEN x END) AS big_x,
                    max(CASE WHEN rn = 1 THEN y END) AS big_y
@@ -4652,16 +4666,18 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings),
             probes AS (SELECT vec_id AS probe_id, v AS pv
                        FROM e WHERE vec_id < 5),
+            -- every sub-block ranks on the UNROUNDED cosine like the Spark
+            -- ann queries it replays (see ann_topk oracle note)
             ex_scored AS (
               SELECT probe_id, e.vec_id,
-                     round(list_dot_product(e.v, pv) /
-                           greatest(sqrt(list_dot_product(e.v, e.v))
-                                    * sqrt(list_dot_product(pv, pv)),
-                                    1e-12), 6) AS cosine
+                     list_dot_product(e.v, pv) /
+                       greatest(sqrt(list_dot_product(e.v, e.v))
+                                * sqrt(list_dot_product(pv, pv)),
+                                1e-12) AS craw
               FROM e CROSS JOIN probes),
             ex AS (SELECT probe_id, vec_id FROM (
                      SELECT *, row_number() OVER (PARTITION BY probe_id
-                       ORDER BY cosine DESC, vec_id ASC) AS rank
+                       ORDER BY craw DESC, vec_id ASC) AS rank
                      FROM ex_scored) WHERE rank <= 10),
             bk AS (SELECT vec_id, bucket
                    FROM read_parquet('{_aux_path("emb_buckets8")}/*.parquet')),
@@ -4670,21 +4686,21 @@ def oracle_sql() -> dict[str, str]:
                         FROM eb WHERE vec_id < 5),
             l_scored AS (
               SELECT probe_id, eb.vec_id,
-                     round(list_dot_product(eb.v, pv) /
-                           greatest(sqrt(list_dot_product(eb.v, eb.v))
-                                    * sqrt(list_dot_product(pv, pv)),
-                                    1e-12), 6) AS cosine
+                     list_dot_product(eb.v, pv) /
+                       greatest(sqrt(list_dot_product(eb.v, eb.v))
+                                * sqrt(list_dot_product(pv, pv)),
+                                1e-12) AS craw
               FROM eb JOIN lprobes ON eb.bucket = lprobes.pbucket),
             lsh AS (SELECT probe_id, vec_id FROM (
                       SELECT *, row_number() OVER (PARTITION BY probe_id
-                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                        ORDER BY craw DESC, vec_id ASC) AS rank
                       FROM l_scored) WHERE rank <= 10),
             mp_scored AS (
               SELECT DISTINCT probe_id, eb.vec_id,
-                     round(list_dot_product(eb.v, pv) /
-                           greatest(sqrt(list_dot_product(eb.v, eb.v))
-                                    * sqrt(list_dot_product(pv, pv)),
-                                    1e-12), 6) AS cosine
+                     list_dot_product(eb.v, pv) /
+                       greatest(sqrt(list_dot_product(eb.v, eb.v))
+                                * sqrt(list_dot_product(pv, pv)),
+                                1e-12) AS craw
               FROM eb JOIN lprobes
                 ON list_contains(
                      list_transform([0, 1, 2, 4, 8, 16, 32, 64, 128],
@@ -4692,7 +4708,7 @@ def oracle_sql() -> dict[str, str]:
                      eb.bucket)),
             lsh_mp AS (SELECT probe_id, vec_id FROM (
                          SELECT *, row_number() OVER (PARTITION BY probe_id
-                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                           ORDER BY craw DESC, vec_id ASC) AS rank
                          FROM mp_scored) WHERE rank <= 10),
             cl AS (SELECT vec_id, cl
                    FROM read_parquet('{_aux_path("emb_ivf_clusters")}/*.parquet')),
@@ -4701,14 +4717,14 @@ def oracle_sql() -> dict[str, str]:
                         FROM ec WHERE vec_id < 5),
             i_scored AS (
               SELECT probe_id, ec.vec_id,
-                     round(list_dot_product(ec.v, pv) /
-                           greatest(sqrt(list_dot_product(ec.v, ec.v))
-                                    * sqrt(list_dot_product(pv, pv)),
-                                    1e-12), 6) AS cosine
+                     list_dot_product(ec.v, pv) /
+                       greatest(sqrt(list_dot_product(ec.v, ec.v))
+                                * sqrt(list_dot_product(pv, pv)),
+                                1e-12) AS craw
               FROM ec JOIN iprobes ON ec.cl = iprobes.pcl),
             ivf AS (SELECT probe_id, vec_id FROM (
                       SELECT *, row_number() OVER (PARTITION BY probe_id
-                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                        ORDER BY craw DESC, vec_id ASC) AS rank
                       FROM i_scored) WHERE rank <= 10),
             en AS (SELECT vec_id,
                      list_transform(v, x -> x /
@@ -4847,15 +4863,15 @@ def oracle_sql() -> dict[str, str]:
                     ON sa.z = sb.z AND sa.x = sb.x AND sa.y = sb.y
                    AND sa.layer = sb.layer)
             SELECT z, layer,
-                   sum(CASE WHEN sig_b IS NULL THEN 1 ELSE 0 END)
-                     AS n_only_a,
-                   sum(CASE WHEN sig_a IS NULL THEN 1 ELSE 0 END)
-                     AS n_only_b,
-                   sum(CASE WHEN sig_a IS NOT NULL AND sig_b IS NOT NULL
+                   CAST(sum(CASE WHEN sig_b IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_only_a,
+                   CAST(sum(CASE WHEN sig_a IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_only_b,
+                   CAST(sum(CASE WHEN sig_a IS NOT NULL AND sig_b IS NOT NULL
                                  AND sig_a <> sig_b THEN 1 ELSE 0 END)
-                     AS n_changed,
-                   sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END)
-                     AS n_same
+                     AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_same
             FROM j GROUP BY z, layer ORDER BY z, layer
         """,
         "training_pipeline": r"""
@@ -5071,7 +5087,7 @@ def oracle_sql() -> dict[str, str]:
                               x -> x <> '')) AS word
                 FROM documents)
               GROUP BY 1)
-            SELECT pair, sum(n) AS n FROM (
+            SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM (
               SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
                        AS pair, n
               FROM (SELECT word, n,
@@ -5122,7 +5138,8 @@ def oracle_sql() -> dict[str, str]:
                               x -> x <> '')) AS term
                 FROM documents)
               GROUP BY 1, 2),
-            st AS (SELECT term, count(*) AS df, sum(tf) AS total_tf
+            st AS (SELECT term, count(*) AS df,
+                          CAST(sum(tf) AS BIGINT) AS total_tf
                    FROM tf GROUP BY 1),
             cap AS (SELECT *, row_number() OVER
                       (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
@@ -5184,7 +5201,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_rollup": r"""
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                    count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -5282,14 +5299,19 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings),
             probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+            -- rank on the UNROUNDED cosine (craw) exactly like the Spark
+            -- path; round only the emitted column. Both engines sum the
+            -- 64-dim double dot product left-to-right, so craw is bitwise
+            -- cross-engine stable while 6-dp pre-rank rounding could break
+            -- ties differently than Spark does.
             scored AS (
               SELECT probe_id, e.vec_id,
-                     round(list_dot_product(e.v, pv) /
-                           greatest(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+                     list_dot_product(e.v, pv) /
+                       greatest(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv, pv)), 1e-12) AS craw
               FROM e CROSS JOIN probes)
-            SELECT probe_id, vec_id, cosine, rank FROM (
+            SELECT probe_id, vec_id, round(craw, 6) AS cosine, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY probe_id
-                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                        ORDER BY craw DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
         """,
         # For the hash-based LSH ops DuckDB lacks xxhash64 / our hyperplane
@@ -5346,14 +5368,15 @@ def oracle_sql() -> dict[str, str]:
             eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
             probes AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
                        FROM eb WHERE vec_id < 5),
+            -- rank on unrounded craw (matches Spark's tie-break basis)
             scored AS (
               SELECT probe_id, eb.vec_id,
-                     round(list_dot_product(eb.v, pv) /
-                           greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+                     list_dot_product(eb.v, pv) /
+                       greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12) AS craw
               FROM eb JOIN probes ON eb.bucket = probes.pbucket)
-            SELECT probe_id, vec_id, cosine, rank FROM (
+            SELECT probe_id, vec_id, round(craw, 6) AS cosine, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY probe_id
-                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                        ORDER BY craw DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
         """,
         "ann_lsh_mp_topk": f"""
@@ -5364,18 +5387,21 @@ def oracle_sql() -> dict[str, str]:
             eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
             probes AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
                        FROM eb WHERE vec_id < 5),
+            -- rank on unrounded craw (matches Spark's tie-break basis;
+            -- ADVICE r3: pre-rank 6-dp rounding could order candidates
+            -- differently than lsh_multiprobe_topk's unrounded ranking)
             scored AS (
               SELECT DISTINCT probe_id, eb.vec_id,
-                     round(list_dot_product(eb.v, pv) /
-                           greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+                     list_dot_product(eb.v, pv) /
+                       greatest(sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(pv, pv)), 1e-12) AS craw
               FROM eb JOIN probes
                 ON list_contains(
                      list_transform([0, 1, 2, 4, 8, 16, 32, 64, 128],
                                     f -> xor(probes.pbucket, f)),
                      eb.bucket))
-            SELECT probe_id, vec_id, cosine, rank FROM (
+            SELECT probe_id, vec_id, round(craw, 6) AS cosine, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY probe_id
-                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                        ORDER BY craw DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
         """,
         "ann_ivf_topk": f"""
@@ -5386,14 +5412,15 @@ def oracle_sql() -> dict[str, str]:
             ec AS (SELECT e.vec_id, v, cl FROM e JOIN cl USING (vec_id)),
             probes AS (SELECT vec_id AS probe_id, v AS pv, cl AS pcl
                        FROM ec WHERE vec_id < 5),
+            -- rank on unrounded craw (matches Spark's tie-break basis)
             scored AS (
               SELECT probe_id, ec.vec_id,
-                     round(list_dot_product(ec.v, pv) /
-                           greatest(sqrt(list_dot_product(ec.v, ec.v)) * sqrt(list_dot_product(pv, pv)), 1e-12), 6) AS cosine
+                     list_dot_product(ec.v, pv) /
+                       greatest(sqrt(list_dot_product(ec.v, ec.v)) * sqrt(list_dot_product(pv, pv)), 1e-12) AS craw
               FROM ec JOIN probes ON ec.cl = probes.pcl)
-            SELECT probe_id, vec_id, cosine, rank FROM (
+            SELECT probe_id, vec_id, round(craw, 6) AS cosine, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY probe_id
-                        ORDER BY cosine DESC, vec_id ASC) AS rank
+                        ORDER BY craw DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10 ORDER BY probe_id, rank
         """,
         "ann_pq_topk": f"""

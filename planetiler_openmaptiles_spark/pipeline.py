@@ -547,7 +547,7 @@ def incremental_retile(
     base_tiles_dir: str,
     config: Config | None = None,
     new_doc_pred=None,
-    removed_doc_ids: list | None = None,
+    removed_doc_ids: list | DataFrame | None = None,
 ) -> DataFrame:
     """Append-shard incremental build — recompute ONLY the tiles the new
     shard touches, splice everything else through unchanged. The reference
@@ -650,10 +650,17 @@ def incremental_retile(
     shard_feats = shard_feats.localCheckpoint(eager=True)
     key = ["z", "x", "y"]
     affected = shard_feats.select(*key).distinct()
-    if removed_doc_ids:
+    if isinstance(removed_doc_ids, DataFrame):
+        # the osc path hands the affected-set as a DataFrame (planet daily
+        # diffs fan out to millions of ids — never collect them)
+        rem = removed_doc_ids.select("doc_id")
+    elif removed_doc_ids:
         rem = spark.createDataFrame(
             [(str(i),) for i in removed_doc_ids], "doc_id string"
         )
+    else:
+        rem = None
+    if rem is not None:
         affected = affected.unionByName(
             old_feats.join(F.broadcast(rem), "doc_id", "left_semi")
             .select(*key).distinct()
@@ -773,64 +780,121 @@ def vector_layers_json(tiles: DataFrame) -> list:
     return [layers[k] for k in sorted(layers)]
 
 
+def _compact_mark(blobs: DataFrame) -> DataFrame:
+    """Compact-schema dedup marking, fully Spark-side (unlike planetiler's
+    in-driver LongLongMap): one window over xxhash64(blob) marks the first
+    (z, x, y) occurrence of each distinct blob — only that row keeps the
+    bytes, so duplicates never cross to the archive writer. A 64-bit hash
+    collision (two distinct blobs, same id) is detected via md5 min/max
+    over the same window and flagged rather than corrupting the archive."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("tile_data_id")
+    return (
+        blobs.withColumn("tile_data_id", F.xxhash64("tile_data"))
+        .withColumn("_md5", F.md5("tile_data"))
+        .withColumn(
+            "_first",
+            F.row_number().over(w.orderBy("z", "x", "y")) == F.lit(1),
+        )
+        .withColumn(
+            "_collide", F.min("_md5").over(w) != F.max("_md5").over(w)
+        )
+        .select(
+            "z", "x", "y", "tile_data_id",
+            F.when(F.col("_first"), F.col("tile_data")).alias("tile_data"),
+            "_collide",
+        )
+    )
+
+
+def _mbtiles_meta(name, max_zoom, zmin, zmax, xymin, xymax, tiles) -> dict:
+    """The metadata table the reference writes (OpenMapTilesTest.java:79-102:
+    name/format/minzoom/maxzoom/type/bounds/center/description/attribution +
+    TileJSON vector_layers); bounds from the deepest zoom's covered range."""
+    from .geom import mercator
+
+    if zmax >= 0:
+        n = 1 << zmax
+        (x0, y0), (x1, y1) = xymin[zmax], xymax[zmax]
+        w, n_lat = mercator.world_to_lonlat(x0 / n, y0 / n)
+        e, s_lat = mercator.world_to_lonlat((x1 + 1) / n, (y1 + 1) / n)
+        bounds = f"{w:.5f},{s_lat:.5f},{e:.5f},{n_lat:.5f}"
+        center = f"{(w + e) / 2:.5f},{(s_lat + n_lat) / 2:.5f},{zmax}"
+    else:
+        bounds, center = "-180,-85.05113,180,85.05113", "0,0,0"
+    return {
+        "name": name,
+        "format": "pbf",
+        "type": "baselayer",
+        "minzoom": str(zmin if zmin <= zmax else 0),
+        "maxzoom": str(zmax if zmax >= 0 else max_zoom),
+        "bounds": bounds,
+        "center": center,
+        "description": f"{name} built with a PySpark-native engine; schema "
+                       "from https://openmaptiles.org",
+        "attribution": '<a href="https://www.openmaptiles.org/" target="_blank">'
+                       "&copy; OpenMapTiles</a> "
+                       '<a href="https://www.openstreetmap.org/copyright" '
+                       'target="_blank">&copy; OpenStreetMap contributors</a>',
+        "json": json.dumps({"vector_layers": vector_layers_json(tiles)}),
+    }
+
+
 def write_mbtiles(
     tiles: DataFrame,
     path: str,
     name: str = "OpenMapTiles",
     max_zoom: int = 14,
     compact: bool = True,
+    sharded: bool = True,
+    n_shards: int | None = None,
 ) -> dict:
-    """S5: real mbtiles sink — gzipped MVT blobs in a sqlite archive with
-    the metadata table the reference writes (OpenMapTilesTest.java:79-102:
-    name/format/minzoom/maxzoom/type/bounds/center/description/attribution
-    + TileJSON vector_layers). Encoding is distributed; the driver only
-    streams finished blobs into sqlite (planetiler's own writer is equally
-    single-threaded at the archive).
+    """S5: real mbtiles sink — gzipped MVT blobs in a sqlite archive.
+
+    ``sharded=True`` (default) builds the archive EXECUTOR-SIDE: blobs are
+    hash-partitioned on (z, x, y) into ``n_shards`` tasks, each task writes
+    its own sqlite shard (tiles + per-zoom extent stats) next to ``path``,
+    and the driver merges shards with pure ``ATTACH`` + ``INSERT…SELECT``
+    SQL — sequential but I/O-bound, no per-tile Python. This removes the
+    r3-flagged 100 TB scale wall where every blob streamed through a
+    single-threaded driver loop (planetiler's own Mbtiles.java writer is
+    equally single-writer, but its encode threads feed it in-process; at
+    cluster scale the funnel dominates). On a cluster the shard directory
+    (``path + ".shards"``) must be on a filesystem both executors and the
+    driver can reach — the same constraint as the final archive itself.
+    ``sharded=False`` keeps the legacy driver-stream writer (used by the
+    parity test, and for archives on driver-only storage).
 
     ``compact=True`` writes planetiler's compact schema (Mbtiles.java
     ``--compact-db``, the reference default): ``tiles`` becomes a view over
     ``tiles_shallow`` (z/x/y → tile_data_id) + ``tiles_data`` (one row per
     DISTINCT blob) — on a planet build most deep-zoom ocean/empty tiles are
-    byte-identical, so the archive stores each blob once. Unlike
-    planetiler's in-driver LongLongMap dedup, first-occurrence marking runs
-    in Spark (one window over xxhash64(blob)), so duplicate blobs are
-    dropped BEFORE crossing to the driver and the driver holds no hash set.
-    A 64-bit hash collision (two distinct blobs, same id) is detected
-    Spark-side via md5 min/max over the same window and raises rather than
-    corrupting the archive."""
-    import sqlite3
-
-    from .geom import mercator
-
+    byte-identical, so the archive stores each blob once. Dedup marking is
+    Spark-side (see :func:`_compact_mark`)."""
     blobs = encode_mvt_blobs(tiles)
+    if compact:
+        blobs = _compact_mark(blobs)
     if os.path.exists(path):
         os.remove(path)
+    if sharded:
+        return _write_mbtiles_sharded(
+            blobs, tiles, path, name, max_zoom, compact, n_shards
+        )
+    return _write_mbtiles_stream(blobs, tiles, path, name, max_zoom, compact)
+
+
+def _write_mbtiles_stream(blobs, tiles, path, name, max_zoom, compact) -> dict:
+    """Legacy sink: stream every blob through the driver into sqlite."""
+    import sqlite3
+
     con = sqlite3.connect(path)
     cur = con.cursor()
     cur.execute("CREATE TABLE metadata (name text, value text)")
     if compact:
-        from pyspark.sql.window import Window
-
         from .sources.tile_archive import create_compact_schema
 
         create_compact_schema(con)
-        w = Window.partitionBy("tile_data_id")
-        blobs = (
-            blobs.withColumn("tile_data_id", F.xxhash64("tile_data"))
-            .withColumn("_md5", F.md5("tile_data"))
-            .withColumn(
-                "_first",
-                F.row_number().over(w.orderBy("z", "x", "y")) == F.lit(1),
-            )
-            .withColumn(
-                "_collide", F.min("_md5").over(w) != F.max("_md5").over(w)
-            )
-            .select(
-                "z", "x", "y", "tile_data_id",
-                F.when(F.col("_first"), F.col("tile_data")).alias("tile_data"),
-                "_collide",
-            )
-        )
     else:
         cur.execute(
             "CREATE TABLE tiles (zoom_level integer, tile_column integer,"
@@ -877,32 +941,7 @@ def write_mbtiles(
         bx, by = xymax.get(z, (-1, -1))
         xymin[z] = (min(ax, x), min(ay, y))
         xymax[z] = (max(bx, x), max(by, y))
-    # bounds from the deepest zoom's covered tile range
-    if zmax >= 0:
-        n = 1 << zmax
-        (x0, y0), (x1, y1) = xymin[zmax], xymax[zmax]
-        w, n_lat = mercator.world_to_lonlat(x0 / n, y0 / n)
-        e, s_lat = mercator.world_to_lonlat((x1 + 1) / n, (y1 + 1) / n)
-        bounds = f"{w:.5f},{s_lat:.5f},{e:.5f},{n_lat:.5f}"
-        center = f"{(w + e) / 2:.5f},{(s_lat + n_lat) / 2:.5f},{zmax}"
-    else:
-        bounds, center = "-180,-85.05113,180,85.05113", "0,0,0"
-    meta = {
-        "name": name,
-        "format": "pbf",
-        "type": "baselayer",
-        "minzoom": str(zmin if zmin <= zmax else 0),
-        "maxzoom": str(zmax if zmax >= 0 else max_zoom),
-        "bounds": bounds,
-        "center": center,
-        "description": f"{name} built with a PySpark-native engine; schema "
-                       "from https://openmaptiles.org",
-        "attribution": '<a href="https://www.openmaptiles.org/" target="_blank">'
-                       "&copy; OpenMapTiles</a> "
-                       '<a href="https://www.openstreetmap.org/copyright" '
-                       'target="_blank">&copy; OpenStreetMap contributors</a>',
-        "json": json.dumps({"vector_layers": vector_layers_json(tiles)}),
-    }
+    meta = _mbtiles_meta(name, max_zoom, zmin, zmax, xymin, xymax, tiles)
     cur.executemany("INSERT INTO metadata VALUES (?, ?)", sorted(meta.items()))
     con.commit()
     con.close()
@@ -913,6 +952,198 @@ def write_mbtiles(
         "maxzoom": zmax,
         "distinct_blobs": n_blobs if compact else n_tiles,
         "compact": compact,
+    }
+
+
+_SHARD_SUMMARY_SCHEMA = (
+    "shard string, n_tiles long, n_blobs long, collide boolean,"
+    " z int, x0 int, y0 int, x1 int, y1 int"
+)
+
+
+def _shard_writer(shards_dir: str, compact: bool):
+    """Task body for the executor-side archive build: drain this partition's
+    Arrow batches into one sqlite shard file, emit one summary row per zoom
+    (tile/blob counts, extent box, collision flag). Written once per task
+    attempt under a unique tmp name then os.replace'd, so retries are safe."""
+
+    def write_shard(batches):
+        import sqlite3
+
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        final = os.path.join(shards_dir, f"shard_{pid:05d}.db")
+        tmp = f"{final}.tmp{ctx.taskAttemptId()}"
+        con = sqlite3.connect(tmp)
+        con.execute("PRAGMA journal_mode=OFF")
+        con.execute("PRAGMA synchronous=OFF")
+        cur = con.cursor()
+        if compact:
+            cur.execute(
+                "CREATE TABLE tiles_shallow (zoom_level integer,"
+                " tile_column integer, tile_row integer, tile_data_id integer)"
+            )
+            cur.execute(
+                "CREATE TABLE tiles_data (tile_data_id integer, tile_data blob)"
+            )
+        else:
+            cur.execute(
+                "CREATE TABLE tiles (zoom_level integer, tile_column integer,"
+                " tile_row integer, tile_data blob)"
+            )
+        n_tiles = 0
+        n_blobs = 0
+        collide = False
+        ext: dict = {}  # z -> [x0, y0, x1, y1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            z = pdf["z"].to_numpy().astype(np.int64)
+            x = pdf["x"].to_numpy().astype(np.int64)
+            y = pdf["y"].to_numpy().astype(np.int64)
+            tms = (np.int64(1) << z) - 1 - y  # mbtiles stores TMS (flipped y)
+            if compact:
+                collide = collide or bool(pdf["_collide"].any())
+                ids = pdf["tile_data_id"].to_numpy().astype(np.int64)
+                cur.executemany(
+                    "INSERT INTO tiles_shallow VALUES (?, ?, ?, ?)",
+                    zip(z.tolist(), x.tolist(), tms.tolist(), ids.tolist()),
+                )
+                mask = pdf["tile_data"].notna().to_numpy()
+                data_rows = [
+                    (int(i), bytes(b))
+                    for i, b in zip(ids[mask], pdf["tile_data"].to_numpy()[mask])
+                ]
+                cur.executemany("INSERT INTO tiles_data VALUES (?, ?)", data_rows)
+                n_blobs += len(data_rows)
+            else:
+                cur.executemany(
+                    "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                    [
+                        (int(a), int(b), int(c), bytes(d))
+                        for a, b, c, d in zip(z, x, tms, pdf["tile_data"])
+                    ],
+                )
+            n_tiles += len(pdf)
+            for zz in np.unique(z):
+                m = z == zz
+                e = ext.setdefault(
+                    int(zz), [1 << int(zz), 1 << int(zz), -1, -1]
+                )
+                e[0] = min(e[0], int(x[m].min()))
+                e[1] = min(e[1], int(y[m].min()))
+                e[2] = max(e[2], int(x[m].max()))
+                e[3] = max(e[3], int(y[m].max()))
+        con.commit()
+        con.close()
+        if n_tiles == 0:
+            os.remove(tmp)
+            return
+        os.replace(tmp, final)
+        yield pd.DataFrame(
+            [
+                (os.path.basename(final), n_tiles, n_blobs, collide,
+                 zz, e[0], e[1], e[2], e[3])
+                for zz, e in sorted(ext.items())
+            ],
+            columns=["shard", "n_tiles", "n_blobs", "collide",
+                     "z", "x0", "y0", "x1", "y1"],
+        )
+
+    return write_shard
+
+
+def _write_mbtiles_sharded(
+    blobs, tiles, path, name, max_zoom, compact, n_shards
+) -> dict:
+    """Executor-side sink: per-task sqlite shards, driver ATTACH-merge."""
+    import glob as _glob
+    import shutil
+    import sqlite3
+
+    shards_dir = path + ".shards"
+    shutil.rmtree(shards_dir, ignore_errors=True)
+    os.makedirs(shards_dir, exist_ok=True)
+    spark = tiles.sparkSession
+    if n_shards is None:
+        n_shards = max(1, min(64, spark.sparkContext.defaultParallelism))
+    summaries = (
+        blobs.repartition(n_shards, "z", "x", "y")
+        .mapInPandas(_shard_writer(shards_dir, compact), _SHARD_SUMMARY_SCHEMA)
+        .collect()
+    )
+    n_tiles = sum(r["n_tiles"] for r in {r["shard"]: r for r in summaries}.values())
+    n_blobs = sum(r["n_blobs"] for r in {r["shard"]: r for r in summaries}.values())
+    zmin, zmax = 99, -1
+    xymin: dict = {}
+    xymax: dict = {}
+    for r in summaries:
+        z = r["z"]
+        zmin, zmax = min(zmin, z), max(zmax, z)
+        ax, ay = xymin.get(z, (1 << z, 1 << z))
+        bx, by = xymax.get(z, (-1, -1))
+        xymin[z] = (min(ax, r["x0"]), min(ay, r["y0"]))
+        xymax[z] = (max(bx, r["x1"]), max(by, r["y1"]))
+    if any(r["collide"] for r in summaries):
+        shutil.rmtree(shards_dir, ignore_errors=True)
+        raise RuntimeError(
+            "xxhash64 collision between distinct tile blobs — rerun with "
+            "compact=False"
+        )
+    con = sqlite3.connect(path)
+    con.execute("PRAGMA journal_mode=OFF")
+    con.execute("PRAGMA synchronous=OFF")
+    cur = con.cursor()
+    cur.execute("CREATE TABLE metadata (name text, value text)")
+    if compact:
+        from .sources.tile_archive import create_compact_schema
+
+        create_compact_schema(con)
+    else:
+        cur.execute(
+            "CREATE TABLE tiles (zoom_level integer, tile_column integer,"
+            " tile_row integer, tile_data blob)"
+        )
+    for shard in sorted(_glob.glob(os.path.join(shards_dir, "shard_*.db"))):
+        quoted = shard.replace("'", "''")
+        cur.execute(f"ATTACH DATABASE '{quoted}' AS s")
+        if compact:
+            cur.execute(
+                "INSERT INTO tiles_shallow SELECT zoom_level, tile_column,"
+                " tile_row, tile_data_id FROM s.tiles_shallow"
+            )
+            cur.execute(
+                "INSERT INTO tiles_data SELECT tile_data_id, tile_data"
+                " FROM s.tiles_data"
+            )
+        else:
+            cur.execute("INSERT INTO tiles SELECT * FROM s.tiles")
+        con.commit()
+        cur.execute("DETACH DATABASE s")
+    if not compact:
+        # build the unique index after the bulk load (same sqlite_master
+        # DDL as the stream writer, ~2x faster than indexed inserts)
+        cur.execute(
+            "CREATE UNIQUE INDEX tile_index ON tiles"
+            " (zoom_level, tile_column, tile_row)"
+        )
+    meta = _mbtiles_meta(name, max_zoom, zmin, zmax, xymin, xymax, tiles)
+    cur.executemany("INSERT INTO metadata VALUES (?, ?)", sorted(meta.items()))
+    con.commit()
+    con.close()
+    shutil.rmtree(shards_dir, ignore_errors=True)
+    return {
+        "path": path,
+        "tiles": n_tiles,
+        "minzoom": zmin,
+        "maxzoom": zmax,
+        "distinct_blobs": n_blobs if compact else n_tiles,
+        "compact": compact,
+        "shards": n_shards,
     }
 
 
@@ -1029,19 +1260,96 @@ def write_layerstats(tiles: DataFrame, path: str) -> dict:
     return {"path": path, "rows": len(rows)}
 
 
+_PMTILES_CHUNK_SCHEMA = (
+    "chunk int, tile_id long, z int, x int, y int,"
+    " local_off long, length long, digest binary, local_first boolean"
+)
+
+
+def _pmtiles_chunk_writer(chunks_dir: str):
+    """Task body for the executor-side PMTiles build: spool this
+    tile_id-range's gzipped blobs into one data chunk (deduplicated within
+    the chunk by sha1), emit one row per tile (tile_id, local offset,
+    digest) for the driver's global merge. The per-blob hashing + spooling
+    — the byte-heavy part of the legacy driver loop — runs here, in
+    parallel across ranges."""
+
+    def write_chunk(batches):
+        import hashlib
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        final = os.path.join(chunks_dir, f"chunk_{pid:05d}.data")
+        tmp = f"{final}.tmp{ctx.taskAttemptId()}"
+        f = open(tmp, "wb")
+        local: dict = {}  # digest -> (local_off, length)
+        recs = []
+        pos = 0
+        for pdf in batches:
+            for tid_, blob, z, x, y in zip(
+                pdf["tile_id"], pdf["tile_data"], pdf["z"], pdf["x"], pdf["y"]
+            ):
+                b = bytes(blob)
+                d = hashlib.sha1(b).digest()
+                hit = local.get(d)
+                if hit is None:
+                    local[d] = (pos, len(b))
+                    f.write(b)
+                    recs.append(
+                        (pid, int(tid_), int(z), int(x), int(y),
+                         pos, len(b), d, True)
+                    )
+                    pos += len(b)
+                else:
+                    recs.append(
+                        (pid, int(tid_), int(z), int(x), int(y),
+                         hit[0], hit[1], d, False)
+                    )
+        f.close()
+        if not recs:
+            os.remove(tmp)
+            return
+        os.replace(tmp, final)
+        yield pd.DataFrame(
+            recs,
+            columns=["chunk", "tile_id", "z", "x", "y",
+                     "local_off", "length", "digest", "local_first"],
+        )
+
+    return write_chunk
+
+
 def write_pmtiles(
     tiles: DataFrame,
     path: str,
     name: str = "OpenMapTiles",
     max_zoom: int = 14,
+    sharded: bool = True,
+    n_chunks: int | None = None,
 ) -> dict:
     """S5 (second archive format): single-file PMTiles v3 sink, parity with
     planetiler's ``--output=tiles.pmtiles`` (WriteablePmtiles in planetiler
-    core; this profile is archive-format-agnostic). Encoding is distributed
-    (same executor-side MVT pass as mbtiles); the Hilbert tile ids are
-    computed executor-side too (numpy, no per-row Python), Spark range-sorts
-    on them, and the driver streams the already-ordered gzipped blobs into
-    the archive — identical consecutive blobs run-length coalesce."""
+    core; this profile is archive-format-agnostic).
+
+    ``sharded=True`` (default) builds the data section EXECUTOR-SIDE:
+    blobs are range-partitioned on Hilbert tile_id, each task hashes and
+    spools its range into a data chunk on shared storage, and the driver
+    merges chunks with a streamed keep/skip byte copy driven by the tiny
+    (tile_id, digest, offset) entry rows — global content dedup and
+    run-length coalescing replay the legacy writer's logic exactly, so the
+    output archive is BYTE-IDENTICAL to ``sharded=False`` (the r3-flagged
+    driver funnel, kept for parity tests). Directory building remains
+    centralized (entries are ~40 B/tile structs — the same shape
+    planetiler's WriteablePmtiles holds in memory), but no blob bytes cross
+    the driver except the single sequential chunk-merge copy, which is
+    I/O-bound.
+
+    Encoding is distributed (same executor-side MVT pass as mbtiles); the
+    Hilbert tile ids are computed executor-side too (numpy, no per-row
+    Python)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1060,11 +1368,7 @@ def write_pmtiles(
     }
     tid = pandas_udf(_tid, "long")
 
-    blobs = (
-        encode_mvt_blobs(tiles)
-        .withColumn("tile_id", tid("z", "x", "y"))
-        .orderBy("tile_id")
-    )
+    blobs = encode_mvt_blobs(tiles).withColumn("tile_id", tid("z", "x", "y"))
     meta = {
         "name": name,
         "format": "pbf",
@@ -1077,20 +1381,107 @@ def write_pmtiles(
                        'target="_blank">&copy; OpenStreetMap contributors</a>',
         "vector_layers": vector_layers_json(tiles),
     }
-    writer = pmt.PmtilesWriter(path, meta)
+
     zmin, zmax = 99, -1
     xymin: dict = {}
     xymax: dict = {}
-    for row in blobs.toLocalIterator():
-        writer.add_tile(int(row["tile_id"]), bytes(row["tile_data"]),
-                        compressed=True)
+
+    if not sharded:
+        writer = pmt.PmtilesWriter(path, meta)
+        for row in blobs.orderBy("tile_id").toLocalIterator():
+            writer.add_tile(int(row["tile_id"]), bytes(row["tile_data"]),
+                            compressed=True)
+            z, x, y = row["z"], row["x"], row["y"]
+            zmin, zmax = min(zmin, z), max(zmax, z)
+            ax, ay = xymin.get(z, (1 << z, 1 << z))
+            bx, by = xymax.get(z, (-1, -1))
+            xymin[z] = (min(ax, x), min(ay, y))
+            xymax[z] = (max(bx, x), max(by, y))
+        _pmtiles_bounds(writer.header, zmin, zmax, max_zoom, xymin, xymax,
+                        mercator)
+        return writer.finish()
+
+    import glob as _glob
+    import shutil
+
+    chunks_dir = path + ".chunks"
+    shutil.rmtree(chunks_dir, ignore_errors=True)
+    os.makedirs(chunks_dir, exist_ok=True)
+    spark = tiles.sparkSession
+    if n_chunks is None:
+        n_chunks = max(1, min(64, spark.sparkContext.defaultParallelism))
+    entry_rows = (
+        blobs.repartitionByRange(n_chunks, "tile_id")
+        .sortWithinPartitions("tile_id")
+        .mapInPandas(_pmtiles_chunk_writer(chunks_dir), _PMTILES_CHUNK_SCHEMA)
+    )
+    # Global merge: rows arrive partition-ordered = ascending tile_id
+    # (range partitions). Replays PmtilesWriter.add_tile's dedup +
+    # run-length logic over digests instead of blobs.
+    spool = path + ".data"
+    out = open(spool, "wb")
+    dedup: dict = {}  # digest -> (global_off, length)
+    entries: list = []
+    n_addressed = 0
+    out_pos = 0
+    cur_chunk = -1
+    cf = None
+    last_tid = -1
+    for row in entry_rows.toLocalIterator():
+        if row["chunk"] != cur_chunk:
+            if cf is not None:
+                cf.close()
+            cur_chunk = row["chunk"]
+            cf = open(
+                os.path.join(chunks_dir, f"chunk_{cur_chunk:05d}.data"), "rb"
+            )
+        tid_ = row["tile_id"]
+        if tid_ <= last_tid:
+            raise RuntimeError("pmtiles chunk rows out of tile_id order")
+        last_tid = tid_
+        d = bytes(row["digest"])
+        n_addressed += 1
+        known = dedup.get(d)
+        if known is None:
+            cf.seek(row["local_off"])
+            buf = cf.read(row["length"])
+            dedup[d] = (out_pos, row["length"])
+            out.write(buf)
+            entries.append(pmt.Entry(tid_, out_pos, row["length"], 1))
+            out_pos += row["length"]
+        else:
+            off, length = known
+            last = entries[-1] if entries else None
+            if (
+                last is not None
+                and last.offset == off
+                and last.tile_id + last.run_length == tid_
+            ):
+                last.run_length += 1
+            else:
+                entries.append(pmt.Entry(tid_, off, length, 1))
         z, x, y = row["z"], row["x"], row["y"]
         zmin, zmax = min(zmin, z), max(zmax, z)
         ax, ay = xymin.get(z, (1 << z, 1 << z))
         bx, by = xymax.get(z, (-1, -1))
         xymin[z] = (min(ax, x), min(ay, y))
         xymax[z] = (max(bx, x), max(by, y))
-    h = writer.header
+    if cf is not None:
+        cf.close()
+    out.close()
+    shutil.rmtree(chunks_dir, ignore_errors=True)
+    header = pmt.Header()
+    _pmtiles_bounds(header, zmin, zmax, max_zoom, xymin, xymax, mercator)
+    rep = pmt.assemble_archive(
+        path, meta, header, entries, spool, out_pos, n_addressed, len(dedup)
+    )
+    rep["chunks"] = n_chunks
+    return rep
+
+
+def _pmtiles_bounds(h, zmin, zmax, max_zoom, xymin, xymax, mercator) -> None:
+    """Header zoom/bounds/center from the deepest zoom's covered range
+    (shared by the stream + sharded pmtiles paths)."""
     h.min_zoom = zmin if zmin <= zmax else 0
     h.max_zoom = zmax if zmax >= 0 else max_zoom
     if zmax >= 0:
@@ -1101,7 +1492,6 @@ def write_pmtiles(
         h.bounds = (w, s_lat, e, n_lat)
         h.center = ((w + e) / 2, (s_lat + n_lat) / 2)
         h.center_zoom = zmax
-    return writer.finish()
 
 
 def main(argv=None):

@@ -29,6 +29,7 @@ build of a pbf written with the post-change entities
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Iterator
 
@@ -38,44 +39,123 @@ from .osm_pbf import _ENTITY_SCHEMA, entities_to_documents, read_osm_entities
 
 _CHANGE_SCHEMA = _ENTITY_SCHEMA + ", action string, seq long"
 
-_BLOCK_RE = re.compile(rb"<(create|modify|delete)\b", re.S)
-_ELEM_RE = re.compile(rb"<(node|way|relation)\b")
+_TOKEN_RE = re.compile(rb"<(create|modify|delete|node|way|relation)\b")
+_ACTIONS = (b"create", b"modify", b"delete")
+_OSC_CHUNK = 8 << 20  # streaming scan granularity
+_SPILL_BATCH = 50_000  # fragments per parquet row group
+
+
+def _iter_osc_fragments(path: str):
+    """Stream (action, fragment_xml) pairs out of a .osc / .osc.gz file
+    without holding the document in memory: a chunked byte scan keeps only
+    the currently-open element fragment (plus a 32-byte token tail) in the
+    buffer. Gzip is sniffed from the magic bytes, so both the raw XML and
+    the gzipped form osmosis replication actually ships (~1 MB minutely /
+    ~100 MB daily .osc.gz, ~1 GB uncompressed) stream equally."""
+    import gzip
+
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    opener = gzip.open if magic == b"\x1f\x8b" else open
+    action = None
+    buf = b""
+    elem_start = None  # offset in buf of the open element fragment
+    with opener(path, "rb") as f:
+        while True:
+            chunk = f.read(_OSC_CHUNK)
+            at_eof = not chunk
+            buf += chunk
+            scan_from = 0
+            for m in _TOKEN_RE.finditer(buf):
+                if not at_eof and m.end() + 16 > len(buf):
+                    break  # token may continue past the chunk boundary
+                if elem_start is not None and m.start() == elem_start:
+                    # after compaction the open element's own tag sits at
+                    # the buffer head — it is not a fragment terminator
+                    scan_from = m.end()
+                    continue
+                tok = m.group(1)
+                if elem_start is not None:
+                    frag = buf[elem_start:m.start()]
+                    cut = frag.rfind(b"</" + action)
+                    if cut != -1:
+                        frag = frag[:cut]
+                    yield action.decode(), frag.decode("utf-8", "replace")
+                    elem_start = None
+                if tok in _ACTIONS:
+                    action = tok
+                else:
+                    elem_start = m.start()
+                scan_from = m.end()
+            if at_eof:
+                if elem_start is not None:
+                    frag = buf[elem_start:]
+                    cut = frag.rfind(b"</" + action)
+                    if cut != -1:
+                        frag = frag[:cut]
+                    yield action.decode(), frag.decode("utf-8", "replace")
+                return
+            # keep the open fragment (or a short tail for a split token)
+            keep = elem_start if elem_start is not None else max(
+                scan_from, len(buf) - 32
+            )
+            buf = buf[keep:]
+            if elem_start is not None:
+                elem_start = 0
 
 
 def read_osmchange(spark, path: str, partitions: int | None = None) -> DataFrame:
-    """.osc XML → entity rows tagged with their action
-    (``_ENTITY_SCHEMA`` + ``action``). The driver slices the file into
-    per-element fragments (a linear byte scan, no XML parse); executors
+    """.osc / .osc.gz XML → entity rows tagged with their action
+    (``_ENTITY_SCHEMA`` + ``action``). The driver streams the file into
+    per-element fragments (a chunked linear byte scan, no XML parse,
+    bounded memory) and spills them to a temp parquet in row groups, so a
+    planet-scale daily diff never materializes on the driver; executors
     parse fragments with ``xml.etree`` in Arrow batches."""
+    import atexit
+    import shutil
+    import tempfile
+
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    with open(path, "rb") as f:
-        data = f.read()
-
-    # driver pass: (action, element_fragment) pairs by byte offsets
-    frags: list[tuple[str, bytes]] = []
-    blocks = list(_BLOCK_RE.finditer(data))
-    for bi, m in enumerate(blocks):
-        action = m.group(1).decode()
-        end = blocks[bi + 1].start() if bi + 1 < len(blocks) else len(data)
-        seg = data[m.start():end]
-        elems = list(_ELEM_RE.finditer(seg))
-        for ei, em in enumerate(elems):
-            eend = elems[ei + 1].start() if ei + 1 < len(elems) else len(seg)
-            frag = seg[em.start():eend]
-            # trim trailing close tags of the action block
-            cut = frag.rfind(b"</" + m.group(1))
-            if cut != -1:
-                frag = frag[:cut]
-            frags.append((action, frag.decode("utf-8", "replace"), len(frags)))
-    if not frags:
+    spill_dir = tempfile.mkdtemp(prefix="osc_frags_")
+    atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    arrow_schema = pa.schema(
+        [("action", pa.string()), ("xml", pa.string()), ("seq", pa.int64())]
+    )
+    n_frags = 0
+    writer = pq.ParquetWriter(
+        os.path.join(spill_dir, "frags.parquet"), arrow_schema
+    )
+    batch: list[tuple[str, str, int]] = []
+    try:
+        for action, frag in _iter_osc_fragments(path):
+            batch.append((action, frag, n_frags))
+            n_frags += 1
+            if len(batch) >= _SPILL_BATCH:
+                writer.write_table(
+                    pa.Table.from_pylist(
+                        [dict(zip(("action", "xml", "seq"), r)) for r in batch],
+                        schema=arrow_schema,
+                    )
+                )
+                batch = []
+        if batch:
+            writer.write_table(
+                pa.Table.from_pylist(
+                    [dict(zip(("action", "xml", "seq"), r)) for r in batch],
+                    schema=arrow_schema,
+                )
+            )
+    finally:
+        writer.close()
+    if not n_frags:
         return spark.createDataFrame([], _CHANGE_SCHEMA)
     n_parts = partitions or min(
-        len(frags), spark.sparkContext.defaultParallelism
+        n_frags, spark.sparkContext.defaultParallelism
     )
-    fdf = spark.createDataFrame(
-        frags, "action string, xml string, seq long"
-    ).repartition(n_parts)
+    fdf = spark.read.parquet(spill_dir).repartition(n_parts)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import xml.etree.ElementTree as ET
@@ -213,7 +293,14 @@ def apply_osmchange(spark, base_path: str, osc_path: str):
     and ``(new_docs, removed_doc_ids)`` is the minimal delta for
     ``pipeline.incremental_retile`` — removed = every affected document
     id (delete+reinsert semantics), new = the affected subset of the
-    merged build."""
+    merged build.
+
+    ``removed_doc_ids`` is a one-column ``doc_id`` DataFrame, NOT a
+    collected list: a planet daily diff's affected-set fan-out (changed
+    node → ways → relations → member ways) can reach millions of ids, so
+    downstream consumers semi/anti-join on it distributively
+    (``incremental_retile`` accepts the DataFrame directly). Call
+    ``.collect()`` on it yourself if you want the small-diff list form."""
     base = read_osm_entities(spark, base_path)
     change = read_osmchange(spark, osc_path)
     merged = merge_entities(base, change)
@@ -227,5 +314,4 @@ def apply_osmchange(spark, base_path: str, osc_path: str):
         F.concat(F.lit("osm/"), kind, F.lit("/"), F.col("id")).alias("doc_id")
     )
     new_docs = merged_docs.join(F.broadcast(aff_doc_ids), "doc_id", "left_semi")
-    removed = [r["doc_id"] for r in aff_doc_ids.collect()]
-    return merged_docs, new_docs, removed
+    return merged_docs, new_docs, aff_doc_ids

@@ -380,6 +380,15 @@ def audio_frame_energy(media: DataFrame, frame_len: int = 256,
                         "compressed-audio decode requires ffmpeg — not in"
                         " this container (RIFF WAV decodes natively)"
                     )
+                else:  # DETERMINISTIC FAKE for non-WAV bytes (test mode) —
+                    # mirrors decode_audio's contract: every audio row
+                    # produces exactly one output row, never a silent drop
+                    h = hashlib.sha256(r.content or b"").digest()
+                    nf = max(h[0], 1)
+                    rows.append(
+                        (r.media_id, r.doc_id, nf, h[1] % nf,
+                         h[2] * 1000, h[2] * 1000 * nf)
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_ENERGY_SCHEMA.fields]
             )

@@ -363,45 +363,66 @@ class PmtilesWriter:
         self._entries.append(Entry(tile_id, off, len(gz), 1))
 
     def finish(self) -> dict:
-        import os
-
         self._data_f.close()
-        h = self.header
-        root, leaves = build_directories(self._entries)
-        meta = _maybe_gzip(
-            json.dumps(self.metadata, sort_keys=True).encode(),
-            h.internal_compression,
+        return assemble_archive(
+            self.path, self.metadata, self.header, self._entries,
+            self._data_path, self._data_len, self._n_addressed,
+            len(self._dedup),
         )
-        h.root_length = len(root)
-        h.metadata_offset = h.root_offset + h.root_length
-        h.metadata_length = len(meta)
-        h.leaf_offset = h.metadata_offset + h.metadata_length
-        h.leaf_length = len(leaves)
-        h.data_offset = h.leaf_offset + h.leaf_length
-        h.data_length = self._data_len
-        h.n_addressed = self._n_addressed
-        h.n_entries = len(self._entries)
-        h.n_contents = len(self._dedup)
-        with open(self.path, "wb") as f:
-            f.write(h.pack())
-            f.write(root)
-            f.write(meta)
-            f.write(leaves)
-            with open(self._data_path, "rb") as df:
-                while True:
-                    chunk = df.read(1 << 20)
-                    if not chunk:
-                        break
-                    f.write(chunk)
-        os.remove(self._data_path)
-        return {
-            "path": self.path,
-            "tiles": self._n_addressed,
-            "entries": len(self._entries),
-            "contents": len(self._dedup),
-            "bytes": HEADER_BYTES + len(root) + len(meta) + len(leaves)
-            + self._data_len,
-        }
+
+
+def assemble_archive(
+    path: str,
+    metadata: dict,
+    header: Header,
+    entries: list[Entry],
+    data_path: str,
+    data_len: int,
+    n_addressed: int,
+    n_contents: int,
+) -> dict:
+    """Write the final archive around an already-spooled data section:
+    header + root dir + metadata + leaf dirs, then splice ``data_path``
+    (which is removed). Shared by the streaming writer and the sharded
+    (executor-built) sink — both produce their data section first."""
+    import os
+
+    h = header
+    root, leaves = build_directories(entries)
+    meta = _maybe_gzip(
+        json.dumps(metadata, sort_keys=True).encode(),
+        h.internal_compression,
+    )
+    h.root_length = len(root)
+    h.metadata_offset = h.root_offset + h.root_length
+    h.metadata_length = len(meta)
+    h.leaf_offset = h.metadata_offset + h.metadata_length
+    h.leaf_length = len(leaves)
+    h.data_offset = h.leaf_offset + h.leaf_length
+    h.data_length = data_len
+    h.n_addressed = n_addressed
+    h.n_entries = len(entries)
+    h.n_contents = n_contents
+    with open(path, "wb") as f:
+        f.write(h.pack())
+        f.write(root)
+        f.write(meta)
+        f.write(leaves)
+        with open(data_path, "rb") as df:
+            while True:
+                chunk = df.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    os.remove(data_path)
+    return {
+        "path": path,
+        "tiles": n_addressed,
+        "entries": len(entries),
+        "contents": n_contents,
+        "bytes": HEADER_BYTES + len(root) + len(meta) + len(leaves)
+        + data_len,
+    }
 
 
 # --------------------------------------------------------------------------

@@ -194,3 +194,61 @@ def test_mbtiles_compact_schema_dedups_identical_blobs(spark, tmp_path):
     dec = mvt.decode_tile(bytes(blob))
     assert len(dec["water"]["features"]) == 1
     con_c.close(); con_p.close()
+
+
+def test_mbtiles_sharded_matches_stream_writer(spark, tmp_path):
+    """Parity gate for the executor-side archive build (r3 verdict #3):
+    the sharded writer (per-task sqlite shards + driver ATTACH-merge) must
+    produce the same logical archive as the legacy driver-stream writer —
+    identical metadata rows, identical (z, x, tms_row, blob) tile sets,
+    identical physical dedup (tiles_data row count), in both compact and
+    plain schemas."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles, write_mbtiles
+
+    corpus = entry._corpus_dir("/root/testdata/sf0.001")
+    tiles = build_tiles(
+        spark, corpus, Config(only_layers=("water", "place"), max_zoom=6)
+    )
+    for compact in (True, False):
+        p_shard = str(tmp_path / f"shard_{compact}.mbtiles")
+        p_stream = str(tmp_path / f"stream_{compact}.mbtiles")
+        rep_sh = write_mbtiles(
+            tiles, p_shard, max_zoom=6, compact=compact, sharded=True, n_shards=7
+        )
+        rep_st = write_mbtiles(
+            tiles, p_stream, max_zoom=6, compact=compact, sharded=False
+        )
+        assert rep_sh["tiles"] == rep_st["tiles"] > 0
+        assert rep_sh["distinct_blobs"] == rep_st["distinct_blobs"]
+        assert rep_sh["minzoom"] == rep_st["minzoom"]
+        assert rep_sh["maxzoom"] == rep_st["maxzoom"]
+        assert not os.path.exists(p_shard + ".shards")  # shards cleaned up
+        ca = sqlite3.connect(p_shard)
+        cb = sqlite3.connect(p_stream)
+        assert (
+            sorted(ca.execute("SELECT name, value FROM metadata").fetchall())
+            == sorted(cb.execute("SELECT name, value FROM metadata").fetchall())
+        )
+        q = ("SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+             " ORDER BY zoom_level, tile_column, tile_row")
+        assert ca.execute(q).fetchall() == cb.execute(q).fetchall()
+        if compact:
+            for t in ("tiles_shallow", "tiles_data"):
+                assert (
+                    ca.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+                    == cb.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+                )
+            # exactly one blob per distinct id globally across shards
+            assert ca.execute(
+                "SELECT count(*) FROM (SELECT tile_data_id FROM tiles_data"
+                " GROUP BY tile_data_id HAVING count(*) > 1)"
+            ).fetchone()[0] == 0
+        # schema DDL parity (indexes/views identical)
+        sm = "SELECT type, name FROM sqlite_master ORDER BY 1, 2"
+        assert ca.execute(sm).fetchall() == cb.execute(sm).fetchall()
+        ca.close(); cb.close()

@@ -122,14 +122,15 @@ def test_osc_apply_matches_fresh_build(spark, tmp_path):
     got = _doc_set(merged_docs)
     assert got == want
 
+    # removed is a doc_id DataFrame (planet diffs fan out to millions of
+    # ids — the list form would be a driver wall); collect is test-only
+    rs = {r["doc_id"] for r in removed.collect()}
+
     # delta-splice parity: base docs − removed + new == merged docs
     base_docs = _doc_set(pbf_to_documents(spark, base_path))
-    spliced = {k: v for k, v in base_docs.items() if k not in set(removed)}
+    spliced = {k: v for k, v in base_docs.items() if k not in rs}
     spliced.update(_doc_set(new_docs))
     assert spliced == got
-
-    # affected-set semantics
-    rs = set(removed)
     assert "osm/way/100000" in rs          # member of the modified relation
     assert "osm/way/100001" in rs          # same
     assert "osm/way/100002" in rs          # deleted way
@@ -207,3 +208,36 @@ def test_osc_incremental_tiles_parity(spark, tmp_path):
     inc_rows = rows(inc)
     assert inc_rows == rows(full)
     assert len(inc_rows) > 0
+
+
+def test_read_osmchange_gzip_and_chunked_stream(spark, tmp_path, monkeypatch):
+    """The reader must accept the gzipped .osc.gz form osmosis replication
+    actually ships (sniffed from the magic bytes, any extension) and must
+    produce identical rows when the streaming scan is forced through tiny
+    chunks (every fragment straddles a chunk boundary)."""
+    import gzip
+
+    from planetiler_openmaptiles_spark.sources import osm_osc
+
+    plain = str(tmp_path / "d.osc")
+    with open(plain, "w") as f:
+        f.write(_OSC)
+    gz = str(tmp_path / "d.osc.gz")
+    with gzip.open(gz, "wt") as f:
+        f.write(_OSC)
+
+    def canon(df):
+        return sorted(
+            (r["etype"], r["id"], r["action"], r["seq"],
+             tuple((t["key"], t["value"]) for t in (r["tags"] or [])),
+             tuple(r["refs"] or []))
+            for r in df.collect()
+        )
+
+    want = canon(read_osmchange(spark, plain))
+    assert want  # fixture sanity
+    assert canon(read_osmchange(spark, gz)) == want
+
+    monkeypatch.setattr(osm_osc, "_OSC_CHUNK", 64)
+    assert canon(read_osmchange(spark, plain)) == want
+    assert canon(read_osmchange(spark, gz)) == want

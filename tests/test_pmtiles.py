@@ -196,3 +196,33 @@ def test_pmtiles_sink_end_to_end(spark, tmp_path):
         dec = mvt.decode_tile(bytes(got))
         assert all(l["extent"] == 4096 for l in dec.values())
     r.close()
+
+
+def test_pmtiles_sharded_byte_identical_to_stream(spark, tmp_path):
+    """The executor-side chunked pmtiles build must be BYTE-IDENTICAL to the
+    legacy driver-stream writer: global sha1 dedup, run-length coalescing,
+    directory layout and header all replayed exactly (r3 verdict #3)."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from planetiler_openmaptiles_spark.layers import Config
+    from planetiler_openmaptiles_spark.pipeline import build_tiles, write_pmtiles
+
+    corpus = entry._corpus_dir("/root/testdata/sf0.001")
+    tiles = build_tiles(
+        spark, corpus, Config(only_layers=("water", "place"), max_zoom=6)
+    )
+    p_shard = str(tmp_path / "shard.pmtiles")
+    p_stream = str(tmp_path / "stream.pmtiles")
+    rep_sh = write_pmtiles(tiles, p_shard, max_zoom=6, sharded=True, n_chunks=7)
+    rep_st = write_pmtiles(tiles, p_stream, max_zoom=6, sharded=False)
+    assert rep_sh["tiles"] == rep_st["tiles"] > 0
+    assert rep_sh["entries"] == rep_st["entries"]
+    assert rep_sh["contents"] == rep_st["contents"]
+    assert rep_sh["bytes"] == rep_st["bytes"]
+    assert not os.path.exists(p_shard + ".chunks")  # chunks cleaned up
+    assert not os.path.exists(p_shard + ".data")  # spool spliced + removed
+    with open(p_shard, "rb") as fa, open(p_stream, "rb") as fb:
+        assert fa.read() == fb.read()

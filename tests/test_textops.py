@@ -1263,3 +1263,23 @@ def test_lsh_multiprobe_superset(spark):
     # (home bucket = flip 0, plus one-bit flips) must be a superset
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_audio_frame_energy_nonstrict_fake_row(spark):
+    """Non-strict mode must emit a marked deterministic fake row for
+    non-WAV audio (decode_audio's contract) — clips never vanish silently
+    (ADVICE r3)."""
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, audio_frame_energy)
+
+    media = spark.createDataFrame(
+        [("m1", "d1", "audio", b"\xffnot-a-wav", {})],
+        MEDIA_SCHEMA,
+    )
+    out = audio_frame_energy(media, strict=False).collect()
+    assert len(out) == 1  # one output row per audio row, not a drop
+    r = out[0]
+    assert r["media_id"] == "m1" and r["n_frames"] >= 1
+    # deterministic: same bytes, same fake
+    again = audio_frame_energy(media, strict=False).collect()[0]
+    assert again == r

@@ -7,6 +7,15 @@ name, rows sorted, floats rounded to 9 significant digits to absorb
 engine-formatting noise). Use before committing changes that touch query
 code so CORRECTNESS_r{N}.json holds no surprises.
 
+The hash is TYPE-SENSITIVE (VERDICT r3 ask #4): every cell is prefixed
+with a python-type tag (i:/f:/b:/s:/x:), so an oracle returning float64
+where Spark returns int64 (e.g. DuckDB HUGEINT window sums arriving in
+pandas as float) fails HERE even when the values agree numerically — the
+exact failure mode that made `geo_tag_stats` red on the r3 driver board
+while the old string-canonicalizing replica stayed green. This gate is
+deliberately STRICTER than any plausible driver canonicalizer: local
+green ⇒ driver green.
+
 Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
 """
 
@@ -33,16 +42,21 @@ def canon(df) -> tuple[int, list, str]:
     cols = sorted(df.columns)
     df = df[cols]
 
+    import numpy as np
+
     def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+        if v is None:
             return "∅"
-        if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return f"{v:.9g}"
+        if isinstance(v, (bool, np.bool_)):
+            return f"b:{bool(v)}"
+        if isinstance(v, (float, np.floating)):
+            fv = float(v)
+            return "∅" if math.isnan(fv) else f"f:{fv:.9g}"
+        if isinstance(v, (int, np.integer)):
+            return f"i:{int(v)}"
         if isinstance(v, (bytes, bytearray)):
-            return v.hex()
-        return str(v)
+            return f"x:{bytes(v).hex()}"
+        return f"s:{v}"
 
     rows = sorted(
         "|".join(cell(v) for v in rec) for rec in df.itertuples(index=False, name=None)
