@@ -51,6 +51,13 @@ def main():
         "text_quality",
         "q_pricing_summary",
         "q_top_orders",
+        # r3-added families (round-3 verdict ask #7): .osm.pbf codec,
+        # archive source + diff, suffix-dedup, PQ/ADC ANN
+        "osm_pbf_roundtrip",
+        "archive_read",
+        "archive_diff",
+        "exact_substring_dedup",
+        "ann_pq_topk",
     ]
     # min of two runs per query, same rationale as the tile build below:
     # this shared VM shows 2-5x wall noise between identical runs (cpu
@@ -86,11 +93,34 @@ def main():
     n_tiles = tiles.select("z", "x", "y").distinct().count()
     timings["tile_build_z0_14"] = round(tile_wall, 3)
 
+    # served-artifact sinks (executor-side shard/chunk builds — the r3
+    # verdict's one perf-weak item; timed so regressions surface here)
+    from planetiler_openmaptiles_spark.pipeline import (
+        write_mbtiles, write_pmtiles,
+    )
+
+    sink_dir = tempfile.mkdtemp(prefix="omt_sink_")
+    t0 = time.time()
+    write_mbtiles(tiles, os.path.join(sink_dir, "b.mbtiles"), max_zoom=14)
+    timings["mbtiles_sink"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    write_pmtiles(tiles, os.path.join(sink_dir, "b.pmtiles"), max_zoom=14)
+    timings["pmtiles_sink"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
+    # apples-to-apples vs BENCH_r03: the r3 board had exactly these
+    # entries; r4 added 5 query families + 2 archive-sink timings, which
+    # inflate the grand total without being regressions
+    r3_set = [
+        "geo_table_counts", "geo_tile_assignment", "geo_label_grid",
+        "dedup_exact_groups", "ngram_jaccard", "ann_topk", "text_quality",
+        "q_pricing_summary", "q_top_orders", "tile_build_z0_14",
+    ]
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "r3_comparable_total": round(sum(timings[k] for k in r3_set), 3),
         "queries": timings,
         "query_repeat_walls_s": repeats,
         "fixture_setup_s": setup_s,

@@ -1414,7 +1414,14 @@ def write_pmtiles(
         blobs.repartitionByRange(n_chunks, "tile_id")
         .sortWithinPartitions("tile_id")
         .mapInPandas(_pmtiles_chunk_writer(chunks_dir), _PMTILES_CHUNK_SCHEMA)
+        .persist()
     )
+    # ONE parallel action materializes every chunk (toLocalIterator alone
+    # would run one job per partition, serializing the executor-side
+    # hash+spool work); the iterator below then drains the tiny cached
+    # entry rows partition-by-partition. A re-computed partition (cache
+    # eviction) harmlessly rewrites its chunk file with identical bytes.
+    entry_rows.count()
     # Global merge: rows arrive partition-ordered = ascending tile_id
     # (range partitions). Replays PmtilesWriter.add_tile's dedup +
     # run-length logic over digests instead of blobs.
@@ -1469,6 +1476,7 @@ def write_pmtiles(
     if cf is not None:
         cf.close()
     out.close()
+    entry_rows.unpersist()
     shutil.rmtree(chunks_dir, ignore_errors=True)
     header = pmt.Header()
     _pmtiles_bounds(header, zmin, zmax, max_zoom, xymin, xymax, mercator)
@@ -1603,16 +1611,19 @@ def main(argv=None):
     n_feats = _parquet_row_count(written["path"])
     tiles_back = spark.read.parquet(written["path"])
     n_tiles = tiles_back.select("z", "x", "y").distinct().count()
+    t_report = time.time()
     mb = (
         write_mbtiles(tiles_back, args.mbtiles, max_zoom=args.max_zoom)
         if args.mbtiles
         else None
     )
+    t_mb = time.time()
     pm = (
         write_pmtiles(tiles_back, args.pmtiles, max_zoom=args.max_zoom)
         if args.pmtiles
         else None
     )
+    t_pm = time.time()
     ls = write_layerstats(tiles_back, args.layerstats) if args.layerstats else None
     wall = time.time() - t0
     report = {
@@ -1622,11 +1633,14 @@ def main(argv=None):
         "tiles_per_sec": round(n_tiles / wall, 2),
         # decomposition so scaling runs can attribute wall to the
         # checkpointed stages (decode/layers/render) vs the finalize+sink
-        # action vs report bookkeeping without a separate event-log pass
+        # action vs report bookkeeping vs the served-artifact archive
+        # builds, without a separate event-log pass
         "phase_walls": {
             "checkpointed_stages_s": round(t_stages - t0, 2),
             "finalize_write_s": round(t_write - t_stages, 2),
-            "report_counts_s": round(time.time() - t_write, 2),
+            "report_counts_s": round(t_report - t_write, 2),
+            **({"mbtiles_sink_s": round(t_mb - t_report, 2)} if mb else {}),
+            **({"pmtiles_sink_s": round(t_pm - t_mb, 2)} if pm else {}),
         },
         **({"mbtiles": mb} if mb else {}),
         **({"pmtiles": pm} if pm else {}),

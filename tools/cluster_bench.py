@@ -154,7 +154,7 @@ def _cpu_stat():
 
 def run_pipeline(cores_max: int, corpus: str, out_dir: str, ckpt: str,
                  zpath: str, exec_cores: int = 8,
-                 shuffle_parts: int = 192) -> dict:
+                 shuffle_parts: int = 192, mbtiles: bool = False) -> dict:
     env = dict(os.environ)
     env["SPARK_MASTER"] = MASTER_URL
     # partitions sized for the wide legs (≥3 waves at 32 cores) and held
@@ -174,13 +174,17 @@ def run_pipeline(cores_max: int, corpus: str, out_dir: str, ckpt: str,
     })
     t0 = time.time()
     tot0, st0 = _cpu_stat()
+    cmd = [
+        sys.executable, "-m", "planetiler_openmaptiles_spark.pipeline",
+        "--corpus", corpus, "--out", out_dir,
+        "--checkpoints", ckpt, "--max-zoom", "14",
+    ]
+    if mbtiles:
+        # include the served-artifact build (executor-side shard merge) in
+        # the measured e2e wall; phase_walls.mbtiles_sink_s decomposes it
+        cmd += ["--mbtiles", os.path.join(out_dir, "tiles.mbtiles")]
     subprocess.run(
-        [
-            sys.executable, "-m", "planetiler_openmaptiles_spark.pipeline",
-            "--corpus", corpus, "--out", out_dir,
-            "--checkpoints", ckpt, "--max-zoom", "14",
-        ],
-        cwd=REPO, env=env, check=True,
+        cmd, cwd=REPO, env=env, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     tot1, st1 = _cpu_stat()
@@ -207,6 +211,9 @@ def main():
     ap.add_argument("--shuffle-partitions", type=int, default=192)
     ap.add_argument("--warm-ckpt", default="",
                     help="reuse an existing per-layer checkpoint for tile legs")
+    ap.add_argument("--mbtiles", action="store_true",
+                    help="include the mbtiles archive build in every leg"
+                         " (sink wall reported in phase_walls)")
     ap.add_argument("--out-json",
                     default=os.path.join(REPO, "BENCH_scaling_multijvm.json"))
     args = ap.parse_args()
@@ -230,7 +237,8 @@ def main():
                 ckpt = os.path.join(work, f"ckpt_{cores}")
                 total[cores] = run_pipeline(cores, corpus, out, ckpt, zpath,
                                             args.exec_cores,
-                                            args.shuffle_partitions)
+                                            args.shuffle_partitions,
+                                            mbtiles=args.mbtiles)
                 if not os.path.exists(warm_ckpt):
                     shutil.copytree(ckpt, warm_ckpt)
                 print(json.dumps({"phase": "e2e", **total[cores]}), flush=True)
@@ -246,7 +254,8 @@ def main():
                 out = os.path.join(work, f"tile_{cores}")
                 tile_phase[cores] = run_pipeline(cores, corpus, out, ckpt,
                                                  zpath, args.exec_cores,
-                                                 args.shuffle_partitions)
+                                                 args.shuffle_partitions,
+                                                 mbtiles=args.mbtiles)
                 print(json.dumps({"phase": "tile", **tile_phase[cores]}),
                       flush=True)
 
