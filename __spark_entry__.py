@@ -2769,7 +2769,11 @@ def _q_ann_pq(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
     )
     books = train_pq_codebooks(emb, dim=64, m=8, k=16)
-    _write_aux(pq_encode_df(emb, books, 64), sf_dir, "pq_codes")
+    # read the aux parquet back as the code table: the oracle and the
+    # top-k then consume the SAME materialized codes, and pq_topk skips
+    # recompiling the m*k-literal encode tree (the dominant wall here)
+    enc_path = _write_aux(pq_encode_df(emb, books, 64), sf_dir, "pq_codes")
+    enc = spark.read.parquet(enc_path)
     cb_rows = [
         (s, j, c, float(sum(v * v for v in c)))
         for s, book in enumerate(books)
@@ -2784,7 +2788,7 @@ def _q_ann_pq(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    return pq_topk(emb, probes, books, dim=64, k=10).orderBy(
+    return pq_topk(emb, probes, books, dim=64, k=10, enc=enc).orderBy(
         "probe_id", "rank"
     )
 

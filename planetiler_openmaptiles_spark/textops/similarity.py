@@ -390,6 +390,7 @@ def pq_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the corpus is stored as m byte
     codes per vector (32x smaller than float32 at dim 64 / m 8 — the
@@ -398,12 +399,18 @@ def pq_topk(
     order sum. Broadcast probes, one window for the per-probe top-k —
     identical join shape to brute force but over codes, not floats.
 
+    ``enc``: pass an already-encoded (id, codes) frame to skip re-deriving
+    it — the m*k-literal encode expression tree is the dominant Catalyst
+    compile cost, so callers that just encoded (e.g. to persist the code
+    table, the normal PQ serving shape) should hand it in.
+
     Returns (probe_id, vec_id, approx_dist, rank), approx_dist =
     sum_m ||p_sub - codebook[m][code_m]||^2, rounded to 6 decimals.
     """
     m = len(codebooks)
     d_sub = dim // m
-    enc = pq_encode_df(embeddings, codebooks, dim, id_col, vec_col)
+    if enc is None:
+        enc = pq_encode_df(embeddings, codebooks, dim, id_col, vec_col)
     # same staged-projection discipline on the probe side: normalize,
     # slice, per-subspace self-dot, THEN the m*k table entries
     psubs = probes.select(
