@@ -849,6 +849,7 @@ def write_mbtiles(
     compact: bool = True,
     sharded: bool = True,
     n_shards: int | None = None,
+    blobs: DataFrame | None = None,
 ) -> dict:
     """S5: real mbtiles sink — gzipped MVT blobs in a sqlite archive.
 
@@ -871,8 +872,14 @@ def write_mbtiles(
     ``tiles_shallow`` (z/x/y → tile_data_id) + ``tiles_data`` (one row per
     DISTINCT blob) — on a planet build most deep-zoom ocean/empty tiles are
     byte-identical, so the archive stores each blob once. Dedup marking is
-    Spark-side (see :func:`_compact_mark`)."""
-    blobs = encode_mvt_blobs(tiles)
+    Spark-side (see :func:`_compact_mark`).
+
+    ``blobs``: pass a pre-encoded (z, x, y, tile_data) frame (typically
+    ``encode_mvt_blobs(tiles).persist()``) to skip re-encoding — the MVT
+    encode dominates sink wall, so a pipeline writing BOTH archive formats
+    should encode once and share."""
+    if blobs is None:
+        blobs = encode_mvt_blobs(tiles)
     if compact:
         blobs = _compact_mark(blobs)
     if os.path.exists(path):
@@ -1329,6 +1336,7 @@ def write_pmtiles(
     max_zoom: int = 14,
     sharded: bool = True,
     n_chunks: int | None = None,
+    blobs: DataFrame | None = None,
 ) -> dict:
     """S5 (second archive format): single-file PMTiles v3 sink, parity with
     planetiler's ``--output=tiles.pmtiles`` (WriteablePmtiles in planetiler
@@ -1349,7 +1357,8 @@ def write_pmtiles(
 
     Encoding is distributed (same executor-side MVT pass as mbtiles); the
     Hilbert tile ids are computed executor-side too (numpy, no per-row
-    Python)."""
+    Python). ``blobs``: pre-encoded (z, x, y, tile_data) frame to share the
+    encode with another sink (see :func:`write_mbtiles`)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1368,7 +1377,9 @@ def write_pmtiles(
     }
     tid = pandas_udf(_tid, "long")
 
-    blobs = encode_mvt_blobs(tiles).withColumn("tile_id", tid("z", "x", "y"))
+    if blobs is None:
+        blobs = encode_mvt_blobs(tiles)
+    blobs = blobs.withColumn("tile_id", tid("z", "x", "y"))
     meta = {
         "name": name,
         "format": "pbf",
@@ -1612,18 +1623,27 @@ def main(argv=None):
     tiles_back = spark.read.parquet(written["path"])
     n_tiles = tiles_back.select("z", "x", "y").distinct().count()
     t_report = time.time()
+    # both archive formats requested -> encode the MVT blobs ONCE and share
+    # (the encode dominates sink wall; each sink would otherwise redo it)
+    shared_blobs = None
+    if args.mbtiles and args.pmtiles:
+        shared_blobs = encode_mvt_blobs(tiles_back).persist()
     mb = (
-        write_mbtiles(tiles_back, args.mbtiles, max_zoom=args.max_zoom)
+        write_mbtiles(tiles_back, args.mbtiles, max_zoom=args.max_zoom,
+                      blobs=shared_blobs)
         if args.mbtiles
         else None
     )
     t_mb = time.time()
     pm = (
-        write_pmtiles(tiles_back, args.pmtiles, max_zoom=args.max_zoom)
+        write_pmtiles(tiles_back, args.pmtiles, max_zoom=args.max_zoom,
+                      blobs=shared_blobs)
         if args.pmtiles
         else None
     )
     t_pm = time.time()
+    if shared_blobs is not None:
+        shared_blobs.unpersist()
     ls = write_layerstats(tiles_back, args.layerstats) if args.layerstats else None
     wall = time.time() - t0
     report = {
