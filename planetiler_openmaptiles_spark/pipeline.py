@@ -1379,7 +1379,10 @@ def write_pmtiles(
 
     if blobs is None:
         blobs = encode_mvt_blobs(tiles)
-    blobs = blobs.withColumn("tile_id", tid("z", "x", "y"))
+    # persist BEFORE the range partitioner: repartitionByRange (and the
+    # legacy orderBy) runs a sampling job over its child to pick range
+    # bounds, which would execute the expensive MVT encode twice
+    blobs = blobs.withColumn("tile_id", tid("z", "x", "y")).persist()
     meta = {
         "name": name,
         "format": "pbf",
@@ -1410,6 +1413,7 @@ def write_pmtiles(
             xymax[z] = (max(bx, x), max(by, y))
         _pmtiles_bounds(writer.header, zmin, zmax, max_zoom, xymin, xymax,
                         mercator)
+        blobs.unpersist()
         return writer.finish()
 
     import glob as _glob
@@ -1488,6 +1492,7 @@ def write_pmtiles(
         cf.close()
     out.close()
     entry_rows.unpersist()
+    blobs.unpersist()
     shutil.rmtree(chunks_dir, ignore_errors=True)
     header = pmt.Header()
     _pmtiles_bounds(header, zmin, zmax, max_zoom, xymin, xymax, mercator)
