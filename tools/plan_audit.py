@@ -19,6 +19,8 @@ from contextlib import redirect_stdout
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW — preserved by tools/plan_audit.py -->"
+
 
 def explain_str(df) -> str:
     buf = io.StringIO()
@@ -229,8 +231,19 @@ def main():
     )
     for title, text in sections:
         out.append(f"\n## {title}\n\n```\n{text}\n```\n")
-    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+    # preserve hand-maintained sections (measured straggler tables etc.)
+    # below the marker — regeneration must not clobber them
+    path = os.path.join(REPO, "PLANS.md")
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find(MANUAL_MARKER)
+        if idx != -1:
+            manual = prev[idx:]
+    with open(path, "w") as f:
         f.write("\n".join(out))
+        if manual:
+            f.write("\n" + manual)
     print("wrote PLANS.md")
     spark.stop()
 
