@@ -3036,6 +3036,56 @@ def _s2_oracle_sql(decode: str, path: str) -> str:
     """
 
 
+def _geohash_oracle_sql(decode: str) -> str:
+    """DuckDB replay of the geohash Morton-spread encode: quantization,
+    the five mask/shift spread folds (one CTE per fold), the interleave,
+    and the base32 alphabet — over the same corpus-point ∪ grid fixture
+    as geo_s2_cells."""
+    masks = [
+        (16, 281470681808895),          # 0x0000FFFF0000FFFF
+        (8, 71777214294589695),         # 0x00FF00FF00FF00FF
+        (4, 1085102592571150095),       # 0x0F0F0F0F0F0F0F0F
+        (2, 3689348814741910323),       # 0x3333333333333333
+        (1, 6148914691236517205),       # 0x5555555555555555
+    ]
+    steps = []
+    prev = "ghq"
+    for i, (sh, m) in enumerate(masks):
+        steps.append(f"""
+            ghs{i} AS (
+              SELECT (lo | (lo << {sh})) & {m} AS lo,
+                     (la | (la << {sh})) & {m} AS la
+              FROM {prev})""")
+        prev = f"ghs{i}"
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alphabet}', CAST((v >> {35 - 5 * k}) & 31 AS INT) + 1, 1)"
+        for k in range(8)
+    )
+    return f"""
+        {decode}
+        , ghpts AS (
+          SELECT CAST(regexp_extract(geom_wkt, '{_PT_RE}', 1) AS DOUBLE) AS lon,
+                 CAST(regexp_extract(geom_wkt, '{_PT_RE}', 2) AS DOUBLE) AS lat
+          FROM feat2 WHERE geom_kind = 'point'
+          UNION ALL
+          SELECT CAST((k * 79) % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+                 CAST((k * 37) % 160 AS DOUBLE) - 80 + 0.5 AS lat
+          FROM range(2000) t(k)),
+        ghq AS (
+          SELECT CAST(least(1048575, floor((lon + 180.0) / 360.0 * 1048576.0)) AS BIGINT) AS lo,
+                 CAST(least(1048575, floor((lat + 90.0) / 180.0 * 1048576.0)) AS BIGINT) AS la
+          FROM ghpts),
+        {",".join(steps)},
+        ghv AS (SELECT (lo << 1) | la AS v FROM {prev}),
+        ghx AS (SELECT {chars} AS gh8 FROM ghv)
+        SELECT substr(gh8, 1, 4) AS gh4,
+               CAST(count(*) AS BIGINT) AS n_points,
+               min(gh8) AS min_gh8
+        FROM ghx GROUP BY 1 ORDER BY 1
+    """
+
+
 def _q_archive_read(spark, sf_dir):
     """mbtiles source connector, cross-engine: Spark reads the compact
     sqlite archive block-parallel (PK-range splits through the tiles view),
@@ -3184,14 +3234,222 @@ def _wrap(fn):
     return inner
 
 
+def _q_geo_geohash_cells(spark, sf_dir):
+    """Geohash cell indexing of the corpus point features (the
+    lexicographic-prefix sibling of geo_s2_cells): precision-8 hash per
+    point via the pure-Column Morton-spread encode (geom/geohash.py — no
+    UDF, ~15 integer ops inside whole-stage codegen), coarsened to the
+    4-char prefix cell by plain substring. DuckDB replays the ENTIRE
+    encoding — quantization, the five mask/shift spread folds, the bit
+    interleave, and the base32 alphabet — from the raw WKT."""
+    from planetiler_openmaptiles_spark.geom.geohash import geohash_col
+
+    feats = _decoded(spark, sf_dir).filter(F.col("geom_kind") == "point")
+    lon = F.regexp_extract("geom_wkt", _PT_RE, 1).cast("double")
+    lat = F.regexp_extract("geom_wkt", _PT_RE, 2).cast("double")
+    grid = spark.range(2000).select(
+        ((F.col("id") * 79) % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("id") * 37) % 160 - 80 + 0.5).cast("double").alias("lat"),
+    )
+    pts = feats.select(lon.alias("lon"), lat.alias("lat")).unionByName(grid)
+    return (
+        pts.select(geohash_col(F.col("lon"), F.col("lat"), 8).alias("gh8"))
+        .groupBy(F.substring("gh8", 1, 4).alias("gh4"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("gh8").alias("min_gh8"),
+        )
+        .orderBy("gh4")
+    )
+
+
+def _q_url_canonical_dedup(spark, sf_dir):
+    """Crawl-corpus URL dedup: per document a raw URL is synthesized by
+    doc_id arithmetic (scheme http/https, Www/UPPER-case host, default
+    :80 port, trailing slash, shuffled query order, utm/fbclid tracking
+    params, fragments — every variant class the canonicalizer must
+    collapse; docs with doc_id%7==0 get a genuinely unique path), then
+    canonicalized and grouped by textops/urls.py — all Catalyst regex +
+    array built-ins. DuckDB derives the canonical form INDEPENDENTLY
+    (straight from the arithmetic, never from the raw URL), so any
+    canonicalization defect splits or merges Spark's groups and breaks
+    rows or hash."""
+    from planetiler_openmaptiles_spark.textops.urls import url_dup_groups
+
+    d = F.col("doc_id")
+    page = (d % 100).cast("string")
+    scheme = F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    host = (
+        F.when(d % 3 == 0, F.lit("example.com"))
+        .when(d % 3 == 1, F.lit("www.Example.com"))
+        .otherwise(F.lit("EXAMPLE.COM:80"))
+    )
+    path = F.when(
+        d % 7 == 0, F.concat(F.lit("/u/"), d.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("/p/"), page, F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+        )
+    )
+    q = F.when(d % 2 == 0, F.lit("a=1&b=2")).otherwise(F.lit("b=2&a=1"))
+    q = F.when(d % 4 == 0, F.concat(q, F.lit("&utm_source=x"))).otherwise(q)
+    frag = F.when(d % 6 == 0, F.lit("#s")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, path, F.lit("?"), q, frag)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", url.alias("url"))
+    )
+    return url_dup_groups(docs).orderBy("canon_url")
+
+
+def _q_line_freq_dedup(spark, sf_dir):
+    """RefinedWeb-style line-frequency dedup: boilerplate is injected
+    deterministically in-query (every doc_id%3==0 document gets the same
+    10-word banner prepended — the pii_redact injection precedent), then
+    line_frequency_filter removes EVERY occurrence of chunks seen more
+    than max_dup times corpus-wide and reassembles. DuckDB replays the
+    injection, chunking, corpus-frequency window, excision, and the
+    md5 of the reassembled text."""
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        line_frequency_filter,
+    )
+
+    banner = ("accept all cookies to continue reading this site today "
+              "now")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(banner + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = line_frequency_filter(docs, chunk_words=10, max_dup=2)
+    return out.select(
+        "doc_id", "n_chunks", "n_removed",
+        F.md5("filtered_text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def _q_events_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostics (the pre-flight check before any
+    100 TB join): per event type, the per-user count distribution —
+    key cardinality, max, exact p50/p90/p99, and the hottest key's
+    traffic share in ppm. DuckDB replays both aggregates, the
+    quantile_cont interpolation, and the (count, key)-struct argmax."""
+    from planetiler_openmaptiles_spark.eventops import key_skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_profile(ev, "event_type", "user_id")
+
+
+def _q_media_video_shots(spark, sf_dir):
+    """Video shot-boundary detection over REAL AVI decode: per document a
+    synthetic video (frame intensities v_i = (d*7 + 13i) % 256, frame
+    count 3 + d%6) is encoded as an uncompressed-DIB AVI, every frame
+    decoded by the distributed strict-mode operator, and shots cut where
+    the mean-intensity jump exceeds 0.3 (exactly the %256 wraparounds —
+    the margin is 0.05 vs 0.95, no boundary ambiguity). DuckDB re-derives
+    frame intensities (incl. the f32 embedding rounding), the lag diffs,
+    cut positions, and the per-video ppm mean from doc_id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, detect_shot_boundaries, sample_video_frames)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 1500)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3 + d % 6
+                frames = np.stack([
+                    np.full((4, 4, 3), (d * 7 + 13 * i) % 256, dtype=np.uint8)
+                    for i in range(n)
+                ])
+                rows.append((f"vid{d}", str(d), "video",
+                             codecs.encode_avi(frames, fps=1, mjpeg=False),
+                             None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_n_seconds=0.0, strict=True)
+    return (
+        detect_shot_boundaries(frames, threshold=0.3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_frames", "n_shots", "first_cut_frame", "mean_mppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_media_resize_roundtrip(spark, sf_dir):
+    """Thumbnail resize round-trip over REAL codecs: per document a
+    column-patterned BMP (h = 5 + d%6, w = 9 + d%8, column j value
+    (d*13 + 37j) % 256) is nearest-neighbour-resized to 8×4 by the
+    distributed operator and the OUTPUT bytes decoded again — the
+    thumbnail's per-column values recover the exact source columns
+    floor(j*w/8). DuckDB re-derives width/height and all eight column
+    values from doc_id arithmetic, so any defect in decode, the resize
+    index math, or the re-encode breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, decode_images, resize_images)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 1500)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 5 + d % 6, 9 + d % 8
+                cols = (d * 13 + 37 * np.arange(w)) % 256
+                img = np.tile(cols.astype(np.uint8), (h, 1))
+                rows.append((f"im{d}", str(d), "image",
+                             codecs.encode_bmp(img), None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    thumbs = resize_images(media, out_w=8, out_h=4, strict=True)
+    dec = decode_images(
+        thumbs.select(
+            "media_id", "doc_id", F.lit("image").alias("kind"), "content",
+            F.lit(None).cast("map<string,string>").alias("meta"),
+        ),
+        strict=True,
+    )
+    sel = [F.col("doc_id").cast("long").alias("doc_id"), "width", "height"]
+    sel += [
+        F.round(F.element_at("embedding", j + 1) * 255.0).cast("int")
+        .alias(f"c{j}")
+        for j in range(8)
+    ]
+    return dec.select(*sel).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (round 4): the driver's correctness board covers the FIRST 50
     # entries only.  r1-r3 left 44 queries with no driver-side verdict (new
     # queries were prepended in r3, pushing them past the cap).  This round
-    # those 44 occupy positions 1-44, followed by 6 of the 10 entries that
-    # were driver-green in r1/r2 but fell off the r3 board.  Everything from
-    # position 51 on is already driver-green in CORRECTNESS_r01-r03 (see
-    # COVERAGE.md "ROTATION" for the query -> proving-round map).
+    # those 44 occupy positions 1-44, followed by the 6 operators ADDED in
+    # round 4 (45-50) which likewise need their first verdict.  Everything
+    # from position 51 on is already driver-green in CORRECTNESS_r01-r03
+    # (see COVERAGE.md "ROTATION" for the query -> proving-round map).
     return {k: _wrap(v) for k, v in {
         # --- never driver-verified before r4 (44) -------------------------
         "geo_tag_stats": _q_geo_tag_stats,
@@ -3238,14 +3496,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mp_topk": _q_ann_lsh_mp,
         "ann_pq_topk": _q_ann_pq,
         "semantic_dedup": _q_semantic_dedup,
-        # --- green in r1/r2 but off the r3 board: refresh 6 of 10 ---------
+        # --- NEW in round 4 (45-50): need their first driver verdict ------
+        "geo_geohash_cells": _q_geo_geohash_cells,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "line_freq_dedup": _q_line_freq_dedup,
+        "events_skew_profile": _q_events_skew_profile,
+        "media_video_shots": _q_media_video_shots,
+        "media_resize_roundtrip": _q_media_resize_roundtrip,
+        # --- position 51+: driver-green at least once in r1-r3 ------------
         "minhash_lsh": _q_minhash_lsh,
         "ann_topk": _q_ann_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "text_quality": _q_text_quality,
         "ann_ivf_topk": _q_ann_ivf,
         "simhash_near_dups": _q_simhash,
-        # --- position 51+: driver-green at least once in r1-r3 ------------
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_lsh_topk": _q_ann_lsh,
         "text_fingerprint": _q_text_fingerprint,
@@ -3741,6 +4005,115 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Full S2 cell-id replay (face/ST/Hilbert bit math in SQL).
         "geo_s2_cells": _s2_oracle_sql(decode, path),
+        "geo_geohash_cells": _geohash_oracle_sql(decode),
+        "url_canonical_dedup": """
+            -- INDEPENDENT canonical derivation: DuckDB never parses the
+            -- raw URL — it recomputes the canonical identity straight
+            -- from the doc_id arithmetic that generated the variants, so
+            -- every normalization rule (scheme/www/:80/utm/param order/
+            -- fragment/trailing slash) is cross-checked
+            SELECT canon_url, CAST(count(*) AS INT) AS n,
+                   min(doc_id) AS keep_id
+            FROM (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                  THEN 'example.com/u/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'example.com/p/' || CAST(doc_id % 100 AS VARCHAR)
+                  END || '?a=1&b=2' AS canon_url
+              FROM documents)
+            GROUP BY canon_url HAVING count(*) > 1 ORDER BY canon_url
+        """,
+        "line_freq_dedup": r"""
+            -- RefinedWeb line-frequency dedup replayed end-to-end: banner
+            -- injection (doc_id%3=0), 10-word chunking, corpus-frequency
+            -- window, drop-all-copies above max_dup=2, reassembly
+            WITH injected AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN 'accept all cookies to continue reading this site today now ' || text
+                  ELSE text END AS text
+              FROM documents),
+            norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+              FROM injected),
+            chunks AS (
+              SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                     array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk
+              FROM norm, UNNEST(range(CAST(ceil(length(words)/10.0) AS BIGINT))) AS t(i)),
+            cnt AS (
+              SELECT *, count(*) OVER (PARTITION BY chunk) AS nocc
+              FROM chunks)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+              CAST(count(*) FILTER (WHERE nocc > 2) AS INT) AS n_removed,
+              md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                           FILTER (WHERE nocc <= 2), '')) AS text_md5
+            FROM cnt GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_skew_profile": """
+            -- per-key count distribution + hottest-key share; the struct
+            -- argmax (count, then key) is replayed via integer encoding
+            -- (user_id < 1e6 in this fixture)
+            WITH pk AS (
+              SELECT event_type AS grp, user_id AS key, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            agg AS (
+              SELECT grp,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(cnt) AS BIGINT) AS total,
+                max(cnt) AS max_cnt,
+                round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+                round(quantile_cont(cnt, 0.9), 6) AS p90_cnt,
+                round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+                max(cnt * 1000000 + key) AS enc
+              FROM pk GROUP BY grp)
+            SELECT grp, n_keys, total, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+              enc % 1000000 AS top_key,
+              CAST(round(CAST(enc // 1000000 AS DOUBLE)
+                         / CAST(total AS DOUBLE) * 1000000.0) AS BIGINT)
+                AS top_share_ppm
+            FROM agg ORDER BY grp
+        """,
+        "media_video_shots": """
+            -- shot-boundary replay from doc_id arithmetic: frame i of doc d
+            -- is flat (d*7+13i)%256; the 8-bit quantized intensity recovers
+            -- that value exactly (emb_gray precedent), cuts land exactly on
+            -- the %256 wraparounds (|diff| 13 vs 243 against 76.5)
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 1500),
+            fr AS (
+              SELECT doc_id, CAST(i AS INT) AS i,
+                     (doc_id * 7 + 13 * i) % 256 AS v
+              FROM d, UNNEST(range(3 + doc_id % 6)) AS t(i)),
+            lg AS (
+              SELECT doc_id, i, v,
+                CASE WHEN abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY i))
+                          > 76.5
+                     THEN 1 ELSE 0 END AS cut
+              FROM fr)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+                   CAST(sum(cut) + 1 AS INT) AS n_shots,
+                   CAST(min(CASE WHEN cut = 1 THEN i END) AS INT)
+                     AS first_cut_frame,
+                   CAST(round(avg(v) / 255.0 * 1000000.0) AS BIGINT)
+                     AS mean_mppm
+            FROM lg GROUP BY doc_id ORDER BY doc_id
+        """,
+        "media_resize_roundtrip": """
+            -- resize round-trip replay: thumbnail column j samples source
+            -- column (j*w)//8 of the column-patterned fixture, value
+            -- (d*13 + 37*src)%256; width/height pinned by the operator
+            SELECT doc_id,
+              CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+              CAST((doc_id*13 + 37*((0*(9 + doc_id%8))//8)) % 256 AS INT) AS c0,
+              CAST((doc_id*13 + 37*((1*(9 + doc_id%8))//8)) % 256 AS INT) AS c1,
+              CAST((doc_id*13 + 37*((2*(9 + doc_id%8))//8)) % 256 AS INT) AS c2,
+              CAST((doc_id*13 + 37*((3*(9 + doc_id%8))//8)) % 256 AS INT) AS c3,
+              CAST((doc_id*13 + 37*((4*(9 + doc_id%8))//8)) % 256 AS INT) AS c4,
+              CAST((doc_id*13 + 37*((5*(9 + doc_id%8))//8)) % 256 AS INT) AS c5,
+              CAST((doc_id*13 + 37*((6*(9 + doc_id%8))//8)) % 256 AS INT) AS c6,
+              CAST((doc_id*13 + 37*((7*(9 + doc_id%8))//8)) % 256 AS INT) AS c7
+            FROM documents WHERE doc_id < 1500 ORDER BY doc_id
+        """,
         # mbtiles-connector replay: tile i at (10, i%32, i//32) carries
         # 1 + i%3 polygon features with rank (i*7+j)%11 and class c{{(i+j)%3}}
         # — DuckDB regenerates the per-y rollup from range() arithmetic,

@@ -320,3 +320,54 @@ def props_rollup(events: DataFrame, json_col: str = "props") -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def key_skew_profile(
+    df: DataFrame, group_col: str = "event_type", key_col: str = "user_id"
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: per `group_col`, the distribution of
+    per-`key_col` row counts — the numbers that decide salting factors and
+    AQE skew thresholds BEFORE launching a 100 TB join on that key.
+
+    Reports n_keys, total rows, max key count, exact p50/p90/p99 of the
+    per-key counts, and the hottest key's traffic share in ppm. Two
+    map-side-combined aggregates: one on (group, key), one on group —
+    the profile itself can never be the skewed stage.
+
+    The hot-key share is the direct input to the salting decision: a key
+    holding >1/parallelism of the traffic stalls its reducer; this query
+    is how the engine's own salted operators (inverted_index,
+    stratified_sample) pick their factors."""
+    per_key = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pct = F.percentile(
+        F.col("cnt"), F.array(*[F.lit(p) for p in (0.5, 0.9, 0.99)])
+    )
+    top = F.max(F.struct("cnt", "key"))
+    return (
+        per_key.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").alias("total"),
+            F.max("cnt").alias("max_cnt"),
+            pct.alias("_p"),
+            top.alias("_top"),
+        )
+        .select(
+            "grp",
+            "n_keys",
+            "total",
+            "max_cnt",
+            F.round(F.element_at("_p", 1), 6).alias("p50_cnt"),
+            F.round(F.element_at("_p", 2), 6).alias("p90_cnt"),
+            F.round(F.element_at("_p", 3), 6).alias("p99_cnt"),
+            F.col("_top.key").alias("top_key"),
+            F.round(
+                F.col("_top.cnt").cast("double")
+                / F.col("total").cast("double")
+                * F.lit(1000000.0)
+            ).cast("long").alias("top_share_ppm"),
+        )
+        .orderBy("grp")
+    )

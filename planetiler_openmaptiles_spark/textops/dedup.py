@@ -411,6 +411,50 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def line_frequency_filter(docs: DataFrame, text_col: str = "text",
+                          chunk_words: int = 10,
+                          max_dup: int = 2) -> DataFrame:
+    """RefinedWeb-style line-frequency dedup: drop EVERY occurrence of a
+    line whose corpus-wide frequency exceeds `max_dup` (navigation bars,
+    cookie banners, boilerplate headers), then reassemble documents.
+
+    Differs from paragraph_dedup (CCNet keep-first): boilerplate above
+    the threshold is removed everywhere — the RefinedWeb/Dolma recipe for
+    lines that carry no training signal in ANY copy. "Lines" here are
+    the corpus's dedup units from paragraph_chunks (real paragraphs when
+    the text has structure, tumbling word windows otherwise).
+
+    Returns (doc_id, n_chunks, n_removed, filtered_text). Cost at
+    100 TB: one shuffle on the 64-bit chunk hash (a count window over
+    (hash, chunk) — text rides along to break hash collisions), then one
+    groupBy doc_id to reassemble. No joins, no driver state; identical
+    shuffle shape to paragraph_dedup so the two can share a stage."""
+    ex = paragraph_chunks(docs, text_col, chunk_words)
+    w = Window.partitionBy("chunk_hash", "chunk")
+    kept = ex.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_keep", F.col("_n") <= max_dup
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum((~F.col("_keep")).cast("int")).cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"),
+                                   F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("filtered_text"),
+        )
+    )
+
+
 # ------------------------------------------------- exact-substring dedup
 
 

@@ -394,3 +394,60 @@ def audio_frame_energy(media: DataFrame, frame_len: int = 256,
             )
 
     return media.mapInPandas(run, FRAME_ENERGY_SCHEMA)
+
+
+def detect_shot_boundaries(
+    frames: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Shot-boundary detection over decoded video frames — the standard
+    pre-segmentation step before captioning/sampling video training data.
+
+    Input is sample_video_frames output (one row per frame with the
+    block-mean embedding); pass every_n_seconds=0.0 there to take every
+    frame. A frame starts a new shot when the mean-intensity distance to
+    the previous frame exceeds `threshold` (intensities are in [0, 1]).
+
+    Everything after the one Arrow decode pass is pure Catalyst: a scalar
+    per frame (the embedding mean quantized to 8-bit intensity — the
+    native resolution of the pixels it came from, and exactly replayable
+    by an independent engine), one lag window partitioned by media_id
+    (frames of one video are already co-located by the decode task — the
+    window shuffle is narrow), then a per-video aggregate. Returns
+    (media_id, doc_id, n_frames, n_shots, first_cut_frame, mean_mppm)
+    where mean_mppm is the mean 8-bit frame intensity rescaled to ppm of
+    full white.
+    """
+    from pyspark.sql import Window
+
+    inten = (
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda v: v.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / F.size("embedding").cast("double")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    per = frames.select(
+        "media_id", "doc_id", "frame_index",
+        F.round(inten * F.lit(255.0)).cast("long").alias("_i"),
+    ).withColumn(
+        "_cut",
+        (
+            F.abs(F.col("_i") - F.lag("_i").over(w)).cast("double")
+            > F.lit(threshold * 255.0)
+        ).cast("int"),
+    )
+    return (
+        per.groupBy("media_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            (F.coalesce(F.sum("_cut"), F.lit(0)).cast("int") + F.lit(1))
+            .alias("n_shots"),
+            F.min(F.when(F.col("_cut") == 1, F.col("frame_index")))
+            .alias("first_cut_frame"),
+            F.round(
+                F.avg("_i") / F.lit(255.0) * F.lit(1000000.0)
+            ).cast("long").alias("mean_mppm"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Round-4 operators: URL canonicalization/dedup, line-frequency dedup,
+key-skew profiling, video shot boundaries, and the resize round-trip."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from planetiler_openmaptiles_spark.textops import codecs
+from planetiler_openmaptiles_spark.textops.multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    detect_shot_boundaries,
+    resize_images,
+    sample_video_frames,
+)
+from planetiler_openmaptiles_spark.textops.urls import (
+    canonical_url,
+    url_dedup,
+    url_dup_groups,
+)
+
+
+# ------------------------------------------------------------------ urls
+
+def test_canonical_url_normalizations(spark):
+    cases = [
+        # (raw, canonical)
+        ("http://www.Example.COM:80/a/b/?b=2&a=1#frag", "example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?a=1&b=2", "example.com/a/b?a=1&b=2"),
+        ("example.com/a/b?b=2&utm_source=tw&a=1", "example.com/a/b?a=1&b=2"),
+        ("https://EXAMPLE.com:443/a/b/", "example.com/a/b"),
+        ("http://example.com", "example.com"),
+        ("http://example.com/?fbclid=xyz", "example.com"),
+        ("http://example.com:8080/x", "example.com:8080/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_url_dedup_keeps_first_and_groups(spark):
+    rows = [
+        (1, "http://www.site.com/p?x=1&y=2"),
+        (2, "https://site.com/p/?y=2&x=1&utm_medium=m"),
+        (3, "http://site.com/p?x=1&y=2#top"),
+        (4, "http://other.com/q"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = url_dedup(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in kept] == [1, 4]
+    groups = url_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].n == 3 and groups[0].keep_id == 1
+
+
+# ------------------------------------------------ line-frequency filter
+
+def test_line_frequency_filter_drops_all_copies(spark):
+    from planetiler_openmaptiles_spark.textops.dedup import (
+        line_frequency_filter,
+    )
+
+    boiler = "cookie banner words appear on every single page here now"  # 10 words
+    uniq = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "red orange yellow green blue indigo violet black white gray"]
+    rows = [(i, f"{boiler} {u}") for i, u in enumerate(uniq)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in line_frequency_filter(df, chunk_words=10, max_dup=2).collect()
+    }
+    # boilerplate appears 3 times > max_dup=2 -> removed EVERYWHERE
+    for i, u in enumerate(uniq):
+        assert out[i].n_chunks == 2
+        assert out[i].n_removed == 1
+        assert out[i].filtered_text == u
+    # below the threshold nothing is removed (contrast with keep-first)
+    out2 = {
+        r.doc_id: r
+        for r in line_frequency_filter(df, chunk_words=10, max_dup=3).collect()
+    }
+    assert all(out2[i].n_removed == 0 for i in range(3))
+    assert out2[0].filtered_text == f"{boiler} {uniq[0]}"
+
+
+# ------------------------------------------------------- skew profile
+
+def test_key_skew_profile_exact_counts(spark):
+    from planetiler_openmaptiles_spark.eventops import key_skew_profile
+
+    rows = [("a", 1)] * 6 + [("a", 2)] * 2 + [("a", 3)] * 2 + [("b", 9)]
+    df = spark.createDataFrame(
+        [(g, k, i) for i, (g, k) in enumerate(rows)],
+        ["event_type", "user_id", "event_id"],
+    )
+    got = {r.grp: r for r in key_skew_profile(df).collect()}
+    a = got["a"]
+    assert (a.n_keys, a.total, a.max_cnt) == (3, 10, 6)
+    assert a.p50_cnt == 2.0 and a.top_key == 1
+    assert a.top_share_ppm == 600000
+    b = got["b"]
+    assert (b.n_keys, b.total, b.max_cnt, b.top_share_ppm) == (1, 1, 1, 1000000)
+
+
+# ------------------------------------------------------- video shots
+
+def _video_media(spark, vals, fps=1):
+    frames = np.stack(
+        [np.full((4, 4, 3), v, dtype=np.uint8) for v in vals]
+    )
+    avi = codecs.encode_avi(frames, fps=fps, mjpeg=False)
+    pdf = pd.DataFrame(
+        [("vid0", "0", "video", avi, None)],
+        columns=[f.name for f in MEDIA_SCHEMA.fields],
+    )
+    return spark.createDataFrame(pdf, MEDIA_SCHEMA)
+
+
+def test_detect_shot_boundaries(spark):
+    media = _video_media(spark, [10, 12, 200, 202, 201, 30])
+    frames = sample_video_frames(media, every_n_seconds=0.0, strict=True)
+    out = detect_shot_boundaries(frames, threshold=0.3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # cuts at 12->200 and 201->30
+    assert (r.n_frames, r.n_shots, r.first_cut_frame) == (6, 3, 2)
+    want_mean = round(np.mean([10, 12, 200, 202, 201, 30]) / 255.0 * 1e6)
+    assert r.mean_mppm == want_mean  # 8-bit quantized intensity is exact
+
+
+def test_single_shot_video(spark):
+    media = _video_media(spark, [100, 101, 102])
+    frames = sample_video_frames(media, every_n_seconds=0.0, strict=True)
+    r = detect_shot_boundaries(frames, threshold=0.3).collect()[0]
+    assert (r.n_shots, r.first_cut_frame) == (1, None)
+
+
+# --------------------------------------------------- resize round-trip
+
+def test_resize_roundtrip_column_pattern(spark):
+    # column-patterned source: resized thumbnail must sample the exact
+    # source columns floor(c*w/out_w) — decoded back via the real codec
+    h, w, out_h, out_w = 5, 9, 4, 8
+    cols = (np.arange(w) * 37 + 13) % 256
+    img = np.tile(cols.astype(np.uint8), (h, 1))
+    pdf = pd.DataFrame(
+        [("im0", "0", "image", codecs.encode_bmp(img), None)],
+        columns=[f.name for f in MEDIA_SCHEMA.fields],
+    )
+    media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    thumbs = resize_images(media, out_w=out_w, out_h=out_h, strict=True)
+    dec = decode_images(
+        thumbs.select("media_id", "doc_id", F.lit("image").alias("kind"),
+                      "content", F.lit(None).cast("map<string,string>").alias("meta")),
+        strict=True,
+    ).collect()[0]
+    assert (dec.width, dec.height) == (out_w, out_h)
+    want = cols[(np.arange(out_w) * w) // out_w]
+    got = np.round(np.array(dec.embedding) * 255.0).astype(int)
+    assert list(got) == list(want)
