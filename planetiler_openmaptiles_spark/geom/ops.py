@@ -415,6 +415,86 @@ def dp_filter(coords: np.ndarray, thr2: np.ndarray, tol: float) -> np.ndarray:
     return np.asarray(coords, dtype=np.float64)[thr2 > tol * tol]
 
 
+def vw_thresholds(coords: np.ndarray) -> np.ndarray:
+    """Per-vertex Visvalingam-Whyatt retention thresholds (effective
+    triangle areas, VW 1993).
+
+    thr[v] = the vertex's EFFECTIVE area: its triangle area at removal
+    time, clamped monotone non-decreasing along the removal order (the
+    standard VW trick), so that ``coords[thr > tol*tol]`` reproduces the
+    classic iterative algorithm — remove the least-area vertex, recompute
+    its neighbours, repeat while the minimum area is <= tol² — EXACTLY
+    for every tol. Endpoints get +inf.
+
+    Same storage contract as dp_thresholds, so the tile render's
+    per-zoom boolean filter (`simplify_with_thresholds`) works unchanged
+    and the algorithm choice costs nothing at cut time. VW's area
+    criterion keeps cartographically dominant bends where DP's offset
+    criterion keeps long-offset spikes — the cartography-standard
+    alternative (mapshaper's default); tolerance stays in px, mapped to
+    the conventional area threshold tol².
+
+    Written from the published algorithm (Visvalingam & Whyatt 1993,
+    "Line generalisation by repeated elimination of points"); no
+    reference code consulted."""
+    import heapq
+
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(coords)
+    thr = np.full(n, np.inf)
+    if n <= 2:
+        return thr
+    xs = coords[:, 0].tolist()
+    ys = coords[:, 1].tolist()
+    prv = list(range(-1, n - 1))
+    nxt = list(range(1, n + 1))
+
+    def tri(i: int) -> float:
+        a, b = prv[i], nxt[i]
+        return 0.5 * abs(
+            (xs[b] - xs[a]) * (ys[i] - ys[a])
+            - (xs[i] - xs[a]) * (ys[b] - ys[a])
+        )
+
+    cur = [0.0] * n
+    heap = []
+    for i in range(1, n - 1):
+        cur[i] = tri(i)
+        heap.append((cur[i], i))
+    heapq.heapify(heap)
+    removed = [False] * n
+    last = 0.0
+    while heap:
+        a, i = heapq.heappop(heap)
+        if removed[i] or a != cur[i]:
+            continue  # stale entry (area was recomputed after push)
+        last = a if a > last else last  # monotone clamp
+        thr[i] = last
+        removed[i] = True
+        p, q = prv[i], nxt[i]
+        nxt[p] = q
+        prv[q] = p
+        for j in (p, q):
+            if 0 < j < n - 1 and not removed[j]:
+                cur[j] = tri(j)
+                heapq.heappush(heap, (cur[j], j))
+    return thr
+
+
+def geom_vw_thresholds(geom):
+    """vw_thresholds per component, mirroring geom_dp_thresholds."""
+    kind, data = geom
+    if kind in ("Point", "MultiPoint"):
+        return None
+    if kind == "LineString":
+        return vw_thresholds(data)
+    if kind in ("MultiLineString", "Polygon"):
+        return [vw_thresholds(np.asarray(c)) for c in data]
+    if kind == "MultiPolygon":
+        return [[vw_thresholds(np.asarray(r)) for r in rings] for rings in data]
+    return None
+
+
 def simplify(geom, tol: float):
     if tol <= 0:
         return geom

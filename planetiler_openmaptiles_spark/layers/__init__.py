@@ -71,6 +71,13 @@ class Config:
     # user set a non-default value, matching planetiler where the CLI arg
     # overrides the per-layer setPixelTolerance defaults
     simplify_tolerance: float = 0.1
+    # --simplify-algorithm: "dp" (Douglas-Peucker offset criterion, the
+    # reference algorithm) or "vw" (Visvalingam-Whyatt effective-area
+    # criterion, the cartography-standard alternative; tolerance px maps
+    # to the conventional area threshold tol**2). Beyond-reference knob;
+    # both run through the same precomputed-threshold boolean filter in
+    # the fused render, so the choice is wall-time-neutral
+    simplify_algorithm: str = "dp"
     # --bounds (planetiler arg surface; reference README.md quickstart):
     # (lon_min, lat_min, lon_max, lat_max) — only tiles whose extent
     # intersects the box are rendered. None = whole world. The clamp is

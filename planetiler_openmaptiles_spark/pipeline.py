@@ -477,7 +477,7 @@ def build_tiles(
     tile_feats = cp.stage(
         "tile_features", fp,
         lambda: render_tiles(rendered, config.max_zoom, config.simplify_tolerance,
-                             config.bounds),
+                             config.bounds, config.simplify_algorithm),
         spark, lineage=["rendered_features"],
     )
     # reduce-exchange width hint from the corpus size on disk (stat only,
@@ -643,6 +643,7 @@ def incremental_retile(
         rendered = rendered.join(base_ids, "doc_id", "left_anti")
     shard_feats = render_tiles(
         rendered, config.max_zoom, config.simplify_tolerance, config.bounds,
+        config.simplify_algorithm,
     )
     # the shard render feeds BOTH the affected-key set and the combined
     # union — materialize it once instead of re-running decode+layers+
@@ -1537,6 +1538,9 @@ def main(argv=None):
     ap.add_argument("--simplify-tolerance", type=float, default=0.1,
                     help="px simplification tolerance below max zoom"
                          " (reference README.md:33); negative disables")
+    ap.add_argument("--simplify-algorithm", choices=("dp", "vw"), default="dp",
+                    help="line simplification criterion: Douglas-Peucker"
+                         " offset (reference) or Visvalingam-Whyatt area")
     ap.add_argument("--languages", default=None,
                     help="comma-separated translation language codes"
                          " (planetiler --languages; default the reference"
@@ -1589,6 +1593,7 @@ def main(argv=None):
         exclude_layers=tuple(x for x in args.exclude_layers.split(",") if x),
         max_zoom=args.max_zoom,
         simplify_tolerance=args.simplify_tolerance,
+        simplify_algorithm=args.simplify_algorithm,
         bounds=(
             tuple(float(v) for v in args.bounds.split(","))
             if args.bounds

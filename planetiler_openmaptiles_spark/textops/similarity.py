@@ -99,6 +99,31 @@ def ivf_assign(vec_col, centroids: list):
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def ivf_assign_multi(vec_col, centroids: list, nprobe: int):
+    """Top-`nprobe` cluster ids by cosine vs the broadcast centroids
+    (ties → lower cluster id), as an array<int> — pure Column math: the
+    (−sim, idx) structs sort ascending, so the slice head is the best
+    cluster and the argsort is exactly ivf_assign's tie-break."""
+    sims = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(v) for v in c]))
+            / F.greatest(_norm(vec_col), F.lit(1e-12))
+            for c in centroids
+        ]
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                (-F.element_at(sims, i + 1)).alias("neg"), i.alias("cl")
+            ),
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s["cl"].cast("int")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -108,12 +133,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) approximate top-k: candidates share the probe's
-    coarse cluster — an equi-join on the cluster id, so each probe scans
-    ~1/k of the table."""
+    """IVF approximate top-k: candidates live in the probe's `nprobe`
+    closest coarse clusters — an equi-join on the cluster id, so each
+    probe scans ~nprobe/k of the table. The PROBE side expands to its
+    nprobe cluster rows BEFORE the broadcast join (the multiprobe-LSH
+    rule: the corpus side never duplicates); clusters are disjoint, so
+    candidate rows stay unique without a dedup."""
     e = embeddings.withColumn("_cl", ivf_assign(F.col(vec_col), centroids))
-    p = probes.withColumn("_cl", ivf_assign(F.col(probe_vec_col), centroids))
+    if nprobe <= 1:
+        p = probes.withColumn(
+            "_cl", ivf_assign(F.col(probe_vec_col), centroids)
+        )
+    else:
+        p = probes.select(
+            "*",
+            F.explode(
+                ivf_assign_multi(F.col(probe_vec_col), centroids, nprobe)
+            ).alias("_cl"),
+        )
     j = e.join(F.broadcast(p), "_cl")
     sim = cosine(F.col(vec_col), F.col(probe_vec_col))
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())

@@ -565,6 +565,7 @@ def render_tiles_fused(
     max_zoom: int = MAX_ZOOM,
     default_tol: float = DEFAULT_TOLERANCE_PX,
     bounds=None,
+    algo: str = "dp",
 ) -> DataFrame:
     """features → per-tile features in ONE mapInPandas pass.
 
@@ -595,6 +596,9 @@ def render_tiles_fused(
     # (planetiler FeatureRenderer + TileExtents: out-of-bounds tiles are
     # never cut, so the partial-build cost is proportional to the box)
     zbounds = bounds_tile_ranges(bounds, max_zoom) if bounds is not None else None
+    # --simplify-algorithm: per-vertex retention thresholds share one
+    # storage contract, so DP vs Visvalingam-Whyatt is a free swap here
+    thr_fn = ops.geom_vw_thresholds if algo == "vw" else ops.geom_dp_thresholds
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -694,7 +698,7 @@ def render_tiles_fused(
                         _cut_points(out, row, g, z, n, scale, buf, zb)
                         continue
                     if thrs is False:
-                        thrs = ops.geom_dp_thresholds(g)
+                        thrs = thr_fn(g)
                     tol_px = tol_fn(z, cur_attrs, default_tol) if tol_fn else default_tol
                     gs = (
                         ops.simplify_with_thresholds(g, thrs, tol_px / scale)
@@ -747,6 +751,7 @@ def render_tiles(
     max_zoom: int = MAX_ZOOM,
     default_tol: float = DEFAULT_TOLERANCE_PX,
     bounds=None,
+    algo: str = "dp",
 ) -> DataFrame:
     """features → per-tile features, before tile reduction (fused pass)."""
-    return render_tiles_fused(features, max_zoom, default_tol, bounds)
+    return render_tiles_fused(features, max_zoom, default_tol, bounds, algo)

@@ -159,3 +159,50 @@ def test_resize_roundtrip_column_pattern(spark):
     want = cols[(np.arange(out_w) * w) // out_w]
     got = np.round(np.array(dec.embedding) * 255.0).astype(int)
     assert list(got) == list(want)
+
+
+# --------------------------------------------------- IVF multiprobe
+
+def test_ivf_multiprobe_superset_and_head(spark):
+    import random
+
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_assign_multi,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(emb, dim=8, k=4, sample=200)
+    # head of the multi-assignment == single assignment
+    both = emb.select(
+        ivf_assign(F.col("embedding"), cents).alias("one"),
+        ivf_assign_multi(F.col("embedding"), cents, 2).alias("multi"),
+    ).collect()
+    for r in both:
+        assert r.multi[0] == r.one
+        assert len(r.multi) == 2 and r.multi[0] != r.multi[1]
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    got1 = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk(emb, probes, cents, k=5, nprobe=1).collect()
+    }
+    got4 = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk(emb, probes, cents, k=5, nprobe=4).collect()
+    }
+    # nprobe = all clusters scans everything -> exact recall
+    assert got4 == exact
+    assert len(got1 & exact) <= len(got4 & exact)
