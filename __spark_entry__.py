@@ -3269,6 +3269,26 @@ def _wrap(fn):
     return inner
 
 
+def _q_span_mask(spark, sf_dir):
+    """T5-style span-corruption masking (Raffel et al. 2020): ~15% of each
+    document's tokens replaced by numbered <extra_id_k> sentinels in
+    mean-3-token merged spans; mask decisions are md5(doc_id:pos) uniforms,
+    so DuckDB replays EVERY decision — the start draws, the 3-row mask
+    window, run merging, sentinel numbering, and the reassembled text —
+    from raw text with no shared code."""
+    from planetiler_openmaptiles_spark.textops.masking import span_mask
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        span_mask(docs, mask_rate=0.15, span_len=3)
+        .select(
+            "doc_id", "n_tokens", "n_masked", "n_spans",
+            F.md5("masked_text").alias("masked_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_geo_geohash_cells(spark, sf_dir):
     """Geohash cell indexing of the corpus point features (the
     lexicographic-prefix sibling of geo_s2_cells): precision-8 hash per
@@ -3541,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 51+: driver-green at least once in r1-r3, plus ------
         # --- late r4 additions awaiting the r5 rotation window ------------
         "ann_ivf_mp_topk": _q_ann_ivf_mp,
+        "span_mask": _q_span_mask,
         "minhash_lsh": _q_minhash_lsh,
         "ann_topk": _q_ann_topk,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -4821,6 +4842,51 @@ def oracle_sql() -> dict[str, str]:
                 ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             WHERE n_shared >= 2 ORDER BY doc_a, doc_b
+        """,
+        "span_mask": r"""
+            -- full replay of the T5 span corruption: md5 start draws,
+            -- 3-row mask window, run merge, sentinel numbering, reassembly
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS words
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(words, 1) - 1 AS INT) AS pos,
+                     unnest(words) AS word
+              FROM w),
+            s AS (
+              SELECT doc_id, pos, word,
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+                          / 4294967296.0 < 0.05
+                     THEN 1 ELSE 0 END AS st
+              FROM t),
+            m AS (
+              SELECT *, max(st) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS mk
+              FROM s),
+            fr AS (
+              SELECT *, mk AND NOT coalesce(
+                          lag(mk) OVER (PARTITION BY doc_id ORDER BY pos),
+                          false) AS fi
+              FROM m),
+            sp AS (
+              SELECT *, sum(CASE WHEN fi THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS sn
+              FROM fr),
+            tok AS (
+              SELECT doc_id, pos, mk, fi,
+                CASE WHEN NOT mk THEN word
+                     WHEN fi THEN '<extra_id_' || CAST(sn - 1 AS VARCHAR) || '>'
+                     ELSE NULL END AS tk
+              FROM sp)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                   CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS INT) AS n_masked,
+                   CAST(sum(CASE WHEN fi THEN 1 ELSE 0 END) AS INT) AS n_spans,
+                   md5(string_agg(tk, ' ' ORDER BY pos)
+                       FILTER (WHERE tk IS NOT NULL)) AS masked_md5
+            FROM tok GROUP BY doc_id ORDER BY doc_id
         """,
         "hash_split": r"""
             WITH u AS (

@@ -58,6 +58,11 @@ def main():
         "archive_diff",
         "exact_substring_dedup",
         "ann_pq_topk",
+        # r4-added families: pure-Column geohash encode, T5 span
+        # corruption, RefinedWeb line-frequency dedup
+        "geo_geohash_cells",
+        "span_mask",
+        "line_freq_dedup",
     ]
     # min of two runs per query, same rationale as the tile build below:
     # this shared VM shows 2-5x wall noise between identical runs (cpu
@@ -109,7 +114,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     # apples-to-apples vs BENCH_r03: the r3 board had exactly these
-    # entries; r4 added 5 query families + 2 archive-sink timings, which
+    # entries; r4 added 8 query families + 2 archive-sink timings, which
     # inflate the grand total without being regressions
     r3_set = [
         "geo_table_counts", "geo_tile_assignment", "geo_label_grid",

@@ -206,3 +206,45 @@ def test_ivf_multiprobe_superset_and_head(spark):
     # nprobe = all clusters scans everything -> exact recall
     assert got4 == exact
     assert len(got1 & exact) <= len(got4 & exact)
+
+
+# --------------------------------------------------- span masking (T5)
+
+def test_span_mask_matches_python_reference(spark):
+    import hashlib
+
+    from planetiler_openmaptiles_spark.textops.masking import span_mask
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog today again soon",
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r.doc_id: r for r in span_mask(df, mask_rate=1.5, span_len=3).collect()}
+
+    def ref(d, text, p_start=0.5, span=3):
+        words = [w for w in text.split(" ") if w]
+        starts = [
+            int(hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:8], 16)
+            / 2**32 < p_start
+            for i in range(len(words))
+        ]
+        masked = [any(starts[max(0, i - span + 1): i + 1]) for i in range(len(words))]
+        out, k, n_sp = [], 0, 0
+        for i, w in enumerate(words):
+            if not masked[i]:
+                out.append(w)
+            elif i == 0 or not masked[i - 1]:
+                out.append(f"<extra_id_{k}>")
+                k += 1
+                n_sp += 1
+        return len(words), sum(masked), n_sp, " ".join(out)
+
+    for d, text in texts.items():
+        n_tok, n_m, n_sp, mtext = ref(d, text)
+        r = got[d]
+        assert (r.n_tokens, r.n_masked, r.n_spans) == (n_tok, n_m, n_sp), d
+        assert r.masked_text == mtext, d
+    # sanity: something actually masked at this rate across the fixture
+    assert sum(r.n_masked for r in got.values()) > 0
