@@ -3269,6 +3269,69 @@ def _wrap(fn):
     return inner
 
 
+def _q_geo_polylabel(spark, sf_dir):
+    """Pole-of-inaccessibility label anchors (Mapbox polylabel) for the
+    corpus landuse polygons. ADVERSARIAL oracle design: Spark emits
+    literal TRUE for `inside` and `beats_grid` while DuckDB recomputes
+    both from the checkpointed anchor point alone — even-odd PIP over
+    exploded edges, the full segment-distance min (identical IEEE
+    expression shape), and an 8x8 grid lower bound on the optimal
+    clearance. A suboptimal or outside anchor makes the booleans false
+    ONLY on the DuckDB side and breaks the hash; the clearance value
+    itself cross-checks the distance kernel to 1e-7 deg."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.geom import wkt as wktmod
+    from planetiler_openmaptiles_spark.geom.polylabel import (
+        _signed_distance, polylabel)
+
+    feats = _decoded(spark, sf_dir).filter(
+        (F.col("geom_kind") == "polygon")
+        & F.element_at(F.col("tags"), "landuse").isNotNull()
+    ).select("doc_id", "geom_wkt")
+
+    out_schema = ("poly_id string, px double, py double, clear_q long, "
+                  "grid_q long")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                g = wktmod.parse_wkt(r.geom_wkt)
+                rings = [np.asarray(rr, dtype=np.float64) for rr in g[1]]
+                outer = rings[0]
+                minx, miny = outer.min(axis=0)
+                maxx, maxy = outer.max(axis=0)
+                w, h = maxx - minx, maxy - miny
+                prec = float(np.hypot(w, h)) / 1000.0
+                x, y = polylabel(g, precision=prec)
+                d = _signed_distance(x, y, rings)
+                gm = -np.inf
+                for c in range(8):
+                    for rr in range(8):
+                        gx = minx + (c + 0.5) * w / 8.0
+                        gy = miny + (rr + 0.5) * h / 8.0
+                        gm = max(gm, _signed_distance(gx, gy, rings))
+                rows.append((
+                    str(r.doc_id), float(x), float(y),
+                    int(np.floor(d * 1e7 + 0.5)),
+                    int(np.floor(gm * 1e7 + 0.5)),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "px", "py", "clear_q", "grid_q"]
+            )
+
+    res = feats.mapInPandas(run, out_schema)
+    aux = _write_aux(res, sf_dir, "polylabel_anchors")
+    res = spark.read.parquet(aux)
+    return res.select(
+        "poly_id", "clear_q", "grid_q",
+        F.lit(True).alias("inside"),
+        F.lit(True).alias("beats_grid"),
+    ).orderBy("poly_id")
+
+
 def _q_span_mask(spark, sf_dir):
     """T5-style span-corruption masking (Raffel et al. 2020): ~15% of each
     document's tokens replaced by numbered <extra_id_k> sentinels in
@@ -3562,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- late r4 additions awaiting the r5 rotation window ------------
         "ann_ivf_mp_topk": _q_ann_ivf_mp,
         "span_mask": _q_span_mask,
+        "geo_polylabel": _q_geo_polylabel,
         "minhash_lsh": _q_minhash_lsh,
         "ann_topk": _q_ann_topk,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -6211,6 +6275,73 @@ def oracle_sql() -> dict[str, str]:
         # index: every point × every landuse-polygon edge, even-odd
         # crossing count in pure SQL over DuckDB's own WKT parse + its
         # own mercator transform
+        "geo_polylabel": decode + f""",
+            lp AS (SELECT doc_id AS poly_id,
+                list_transform(string_split(replace(replace(geom_wkt,
+                    'POLYGON ((', ''), '))', ''), ', '), s -> trim(s)) AS cs
+              FROM feat2
+              WHERE geom_kind = 'polygon' AND {_tag('landuse')} IS NOT NULL),
+            lv AS (SELECT poly_id, cs,
+                          unnest(generate_series(1, len(cs))) AS i FROM lp),
+            lv2 AS (SELECT poly_id, i,
+                CAST(split_part(cs[i], ' ', 1) AS DOUBLE) AS x,
+                CAST(split_part(cs[i], ' ', 2) AS DOUBLE) AS y FROM lv),
+            ed AS (SELECT a.poly_id, a.x AS ax, a.y AS ay,
+                          b.x AS bx, b.y AS by_
+                   FROM lv2 a JOIN lv2 b
+                     ON b.poly_id = a.poly_id AND b.i = a.i + 1),
+            bb AS (SELECT poly_id, min(x) AS minx, min(y) AS miny,
+                          max(x) - min(x) AS w, max(y) - min(y) AS h
+                   FROM lv2 GROUP BY 1),
+            anch AS (SELECT poly_id, px, py
+                     FROM read_parquet('{_aux_path("polylabel_anchors")}/*.parquet')),
+            -- grid centers (8x8) per polygon; the anchor rides along as
+            -- grid cell -1 so ONE signed-distance chain serves both
+            pts AS (
+              SELECT poly_id, -1 AS cell, px, py FROM anch
+              UNION ALL
+              SELECT g.poly_id, g.r * 8 + g.c AS cell,
+                     minx + (g.c + 0.5) * w / 8.0 AS px,
+                     miny + (g.r + 0.5) * h / 8.0 AS py
+              FROM (SELECT poly_id, minx, miny, w, h, c,
+                           unnest(generate_series(0, 7)) AS r
+                    FROM (SELECT *, unnest(generate_series(0, 7)) AS c
+                          FROM bb)) g),
+            pe AS (SELECT p.poly_id, p.cell, p.px, p.py,
+                          e.ax, e.ay, e.bx, e.by_,
+                          e.bx - e.ax AS dx, e.by_ - e.ay AS dy,
+                          p.px - e.ax AS qx, p.py - e.ay AS qy
+                   FROM pts p JOIN ed e USING (poly_id)),
+            pe2 AS (SELECT *, dx*dx + dy*dy AS seg2 FROM pe),
+            pe3 AS (SELECT *,
+                CASE WHEN seg2 > 0
+                     THEN least(greatest((qx*dx + qy*dy) / seg2, 0.0), 1.0)
+                     ELSE 0.0 END AS t
+              FROM pe2),
+            pe4 AS (SELECT poly_id, cell, px, py,
+                (qx - t*dx)*(qx - t*dx) + (qy - t*dy)*(qy - t*dy) AS d2,
+                CASE WHEN ((ay > py) <> (by_ > py))
+                      AND px < ax + (py - ay)*(bx - ax)/(by_ - ay)
+                     THEN 1 ELSE 0 END AS crossed
+              FROM pe3),
+            sd AS (SELECT poly_id, cell,
+                     CASE WHEN sum(crossed) % 2 = 1 THEN sqrt(min(d2))
+                          ELSE -sqrt(min(d2)) END AS d
+                   FROM pe4 GROUP BY 1, 2),
+            gmax AS (SELECT poly_id, max(d) AS gm FROM sd
+                     WHERE cell >= 0 GROUP BY 1)
+            SELECT a.poly_id,
+              CAST(floor(s.d * 10000000.0 + 0.5) AS BIGINT) AS clear_q,
+              CAST(floor(g.gm * 10000000.0 + 0.5) AS BIGINT) AS grid_q,
+              s.d > 0 AS inside,
+              s.d >= g.gm - 2.0 * sqrt(b.w*b.w + b.h*b.h) / 1000.0
+                AS beats_grid
+            FROM anch a
+            JOIN sd s ON s.poly_id = a.poly_id AND s.cell = -1
+            JOIN gmax g ON g.poly_id = a.poly_id
+            JOIN bb b ON b.poly_id = a.poly_id
+            ORDER BY a.poly_id
+        """,
         "geo_pip_cells": decode + f""",
             {_PTS_WORLD_CTE},
             {_LANDUSE_RING_CTE}

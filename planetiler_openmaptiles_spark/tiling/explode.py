@@ -90,6 +90,13 @@ def _resolve_form(geom, form: str):
         return ("Point", ops.point_on_surface(geom))
     if form == "centroid_if_convex":
         return ("Point", ops.centroid_if_convex(geom))
+    if form == "polylabel":
+        # pole of inaccessibility — beyond-reference label anchor
+        if gk != "polygon":
+            return ("Point", ops.centroid(geom))
+        from planetiler_openmaptiles_spark.geom.polylabel import polylabel
+
+        return ("Point", np.asarray(polylabel(geom), dtype=np.float64))
     if form == "line":
         if gk == "linestring":
             return geom
