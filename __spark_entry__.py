@@ -3332,6 +3332,102 @@ def _q_geo_polylabel(spark, sf_dir):
     ).orderBy("poly_id")
 
 
+def _q_media_audio_vad(spark, sf_dir):
+    """Energy-threshold voice-activity detection over REAL PCM WAV decode:
+    per document a WAV whose frame f is loud (amp 1000) iff (d+f)%3==0
+    and near-silent (amp 50) otherwise; the frame table decodes real
+    bytes (exact integer energies) and the segment mining is pure
+    Catalyst gaps-and-islands. DuckDB replays frame energies, the
+    threshold, island numbering, and every per-clip statistic from
+    doc_id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, audio_frame_table, vad_segments)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 1500)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 4 + d % 5
+                sig = np.concatenate([
+                    np.full(256, 1000 if (d + f) % 3 == 0 else 50,
+                            dtype=np.int16)
+                    for f in range(nf)
+                ])
+                rows.append((f"vad{d}", str(d), "audio",
+                             codecs.encode_wav(sig, 8000), None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    frames = audio_frame_table(media, frame_len=256, strict=True)
+    return (
+        vad_segments(frames, threshold_energy=1_000_000)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_frames", "n_speech", "n_segments",
+            "first_speech_frame", "longest_segment",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_media_dhash_groups(spark, sf_dir):
+    """Difference-hash perceptual dedup over the same column-patterned
+    fixture as media_phash_dedup (v_j = (p*29 + j*q*47) % 256): decode
+    real BMP bytes, dHash the block-mean embedding JVM-side (bit j set
+    iff emb[j+1] > emb[j] — the gradient criterion that separates
+    low-contrast images aHash collides on), group. DuckDB re-derives
+    the f32 embedding and all 7 comparison bits from doc_id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from planetiler_openmaptiles_spark.textops import codecs
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        MEDIA_SCHEMA, decode_images, dhash_from_embedding)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") < 2000)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p, q = d % 7, d % 11
+                cols = (p * 29 + np.arange(16) * q * 47) % 256
+                img = np.tile(cols.astype(np.uint8), (8, 1))
+                rows.append((f"dh{d}", str(d), "image",
+                             codecs.encode_bmp(img), None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    imgs = decode_images(media, strict=True)
+    dh = imgs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        dhash_from_embedding(F.col("embedding")).alias("dhash"),
+    )
+    return (
+        dh.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("dhash")
+    )
+
+
 def _q_span_mask(spark, sf_dir):
     """T5-style span-corruption masking (Raffel et al. 2020): ~15% of each
     document's tokens replaced by numbered <extra_id_k> sentinels in
@@ -3626,6 +3722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_mp_topk": _q_ann_ivf_mp,
         "span_mask": _q_span_mask,
         "geo_polylabel": _q_geo_polylabel,
+        "media_audio_vad": _q_media_audio_vad,
+        "media_dhash_groups": _q_media_dhash_groups,
         "minhash_lsh": _q_minhash_lsh,
         "ann_topk": _q_ann_topk,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -5118,6 +5216,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(tokens) AS n_tokens,
                    array_to_string(tokens, '|') AS tokens_str
             FROM assembled ORDER BY doc_id
+        """,
+        "media_audio_vad": """
+            -- VAD replay from doc_id arithmetic: frame f of doc d is loud
+            -- iff (d+f)%3=0; energies are exact integer sums (256*1000^2
+            -- vs 256*50^2), islands renumbered with one running sum
+            WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf
+                       FROM documents WHERE doc_id < 1500),
+            fr AS (SELECT doc_id, CAST(f AS INT) AS f,
+                     CASE WHEN (doc_id + f) % 3 = 0
+                          THEN 256000000 ELSE 640000 END AS e
+                   FROM d, UNNEST(range(nf)) AS t(f)),
+            sp AS (SELECT *, e > 1000000 AS s FROM fr),
+            ni AS (SELECT *, CASE WHEN s AND NOT coalesce(
+                       lag(s) OVER (PARTITION BY doc_id ORDER BY f), false)
+                     THEN 1 ELSE 0 END AS nw
+                   FROM sp),
+            sg AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY f)
+                       AS seg
+                   FROM ni),
+            ss AS (SELECT doc_id, seg, count(*) AS len, min(f) AS st
+                   FROM sg WHERE s GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+                           CAST(sum(len) AS INT) AS n_speech,
+                           CAST(min(st) AS INT) AS first_speech_frame,
+                           CAST(max(len) AS INT) AS longest_segment
+                    FROM ss GROUP BY 1)
+            SELECT t.doc_id, CAST(nf AS INT) AS n_frames,
+                   coalesce(n_speech, 0) AS n_speech,
+                   coalesce(n_segments, 0) AS n_segments,
+                   first_speech_frame,
+                   coalesce(longest_segment, 0) AS longest_segment
+            FROM d t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id
+        """,
+        "media_dhash_groups": """
+            -- dHash replay: same f32 block-mean embedding re-derivation
+            -- as media_phash_dedup, hash = 7 adjacent-pair comparisons
+            WITH d AS (SELECT doc_id, doc_id % 7 AS p, doc_id % 11 AS q
+                       FROM documents WHERE doc_id < 2000),
+            e AS (SELECT doc_id,
+                    [CAST(CAST(CAST((
+                        ((p * 29 + (2 * (j - 1)) * q * 47) % 256)
+                      + ((p * 29 + (2 * (j - 1) + 1) * q * 47) % 256)
+                     ) / 2.0 AS REAL) / CAST(255.0 AS REAL) AS REAL)
+                     AS DOUBLE)
+                     FOR j IN generate_series(1, 8)] AS emb
+                  FROM d),
+            dh AS (SELECT doc_id,
+                     (CASE WHEN emb[2] > emb[1] THEN 1 ELSE 0 END)
+                   + (CASE WHEN emb[3] > emb[2] THEN 2 ELSE 0 END)
+                   + (CASE WHEN emb[4] > emb[3] THEN 4 ELSE 0 END)
+                   + (CASE WHEN emb[5] > emb[4] THEN 8 ELSE 0 END)
+                   + (CASE WHEN emb[6] > emb[5] THEN 16 ELSE 0 END)
+                   + (CASE WHEN emb[7] > emb[6] THEN 32 ELSE 0 END)
+                   + (CASE WHEN emb[8] > emb[7] THEN 64 ELSE 0 END) AS dhash
+                   FROM e)
+            SELECT dhash, count(*) AS n, min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM dh GROUP BY dhash ORDER BY dhash
         """,
         "media_phash_dedup": """
             WITH d AS (SELECT doc_id, doc_id % 7 AS p, doc_id % 11 AS q

