@@ -3289,6 +3289,10 @@ def _q_geo_polylabel(spark, sf_dir):
     feats = _decoded(spark, sf_dir).filter(
         (F.col("geom_kind") == "polygon")
         & F.element_at(F.col("tags"), "landuse").isNotNull()
+        # single-ring only: the oracle's string-split WKT parse cannot
+        # represent interior rings (kernel hole support is covered by
+        # test_polylabel.py instead)
+        & ~F.col("geom_wkt").contains("), (")
     ).select("doc_id", "geom_wkt")
 
     out_schema = ("poly_id string, px double, py double, clear_q long, "
@@ -3496,7 +3500,9 @@ def _q_url_canonical_dedup(spark, sf_dir):
     host = (
         F.when(d % 3 == 0, F.lit("example.com"))
         .when(d % 3 == 1, F.lit("www.Example.com"))
-        .otherwise(F.lit("EXAMPLE.COM:80"))
+        # default port matching the scheme (d%2==0 -> http)
+        .otherwise(F.when(d % 2 == 0, F.lit("EXAMPLE.COM:80"))
+                   .otherwise(F.lit("EXAMPLE.COM:443")))
     )
     path = F.when(
         d % 7 == 0, F.concat(F.lit("/u/"), d.cast("string"))
@@ -6436,7 +6442,8 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(string_split(replace(replace(geom_wkt,
                     'POLYGON ((', ''), '))', ''), ', '), s -> trim(s)) AS cs
               FROM feat2
-              WHERE geom_kind = 'polygon' AND {_tag('landuse')} IS NOT NULL),
+              WHERE geom_kind = 'polygon' AND {_tag('landuse')} IS NOT NULL
+                AND NOT contains(geom_wkt, '), (')),
             lv AS (SELECT poly_id, cs,
                           unnest(generate_series(1, len(cs))) AS i FROM lp),
             lv2 AS (SELECT poly_id, i,

@@ -73,13 +73,18 @@ def _signed_distance(x: float, y: float, rings) -> float:
     return d if inside else -d
 
 
-def polylabel(geom, precision: float | None = None) -> tuple[float, float]:
+def polylabel(geom, precision: float | None = None,
+              max_cells: int = 200_000) -> tuple[float, float]:
     """Returns (x, y) of the pole of inaccessibility.
 
     `precision` defaults to bbox_diagonal/1000 — sub-pixel at any zoom
     the polygon is visible. Deterministic: ties in the heap break on
     insertion order, and the cell walk is a pure function of the
-    polygon."""
+    polygon. `max_cells` bounds the refinement frontier (it grows as
+    O(perimeter/precision) on sliver shapes): past the budget the
+    best-so-far anchor returns — still inside, just not refined to the
+    requested precision — so one pathological ring can never stall an
+    executor task. The cap is deterministic (same traversal prefix)."""
     rings = _rings_of(geom)
     outer = rings[0]
     minx, miny = outer.min(axis=0)
@@ -88,6 +93,12 @@ def polylabel(geom, precision: float | None = None) -> tuple[float, float]:
     size = min(w, h)
     if size == 0:  # degenerate: flat polygon — midpoint of the bbox
         return (float((minx + maxx) / 2), float((miny + maxy) / 2))
+    # sliver guard: a square grid at min(w, h) explodes on high-aspect
+    # polygons (a 10 deg x 1e-4 deg riverbank ring would seed 100,000
+    # cells); coarsening the initial square size keeps the seed grid
+    # <= ~64 cells along the long axis — the potential bound holds for
+    # ANY square cell size and refinement recovers the precision
+    size = max(size, max(w, h) / 64.0)
     if precision is None:
         precision = float(np.hypot(w, h)) / 1000.0
 
@@ -125,7 +136,7 @@ def polylabel(geom, precision: float | None = None) -> tuple[float, float]:
         if d > best_d:
             best_d = d
             best = (cx, cy)
-        if -negpot - best_d <= precision:
+        if seq >= max_cells or -negpot - best_d <= precision:
             continue
         half /= 2.0
         for nx in (cx - half, cx + half):

@@ -69,7 +69,10 @@ def incremental_tile_build(
         feats = decode_documents(batch_df).withColumn("names", names_map())
         ctx = LayerContext(spark=spark, features=feats, side={}, config=config)
         rendered = union_features(transform_all(ctx))
-        tiles = finalize_tiles(render_tiles(rendered, max_zoom))
+        tiles = finalize_tiles(render_tiles(
+            rendered, max_zoom, config.simplify_tolerance, config.bounds,
+            config.simplify_algorithm,
+        ))
         (
             tiles.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("append")
@@ -170,7 +173,8 @@ def incremental_tile_stream(
         if side_ids is not None:
             rendered = rendered.join(side_ids, "doc_id", "left_anti")
         batch_feats = render_tiles(
-            rendered, config.max_zoom, config.simplify_tolerance, config.bounds
+            rendered, config.max_zoom, config.simplify_tolerance,
+            config.bounds, config.simplify_algorithm,
         )
         (
             batch_feats.withColumn("_batch_id", F.lit(batch_id))

@@ -48,16 +48,11 @@ def span_mask(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_words(text_col)).alias("pos", "word"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
-                               F.col("pos").cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        / F.lit(4294967296.0)
+    from planetiler_openmaptiles_spark.textops.mixing import hash_uniform
+
+    u = hash_uniform(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                 F.col("pos").cast("string"))
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     wspan = w.rowsBetween(-(span_len - 1), 0)

@@ -12,16 +12,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def hash_uniform(s) -> "F.Column":
+    """THE engine-portable id-hash uniform: first 32 bits of md5(s) as a
+    value in [0, 1). hash_split / mix_sample / span_mask (and the DuckDB
+    oracle replays) all share this one expression — change it here and
+    every consumer moves together."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
 def split_fraction(id_col) -> "F.Column":
     """Uniform [0, 1) value derived from the document id alone
     (md5 → first 32 bits). A pure function of the id, so the assignment
     is reproducible across runs, engines, partitionings, and cluster
     sizes — and appending new data never reassigns an existing doc."""
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(1 << 32))
-    )
+    return hash_uniform(F.col(id_col).cast("string"))
 
 
 def hash_split(

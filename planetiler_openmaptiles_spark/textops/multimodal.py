@@ -555,11 +555,16 @@ def dhash_from_embedding(emb_col) -> "F.Column":
     on low-contrast images. Pure Column expressions; pairs with it for
     two-vote perceptual dedup."""
     d = F.transform(emb_col, lambda v: v.cast("double"))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.size(d) - 2),
-        lambda j: F.when(
-            F.element_at(d, j + 2) > F.element_at(d, j + 1),
-            F.pow(F.lit(2.0), j).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    # guard: size < 2 would make F.sequence(0, size-2) DESCEND (Spark
+    # defaults step to -1 when start > stop) and index element_at(d, 0)
+    bits = F.when(
+        F.size(d) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(d) - 2),
+            lambda j: F.when(
+                F.element_at(d, j + 2) > F.element_at(d, j + 1),
+                F.pow(F.lit(2.0), j).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, v: a + v)

@@ -26,23 +26,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# one regex splits the URL into (host[:port], path, query, fragment)
-_URL_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+# ONE regex splits the URL into (scheme, host[:port], path, query) — run
+# once per row via regexp_replace into a \x01-delimited form (three
+# separate regexp_extract calls would re-run the full pattern 3x per row,
+# which matters in the op this module positions as the cheapest corpus cut)
+_URL_RE = r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
 
 _TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical identity string for a URL — pure Column expressions."""
-    u = F.trim(url)
-    host = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    """Canonical identity string for a URL — pure Column expressions.
+
+    Port stripping is SCHEME-AWARE: :80 drops only for http (or a bare
+    scheme-less URL), :443 only for https — http://host:443 is a
+    different server than https://host and must NOT merge with it."""
+    parts = F.split(
+        F.regexp_replace(F.trim(url), _URL_RE, "$1\x01$2\x01$3\x01$4"),
+        "\x01",
+    )
+    scheme = F.lower(F.element_at(parts, 1))
+    host = F.lower(F.element_at(parts, 2))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
-    path = F.regexp_extract(u, _URL_RE, 2)
-    path = F.regexp_replace(path, r"/+$", "")
-    query = F.regexp_extract(u, _URL_RE, 3)
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .when((scheme == "http") | (scheme == ""),
+              F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_replace(F.element_at(parts, 3), r"/+$", "")
     params = F.filter(
-        F.split(query, "&"),
+        F.split(F.element_at(parts, 4), "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
     )
     qcanon = F.array_join(F.array_sort(params), "&")

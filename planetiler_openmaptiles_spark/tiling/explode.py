@@ -605,6 +605,8 @@ def render_tiles_fused(
     zbounds = bounds_tile_ranges(bounds, max_zoom) if bounds is not None else None
     # --simplify-algorithm: per-vertex retention thresholds share one
     # storage contract, so DP vs Visvalingam-Whyatt is a free swap here
+    if algo not in ("dp", "vw"):
+        raise ValueError(f"simplify_algorithm must be 'dp' or 'vw', got {algo!r}")
     thr_fn = ops.geom_vw_thresholds if algo == "vw" else ops.geom_dp_thresholds
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -32,6 +32,10 @@ def test_canonical_url_normalizations(spark):
         ("http://example.com", "example.com"),
         ("http://example.com/?fbclid=xyz", "example.com"),
         ("http://example.com:8080/x", "example.com:8080/x"),  # non-default port kept
+        # scheme-aware: a default port for the OTHER scheme is a real port
+        ("http://example.com:443/x", "example.com:443/x"),
+        ("https://example.com:80/x", "example.com:80/x"),
+        ("ftp://example.com:80/x", "example.com:80/x"),  # non-http scheme untouched
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
