@@ -3560,6 +3560,17 @@ def _q_events_skew_profile(spark, sf_dir):
     from planetiler_openmaptiles_spark.eventops import key_skew_profile
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the DuckDB oracle replays the (cnt, key)-struct argmax as
+    # max(cnt*1000000 + key), valid only while user_id < 1e6 and numeric;
+    # fail LOUDLY if a fixture change ever breaks that encoding instead
+    # of letting the oracle silently diverge
+    mx = ev.agg(F.max("user_id")).first()[0]
+    if mx is None or int(mx) >= 1_000_000:
+        raise AssertionError(
+            f"events_skew_profile oracle encodes the argmax as "
+            f"cnt*1e6+user_id; max(user_id)={mx} breaks that encoding — "
+            f"widen the oracle's integer encoding to match"
+        )
     return key_skew_profile(ev, "event_type", "user_id")
 
 
@@ -3663,15 +3674,85 @@ def _q_media_resize_roundtrip(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION (round 4): the driver's correctness board covers the FIRST 50
-    # entries only.  r1-r3 left 44 queries with no driver-side verdict (new
-    # queries were prepended in r3, pushing them past the cap).  This round
-    # those 44 occupy positions 1-44, followed by the 6 operators ADDED in
-    # round 4 (45-50) which likewise need their first verdict.  Everything
-    # from position 51 on is already driver-green in CORRECTNESS_r01-r03
-    # (see COVERAGE.md "ROTATION" for the query -> proving-round map).
+    # ROTATION (round 5): the driver's correctness board covers the FIRST 50
+    # entries only.  Positions 1-5 are the five operators added late in
+    # round 4 (after the r4 window was committed) — the only board entries
+    # with no driver verdict yet.  Positions 6-50 re-confirm the OLDEST
+    # driver verdicts (the r1 set, last driver-checked four rounds of code
+    # ago, then r2, then the oldest r3 entries).  Everything from position
+    # 51 on is driver-green in a LATER round (r3/r4) — see COVERAGE.md
+    # "ROTATION" for the query -> proving-round map.
     return {k: _wrap(v) for k, v in {
-        # --- never driver-verified before r4 (44) -------------------------
+        # --- 1-5: late-r4 additions, first driver verdict -----------------
+        "ann_ivf_mp_topk": _q_ann_ivf_mp,
+        "span_mask": _q_span_mask,
+        "geo_polylabel": _q_geo_polylabel,
+        "media_audio_vad": _q_media_audio_vad,
+        "media_dhash_groups": _q_media_dhash_groups,
+        # --- 6-27: r1 verdicts (oldest), re-confirm on today's code -------
+        "ann_topk": _q_ann_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_scores": _q_text_lang_scores,
+        "q_pricing_summary": _q_pricing_summary,
+        "q_top_orders": _q_top_orders,
+        "q_region_volume": _q_region_volume,
+        "q_customer_order_rank": _q_customer_order_rank,
+        "q_events_daily": _q_events_daily,
+        "geo_table_counts": _q_geo_table_counts,
+        "geo_tile_assignment": _q_geo_tile_assignment,
+        "geo_water_class": _q_geo_water_class,
+        "geo_highway_columns": _q_geo_highway_columns,
+        "geo_housenumber_display": _q_geo_housenumber_display,
+        "geo_label_grid": _q_geo_label_grid,
+        "geo_rel_min_admin": _q_geo_rel_min_admin,
+        "geo_media_refs": _q_geo_media_refs,
+        "geo_span_roundtrip": _q_geo_span_roundtrip,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "text_tokens": _q_text_tokens,
+        # --- 28-34: r2 verdicts, re-confirm -------------------------------
+        "minhash_lsh": _q_minhash_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "simhash_near_dups": _q_simhash,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ann_lsh_topk": _q_ann_lsh,
+        "geo_tiles_water": _q_geo_tiles_water,
+        "geo_tiles_mvt": _q_geo_tiles_mvt,
+        # --- 35-50: oldest r3 verdicts, re-confirm ------------------------
+        "events_top_paths": _q_events_top_paths,
+        "hash_embed": _q_hash_embed,
+        "events_anomalies": _q_events_anomalies,
+        "media_phash_dedup": _q_media_phash_dedup,
+        "media_decode_roundtrip": _q_media_decode,
+        "media_compressed_roundtrip": _q_media_compressed,
+        "media_g711_roundtrip": _q_media_g711,
+        "media_frame_energy": _q_media_frame_energy,
+        "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
+        "osm_mp_assembly": _q_osm_mp_assembly,
+        "osc_apply": _q_osc_apply,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "natural_earth_roundtrip": _q_natural_earth_roundtrip,
+        "geojson_roundtrip": _q_geojson_roundtrip,
+        "wikidata_names_roundtrip": _q_wikidata_names_roundtrip,
+        "archive_read": _q_archive_read,
+        # --- 51+: driver-green in r3 (remaining) or r4 --------------------
+        "archive_diff": _q_archive_diff,
+        "archive_update": _q_archive_update,
+        "archive_overzoom": _q_archive_overzoom,
+        "geo_s2_cells": _q_geo_s2_cells,
+        "geo_tiles_bounds": _q_geo_tiles_bounds,
+        "geo_hn_z14_counts": _q_geo_hn_z14_counts,
+        "geo_poly_merge_counts": _q_geo_poly_merge_counts,
+        "geo_line_merge_graph": _q_geo_line_merge,
+        "geo_pip_cells": _q_geo_pip_cells,
+        "geo_knn_cells": _q_geo_knn_cells,
+        "geo_raster_coverage": _q_geo_raster_coverage,
+        "geo_raster_vectorize": _q_geo_raster_vectorize,
+        "geo_heatmap_pyramid": _q_geo_heatmap_pyramid,
+        "geo_density_isobands": _q_geo_density_isobands,
+        # r4 verdicts (CORRECTNESS_r04: all green)
         "geo_tag_stats": _q_geo_tag_stats,
         "text_repetition": _q_text_repetition,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -3716,82 +3797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mp_topk": _q_ann_lsh_mp,
         "ann_pq_topk": _q_ann_pq,
         "semantic_dedup": _q_semantic_dedup,
-        # --- NEW in round 4 (45-50): need their first driver verdict ------
         "geo_geohash_cells": _q_geo_geohash_cells,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "line_freq_dedup": _q_line_freq_dedup,
         "events_skew_profile": _q_events_skew_profile,
         "media_video_shots": _q_media_video_shots,
         "media_resize_roundtrip": _q_media_resize_roundtrip,
-        # --- position 51+: driver-green at least once in r1-r3, plus ------
-        # --- late r4 additions awaiting the r5 rotation window ------------
-        "ann_ivf_mp_topk": _q_ann_ivf_mp,
-        "span_mask": _q_span_mask,
-        "geo_polylabel": _q_geo_polylabel,
-        "media_audio_vad": _q_media_audio_vad,
-        "media_dhash_groups": _q_media_dhash_groups,
-        "minhash_lsh": _q_minhash_lsh,
-        "ann_topk": _q_ann_topk,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "text_quality": _q_text_quality,
-        "ann_ivf_topk": _q_ann_ivf,
-        "simhash_near_dups": _q_simhash,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "ann_lsh_topk": _q_ann_lsh,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_lang_scores": _q_text_lang_scores,
-        # relational coverage
-        "q_pricing_summary": _q_pricing_summary,
-        "q_top_orders": _q_top_orders,
-        "q_region_volume": _q_region_volume,
-        "q_customer_order_rank": _q_customer_order_rank,
-        "q_events_daily": _q_events_daily,
-        # geospatial engine
-        "geo_table_counts": _q_geo_table_counts,
-        "geo_tile_assignment": _q_geo_tile_assignment,
-        "geo_water_class": _q_geo_water_class,
-        "geo_highway_columns": _q_geo_highway_columns,
-        "geo_housenumber_display": _q_geo_housenumber_display,
-        "geo_label_grid": _q_geo_label_grid,
-        "geo_rel_min_admin": _q_geo_rel_min_admin,
-        "geo_media_refs": _q_geo_media_refs,
-        "events_top_paths": _q_events_top_paths,
-        "hash_embed": _q_hash_embed,
-        "events_anomalies": _q_events_anomalies,
-        "media_phash_dedup": _q_media_phash_dedup,
-        "media_decode_roundtrip": _q_media_decode,
-        "media_compressed_roundtrip": _q_media_compressed,
-        "media_g711_roundtrip": _q_media_g711,
-        "media_frame_energy": _q_media_frame_energy,
-        "geo_span_roundtrip": _q_geo_span_roundtrip,
-        "osm_pbf_roundtrip": _q_osm_pbf_roundtrip,
-        "osm_mp_assembly": _q_osm_mp_assembly,
-        "osc_apply": _q_osc_apply,
-        "shapefile_roundtrip": _q_shapefile_roundtrip,
-        "natural_earth_roundtrip": _q_natural_earth_roundtrip,
-        "geojson_roundtrip": _q_geojson_roundtrip,
-        "wikidata_names_roundtrip": _q_wikidata_names_roundtrip,
-        "archive_read": _q_archive_read,
-        "archive_diff": _q_archive_diff,
-        "archive_update": _q_archive_update,
-        "archive_overzoom": _q_archive_overzoom,
-        "geo_s2_cells": _q_geo_s2_cells,
-        "geo_tiles_water": _q_geo_tiles_water,
-        "geo_tiles_bounds": _q_geo_tiles_bounds,
-        "geo_tiles_mvt": _q_geo_tiles_mvt,
-        "geo_hn_z14_counts": _q_geo_hn_z14_counts,
-        "geo_poly_merge_counts": _q_geo_poly_merge_counts,
-        "geo_line_merge_graph": _q_geo_line_merge,
-        "geo_pip_cells": _q_geo_pip_cells,
-        "geo_knn_cells": _q_geo_knn_cells,
-        "geo_raster_coverage": _q_geo_raster_coverage,
-        "geo_raster_vectorize": _q_geo_raster_vectorize,
-        "geo_heatmap_pyramid": _q_geo_heatmap_pyramid,
-        "geo_density_isobands": _q_geo_density_isobands,
-        # training-data ops
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "text_tokens": _q_text_tokens,
     }.items()}
 
 

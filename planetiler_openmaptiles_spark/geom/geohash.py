@@ -52,13 +52,22 @@ def _spread_bits(c: Column) -> Column:
 def geohash_bits(lon: Column, lat: Column) -> Column:
     """40-bit interleaved geohash code (lon gets the high bit of each
     pair, per the spec) as a long Column — pure integer expressions."""
-    lon_q = F.least(
-        F.lit((1 << 20) - 1),
-        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << 20))),
+    # clamp BOTH ends (mirrors tiling/cells.py): lon < -180 / lat < -90
+    # would otherwise quantize negative, whose two's-complement Morton
+    # spread silently produces a garbage hash
+    lon_q = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit((1 << 20) - 1),
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << 20))),
+        ),
     ).cast("long")
-    lat_q = F.least(
-        F.lit((1 << 20) - 1),
-        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << 20))),
+    lat_q = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit((1 << 20) - 1),
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << 20))),
+        ),
     ).cast("long")
     return F.shiftleft(_spread_bits(lon_q), 1).bitwiseOR(_spread_bits(lat_q))
 

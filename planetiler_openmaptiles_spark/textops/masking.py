@@ -44,9 +44,12 @@ def span_mask(
     within the document, in order); the rest of the run emits nothing.
     """
     p_start = mask_rate / span_len
+    # posexplode_OUTER: empty / whitespace-only documents keep their row
+    # (pos NULL), so they surface with n_tokens=0 instead of silently
+    # vanishing from the output and breaking downstream joins
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(_words(text_col)).alias("pos", "word"),
+        F.posexplode_outer(_words(text_col)).alias("pos", "word"),
     )
     from planetiler_openmaptiles_spark.textops.mixing import hash_uniform
 
@@ -56,7 +59,10 @@ def span_mask(
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     wspan = w.rowsBetween(-(span_len - 1), 0)
-    marked = toks.withColumn("_start", (u < F.lit(p_start)).cast("int"))
+    marked = toks.withColumn(
+        "_start",
+        F.when(F.col("pos").isNotNull() & (u < F.lit(p_start)), 1).otherwise(0),
+    )
     marked = marked.withColumn("_m", F.max("_start").over(wspan) == 1)
     marked = marked.withColumn(
         "_first",
@@ -78,9 +84,9 @@ def span_mask(
                       F.col("_first").cast("int").alias("_fi"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            F.sum("_mi").cast("int").alias("n_masked"),
-            F.sum("_fi").cast("int").alias("n_spans"),
+            F.count("pos").cast("int").alias("n_tokens"),
+            F.coalesce(F.sum("_mi"), F.lit(0)).cast("int").alias("n_masked"),
+            F.coalesce(F.sum("_fi"), F.lit(0)).cast("int").alias("n_spans"),
             F.array_join(
                 F.transform(
                     F.array_sort(

@@ -557,10 +557,13 @@ def dhash_from_embedding(emb_col) -> "F.Column":
     d = F.transform(emb_col, lambda v: v.cast("double"))
     # guard: size < 2 would make F.sequence(0, size-2) DESCEND (Spark
     # defaults step to -1 when start > stop) and index element_at(d, 0)
+    # cap at bit 62 (2^63 would overflow signed long via the non-ANSI
+    # double->long cast and corrupt the hash silently): embeddings with
+    # >64 elements contribute only their first 63 gradient pairs
     bits = F.when(
         F.size(d) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(d) - 2),
+            F.sequence(F.lit(0), F.least(F.size(d) - 2, F.lit(62))),
             lambda j: F.when(
                 F.element_at(d, j + 2) > F.element_at(d, j + 1),
                 F.pow(F.lit(2.0), j).cast("long"),

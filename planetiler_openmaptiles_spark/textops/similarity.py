@@ -85,9 +85,27 @@ def train_ivf_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
+def _unit_centroids(centroids: list) -> list:
+    """Cosine vs a centroid divides only by the VECTOR norm below (the
+    centroid norm is a per-centroid constant), which is correct only for
+    unit-norm centroids — true of train_ivf_centroids output but not of
+    arbitrary caller-supplied lists. Normalize any centroid that is not
+    already unit within 1e-9 (trainer output passes through bit-exact,
+    keeping historical assignment hashes stable)."""
+    out = []
+    for c in centroids:
+        n = math.sqrt(sum(v * v for v in c))
+        if n > 0 and abs(n - 1.0) > 1e-9:
+            c = [v / n for v in c]
+        out.append(c)
+    return out
+
+
 def ivf_assign(vec_col, centroids: list):
     """Cluster id = argmax cosine vs the broadcast centroid constants —
-    pure JVM arithmetic (no UDF)."""
+    pure JVM arithmetic (no UDF). Centroids are unit-normalized on entry
+    (see _unit_centroids) so the /query-norm ranking IS cosine."""
+    centroids = _unit_centroids(centroids)
     sims = F.array(
         *[
             _dot(vec_col, F.array(*[F.lit(v) for v in c]))
@@ -103,7 +121,9 @@ def ivf_assign_multi(vec_col, centroids: list, nprobe: int):
     """Top-`nprobe` cluster ids by cosine vs the broadcast centroids
     (ties → lower cluster id), as an array<int> — pure Column math: the
     (−sim, idx) structs sort ascending, so the slice head is the best
-    cluster and the argsort is exactly ivf_assign's tie-break."""
+    cluster and the argsort is exactly ivf_assign's tie-break. Centroids
+    are unit-normalized on entry (see _unit_centroids)."""
+    centroids = _unit_centroids(centroids)
     sims = F.array(
         *[
             _dot(vec_col, F.array(*[F.lit(v) for v in c]))
