@@ -1351,10 +1351,11 @@ def write_pmtiles(
     run-length coalescing replay the legacy writer's logic exactly, so the
     output archive is BYTE-IDENTICAL to ``sharded=False`` (the r3-flagged
     driver funnel, kept for parity tests). Directory building remains
-    centralized (entries are ~40 B/tile structs — the same shape
-    planetiler's WriteablePmtiles holds in memory), but no blob bytes cross
-    the driver except the single sequential chunk-merge copy, which is
-    I/O-bound.
+    centralized (the format's single global clustered directory makes a
+    driver pass unavoidable) but entries spill to a 32 B-record disk spool
+    and leaf directories build incrementally from it, so driver RAM is
+    O(root + one leaf) instead of O(tiles); no blob bytes cross the driver
+    except the single sequential chunk-merge copy, which is I/O-bound.
 
     Encoding is distributed (same executor-side MVT pass as mbtiles); the
     Hilbert tile ids are computed executor-side too (numpy, no per-row
@@ -1444,7 +1445,13 @@ def write_pmtiles(
     spool = path + ".data"
     out = open(spool, "wb")
     dedup: dict = {}  # digest -> (global_off, length)
-    entries: list = []
+    # entries spill to a disk spool (32 B records) instead of a Python
+    # list: a planet archive's ~270 M entries would be ~11 GB of driver
+    # heap as objects — the spool + streamed leaf building in
+    # assemble_archive caps driver RAM at O(root + one leaf directory).
+    # (The content-dedup digest dict remains O(distinct blobs), the same
+    # shape planetiler's WriteablePmtiles holds.)
+    entries = pmt.EntrySpool(path + ".entries")
     n_addressed = 0
     out_pos = 0
     cur_chunk = -1
@@ -1474,7 +1481,7 @@ def write_pmtiles(
             out_pos += row["length"]
         else:
             off, length = known
-            last = entries[-1] if entries else None
+            last = entries.last
             if (
                 last is not None
                 and last.offset == off

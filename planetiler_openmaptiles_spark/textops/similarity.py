@@ -53,6 +53,31 @@ def brute_force_topk(
 # ------------------------------------------------------------------- IVF
 
 
+def _training_sample(
+    embeddings: DataFrame, id_col: str, vec_col: str, sample: int
+) -> list:
+    """Deterministic lowest-`sample`-ids training sample, with a
+    hash-bucket pre-prune at scale: TakeOrdered alone touches every
+    partition's full vector payload at 100 TB. When the table holds far
+    more rows than `sample`, first filter to a deterministic 1/mod hash
+    bucket of the ids (~8x oversample, so the lowest-`sample` survivors
+    are a stable function of the data, not of partitioning), THEN
+    TakeOrdered — the sort input shrinks from n rows to ~8*sample. At
+    test scale (n <= 8*sample) mod == 1 and the result is bit-identical
+    to the historical plain `orderBy(id).limit(sample)`."""
+    n = embeddings.select(id_col).count()  # column-pruned count, no vecs
+    mod = max(1, n // (sample * 8))
+    cand = embeddings
+    if mod > 1:
+        cand = embeddings.filter(
+            F.pmod(
+                F.abs(F.xxhash64(F.col(id_col).cast("string"))), F.lit(mod)
+            )
+            == 0
+        )
+    return cand.orderBy(id_col).limit(sample).select(vec_col).collect()
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     dim: int,
@@ -68,9 +93,7 @@ def train_ivf_centroids(
     exactly like this and ship centroids to every executor."""
     import numpy as np
 
-    rows = (
-        embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
-    )
+    rows = _training_sample(embeddings, id_col, vec_col, sample)
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cent = x[:k].copy()  # deterministic init: first k sampled vectors
@@ -351,7 +374,7 @@ def train_pq_codebooks(
     import numpy as np
 
     d_sub = dim // m
-    rows = embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
+    rows = _training_sample(embeddings, id_col, vec_col, sample)
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     books = []

@@ -293,6 +293,160 @@ def _maybe_gunzip(data: bytes, compression: int) -> bytes:
 # Writer
 # --------------------------------------------------------------------------
 
+_ENTRY_RECORD = struct.Struct("<QQQQ")  # tile_id, offset, length, run_length
+
+
+class EntrySpool:
+    """Disk-backed, append-only directory-entry store with the one
+    mutation the writers need (bumping the LAST entry's run length):
+    the tail entry stays buffered in memory and flushes to the spool file
+    as fixed 32-byte records when the next entry arrives. Bounds driver
+    RAM at O(1) in tile count — a planet archive's ~270 M entries would
+    be ~11 GB as Python objects, but are ~8.6 GB of sequential spool file
+    the directory builder streams in chunks."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "w+b")
+        self._n = 0  # flushed records
+        self.last: Entry | None = None  # unflushed tail
+
+    def __len__(self) -> int:
+        return self._n + (1 if self.last is not None else 0)
+
+    def append(self, e: Entry) -> None:
+        if self.last is not None:
+            t = self.last
+            self._f.write(
+                _ENTRY_RECORD.pack(t.tile_id, t.offset, t.length,
+                                   t.run_length)
+            )
+            self._n += 1
+        self.last = e
+
+    def _iter(self, chunk_records: int = 1 << 16):
+        """Stream entries in append order (including the buffered tail)."""
+        self._f.flush()
+        with open(self.path, "rb") as f:
+            while True:
+                buf = f.read(_ENTRY_RECORD.size * chunk_records)
+                if not buf:
+                    break
+                for off in range(0, len(buf), _ENTRY_RECORD.size):
+                    t, o, ln, r = _ENTRY_RECORD.unpack_from(buf, off)
+                    yield Entry(t, o, ln, r)
+        if self.last is not None:
+            yield self.last
+
+    def iter_chunks(self, fanout: int):
+        chunk: list[Entry] = []
+        for e in self._iter():
+            chunk.append(e)
+            if len(chunk) == fanout:
+                yield chunk
+                chunk = []
+        if chunk:
+            yield chunk
+
+    def load_all(self) -> list[Entry]:
+        return list(self._iter())
+
+    def close(self) -> None:
+        self._f.close()
+        import os as _os
+
+        _os.remove(self.path)
+
+
+def _serialized_dir_chunks(spool: EntrySpool):
+    """Yield byte chunks that concatenate to EXACTLY
+    ``serialize_directory(spool.load_all())`` — the four varint streams
+    (delta ids, run lengths, lengths, offsets) are emitted by four
+    sequential passes over the on-disk spool instead of one pass over an
+    in-memory list, so peak memory is one 64 KiB buffer."""
+    buf = bytearray()
+    _write_varint(buf, len(spool))
+    last = 0
+    for e in spool._iter():
+        _write_varint(buf, e.tile_id - last)
+        last = e.tile_id
+        if len(buf) >= 1 << 16:
+            yield bytes(buf)
+            buf = bytearray()
+    for e in spool._iter():
+        _write_varint(buf, e.run_length)
+        if len(buf) >= 1 << 16:
+            yield bytes(buf)
+            buf = bytearray()
+    for e in spool._iter():
+        _write_varint(buf, e.length)
+        if len(buf) >= 1 << 16:
+            yield bytes(buf)
+            buf = bytearray()
+    prev: Entry | None = None
+    for e in spool._iter():
+        if prev is not None and e.offset == prev.offset + prev.length:
+            _write_varint(buf, 0)
+        else:
+            _write_varint(buf, e.offset + 1)
+        prev = e
+        if len(buf) >= 1 << 16:
+            yield bytes(buf)
+            buf = bytearray()
+    if buf:
+        yield bytes(buf)
+
+
+def build_directories_spooled(
+    spool: EntrySpool, leaves_path: str
+) -> tuple[bytes, int]:
+    """(root_bytes, leaf_byte_count): spool-streaming twin of
+    :func:`build_directories`, byte-identical output. The root-fits-budget
+    decision streams the serialized directory through a chunked zlib
+    gzip-wrapper compressor (``gzip.compress(data, 9, mtime=0)`` ==
+    ``zlib.compressobj(9, DEFLATED, wbits=31)`` fed in chunks — verified
+    by test), aborting as soon as the running compressed size exceeds the
+    budget, so the full root bytes are only ever MATERIALIZED when they
+    are known to fit 16 KiB. Leaf mode writes each 4096-entry leaf blob
+    straight to ``leaves_path``; driver RAM is O(root + one leaf)."""
+    import zlib
+
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    size = 0
+    over = False
+    for chunk in _serialized_dir_chunks(spool):
+        size += len(co.compress(chunk))
+        if size > ROOT_BUDGET:
+            over = True
+            break
+    if not over:
+        size += len(co.flush())
+        over = size > ROOT_BUDGET
+    if not over:
+        # fits: entry count is bounded by the 16 KiB budget — load and
+        # reuse the in-memory builder for bit-exact legacy bytes
+        root, leaves = build_directories(spool.load_all())
+        with open(leaves_path, "wb") as lf:
+            lf.write(leaves)
+        return root, len(leaves)
+    root_entries: list[Entry] = []
+    off = 0
+    with open(leaves_path, "wb") as lf:
+        for chunk_entries in spool.iter_chunks(_LEAF_FANOUT):
+            blob = _maybe_gzip(
+                serialize_directory(chunk_entries), COMPRESSION_GZIP
+            )
+            root_entries.append(
+                Entry(chunk_entries[0].tile_id, off, len(blob), 0)
+            )
+            lf.write(blob)
+            off += len(blob)
+    return (
+        _maybe_gzip(serialize_directory(root_entries), COMPRESSION_GZIP),
+        off,
+    )
+
+
 def build_directories(entries: list[Entry]) -> tuple[bytes, bytes]:
     """(root_bytes, leaf_bytes), both gzip-compressed; spills to leaves when
     the compressed root exceeds the 16 KiB header+root budget."""
@@ -384,11 +538,23 @@ def assemble_archive(
     """Write the final archive around an already-spooled data section:
     header + root dir + metadata + leaf dirs, then splice ``data_path``
     (which is removed). Shared by the streaming writer and the sharded
-    (executor-built) sink — both produce their data section first."""
+    (executor-built) sink — both produce their data section first.
+
+    ``entries`` may be an in-memory list or an :class:`EntrySpool`; the
+    spool path streams leaf directories to disk (byte-identical output)
+    so driver RAM stays O(root + one leaf) instead of O(tiles)."""
     import os
 
     h = header
-    root, leaves = build_directories(entries)
+    n_entries = len(entries)
+    leaves_file = None
+    if isinstance(entries, EntrySpool):
+        leaves_file = path + ".leaves"
+        root, leaf_len = build_directories_spooled(entries, leaves_file)
+        entries.close()
+    else:
+        root, leaves = build_directories(entries)
+        leaf_len = len(leaves)
     meta = _maybe_gzip(
         json.dumps(metadata, sort_keys=True).encode(),
         h.internal_compression,
@@ -397,17 +563,26 @@ def assemble_archive(
     h.metadata_offset = h.root_offset + h.root_length
     h.metadata_length = len(meta)
     h.leaf_offset = h.metadata_offset + h.metadata_length
-    h.leaf_length = len(leaves)
+    h.leaf_length = leaf_len
     h.data_offset = h.leaf_offset + h.leaf_length
     h.data_length = data_len
     h.n_addressed = n_addressed
-    h.n_entries = len(entries)
+    h.n_entries = n_entries
     h.n_contents = n_contents
     with open(path, "wb") as f:
         f.write(h.pack())
         f.write(root)
         f.write(meta)
-        f.write(leaves)
+        if leaves_file is not None:
+            with open(leaves_file, "rb") as lf:
+                while True:
+                    chunk = lf.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.remove(leaves_file)
+        else:
+            f.write(leaves)
         with open(data_path, "rb") as df:
             while True:
                 chunk = df.read(1 << 20)
@@ -418,9 +593,9 @@ def assemble_archive(
     return {
         "path": path,
         "tiles": n_addressed,
-        "entries": len(entries),
+        "entries": n_entries,
         "contents": n_contents,
-        "bytes": HEADER_BYTES + len(root) + len(meta) + len(leaves)
+        "bytes": HEADER_BYTES + len(root) + len(meta) + leaf_len
         + data_len,
     }
 

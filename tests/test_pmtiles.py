@@ -226,3 +226,85 @@ def test_pmtiles_sharded_byte_identical_to_stream(spark, tmp_path):
     assert not os.path.exists(p_shard + ".data")  # spool spliced + removed
     with open(p_shard, "rb") as fa, open(p_stream, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_chunked_gzip_matches_one_shot():
+    """build_directories_spooled's root-budget probe streams the
+    serialized directory through zlib.compressobj(9, DEFLATED, wbits=31);
+    its byte output must equal gzip.compress(data, 9, mtime=0) (what
+    _maybe_gzip produces) or the fits-budget decision could diverge."""
+    import gzip
+    import zlib
+
+    rng = np.random.RandomState(7)
+    data = rng.bytes(100000) + b"abc" * 50000
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    out = b"".join(
+        co.compress(data[i : i + 7777]) for i in range(0, len(data), 7777)
+    ) + co.flush()
+    assert out == gzip.compress(data, 9, mtime=0)
+
+
+def _spool_from(entries, tmp_path, name):
+    sp = pmt.EntrySpool(str(tmp_path / name))
+    for e in entries:
+        sp.append(pmt.Entry(e.tile_id, e.offset, e.length, e.run_length))
+    return sp
+
+
+def test_spooled_directories_byte_identical_small(tmp_path):
+    """Root-fits case: the spooled builder must load-and-delegate,
+    producing bit-exact legacy root bytes and zero leaves."""
+    entries = []
+    off = 0
+    for i in range(500):
+        ln = 20 + i % 7
+        entries.append(pmt.Entry(3 + 5 * i, off, ln, 1 + i % 3))
+        off += ln
+    root_mem, leaves_mem = pmt.build_directories(entries)
+    assert leaves_mem == b""
+    sp = _spool_from(entries, tmp_path, "small.entries")
+    lp = str(tmp_path / "small.leaves")
+    root_sp, leaf_len = pmt.build_directories_spooled(sp, lp)
+    assert root_sp == root_mem
+    assert leaf_len == 0
+    assert open(lp, "rb").read() == b""
+    sp.close()
+
+
+def test_spooled_directories_byte_identical_leaf_mode(tmp_path):
+    """>16 KiB root case (same fixture shape as the writer spill test):
+    the spooled builder streams leaves to disk; root + leaf bytes must
+    equal the in-memory builder's exactly."""
+    rng = np.random.RandomState(3)
+    ids = np.cumsum(rng.randint(1, 100, 40000)).tolist()
+    entries = []
+    off = 0
+    for tid in ids:
+        ln = int(rng.randint(10, 40))
+        entries.append(pmt.Entry(int(tid), off, ln, 1))
+        off += ln
+    root_mem, leaves_mem = pmt.build_directories(entries)
+    assert leaves_mem  # leaf mode engaged
+    sp = _spool_from(entries, tmp_path, "big.entries")
+    lp = str(tmp_path / "big.leaves")
+    root_sp, leaf_len = pmt.build_directories_spooled(sp, lp)
+    assert root_sp == root_mem
+    assert open(lp, "rb").read() == leaves_mem
+    assert leaf_len == len(leaves_mem)
+    sp.close()
+
+
+def test_entry_spool_serialization_matches_list(tmp_path):
+    """_serialized_dir_chunks must concatenate to serialize_directory of
+    the same entries, including run-length mutation of the buffered tail."""
+    entries = [pmt.Entry(1, 0, 10, 1), pmt.Entry(9, 10, 4, 1)]
+    sp = pmt.EntrySpool(str(tmp_path / "t.entries"))
+    sp.append(pmt.Entry(1, 0, 10, 1))
+    sp.append(pmt.Entry(9, 10, 4, 1))
+    sp.last.run_length += 2  # the writers' run-length merge path
+    entries[-1].run_length += 2
+    got = b"".join(pmt._serialized_dir_chunks(sp))
+    assert got == pmt.serialize_directory(entries)
+    assert len(sp) == 2
+    sp.close()

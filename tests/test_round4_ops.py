@@ -314,3 +314,41 @@ def test_dhash_gradient_vs_ahash(spark):
     assert out[2][0] == 0
     assert out[3][1] == out[4][1]  # aHash collides
     assert out[3][0] != out[4][0]  # dHash separates
+
+
+def test_training_sample_hash_prune_at_scale(spark):
+    """_training_sample: at n <= 8*sample it is bit-identical to the
+    historical orderBy(id).limit(sample); past that it pre-prunes to a
+    deterministic 1/mod hash bucket BEFORE the TakeOrdered so the sort
+    never sees the full vector payload — the 100 TB path."""
+    from pyspark.sql import functions as F
+
+    from planetiler_openmaptiles_spark.textops.similarity import (
+        _training_sample)
+
+    df = spark.range(40000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double")).alias("embedding"),
+    )
+    # mod = 40000 // (64 * 8) = 78 > 1 -> pruned path
+    got = _training_sample(df, "vec_id", "embedding", 64)
+    assert len(got) == 64
+    # replay the contract independently: lowest 64 ids of the hash bucket
+    mod = 40000 // (64 * 8)
+    bucket = df.filter(
+        F.pmod(F.abs(F.xxhash64(F.col("vec_id").cast("string"))),
+               F.lit(mod)) == 0
+    )
+    want = [r[0] for r in
+            bucket.orderBy("vec_id").limit(64).select("embedding").collect()]
+    assert [r[0] for r in got] == want
+    # determinism across calls (partitioning-independent)
+    again = _training_sample(df.repartition(13), "vec_id", "embedding", 64)
+    assert [r[0] for r in again] == want
+    # small-n case: identical to the plain TakeOrdered
+    small = df.filter(F.col("vec_id") < 300)
+    got_small = _training_sample(small, "vec_id", "embedding", 64)
+    want_small = [r[0] for r in
+                  small.orderBy("vec_id").limit(64)
+                  .select("embedding").collect()]
+    assert [r[0] for r in got_small] == want_small
