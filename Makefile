@@ -4,7 +4,7 @@ SF_DIR ?= /root/testdata/sf0.1
 CPUS ?= 32
 OUT ?= /tmp/omt_build
 
-.PHONY: test bench oracles monaco
+.PHONY: test bench oracles board monaco
 
 test:
 	python -m pytest tests/ -x -q
@@ -14,6 +14,15 @@ bench:
 
 oracles:
 	python tools/check_oracles.py /root/testdata/sf0.01
+
+# The committed full-board gate (round-4 verdict ask): ONE continuous
+# type-tagged oracle run over ALL queries() entries — not just the
+# driver's 50-entry window — logged to BOARD_LOG.txt so entries past
+# position 50 can't silently rot between their driver-rotation windows.
+# Run once per round; commit the log next to CORRECTNESS_r{N}.json.
+board:
+	python tools/check_oracles.py /root/testdata/sf0.01 2>/dev/null \
+	  | tee BOARD_LOG.txt
 
 # Real-extract end-to-end + VerifyMonaco-equivalent checks (reference:
 # util/VerifyMonaco.java:24-43). The reference CI downloads monaco.osm.pbf;

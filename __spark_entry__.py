@@ -111,9 +111,22 @@ def _write_aux(df: DataFrame, sf_dir: str, name: str) -> str:
     oracle trusts the hash step but independently replays the join /
     threshold / window logic — the part that can silently break — over
     this parquet. Deterministic, rewritten on every query run; the sf0.01
-    copy is committed so the oracle works regardless of execution order."""
+    copy is committed so the oracle works regardless of execution order.
+    The Spark part file is renamed to a FIXED name (and _SUCCESS/.crc
+    markers dropped) so reruns overwrite in place instead of churning the
+    git tree with fresh task-UUID filenames every session."""
     out = os.path.join(AUX_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
     df.coalesce(1).write.mode("overwrite").parquet(out)
+    import glob as _glob
+
+    for junk in {
+        *_glob.glob(os.path.join(out, "_SUCCESS")),
+        *_glob.glob(os.path.join(out, ".*.crc")),
+    }:
+        os.remove(junk)
+    parts = sorted(_glob.glob(os.path.join(out, "part-*.parquet")))
+    if len(parts) == 1:
+        os.replace(parts[0], os.path.join(out, "part-00000.parquet"))
     return out
 
 

@@ -91,7 +91,8 @@ class _DocBuilder:
         )
 
 
-def generate_corpus(n_docs: int = 2000, seed: int = 42):
+def generate_corpus(n_docs: int = 2000, seed: int = 42,
+                    hot_frac: float = 0.35, hot_r_scale: float = 1.0):
     """Returns (documents pa.Table, side_tables dict[str, pa.Table]).
 
     The bbox grows with sqrt(n_docs/2000) so feature density stays
@@ -113,11 +114,14 @@ def generate_corpus(n_docs: int = 2000, seed: int = 42):
         next_id[0] += 1
         return next_id[0]
 
-    # megacity hot cell: 35% of point-ish features inside this small box
+    # megacity hot cell: `hot_frac` of point-ish features inside this
+    # small box (defaults produce the committed fixtures; the skew
+    # rehearsal raises hot_frac and shrinks the radius for ~10x density —
+    # density scales as hot_frac / hot_r_scale^2)
     mc_x, mc_y = lon0 + 0.62 * w, lat0 + 0.41 * h
-    mc_r = 0.02 * w
+    mc_r = 0.02 * w * hot_r_scale
 
-    def pt(hot_frac=0.35):
+    def pt(hot_frac=hot_frac):
         if rng.random() < hot_frac:
             return mc_x + (rng.random() - 0.5) * mc_r, mc_y + (rng.random() - 0.5) * mc_r
         return lon0 + rng.random() * w, lat0 + rng.random() * h
@@ -370,7 +374,8 @@ def generate_corpus(n_docs: int = 2000, seed: int = 42):
     return docs, side
 
 
-def write_corpus(out_dir: str, n_docs: int = 2000, seed: int = 42) -> str:
+def write_corpus(out_dir: str, n_docs: int = 2000, seed: int = 42,
+                 hot_frac: float = 0.35, hot_r_scale: float = 1.0) -> str:
     """Write documents.parquet + side tables; cached by (n_docs, seed).
 
     documents.parquet is written with bounded row groups (16 Ki rows): a
@@ -381,12 +386,15 @@ def write_corpus(out_dir: str, n_docs: int = 2000, seed: int = 42) -> str:
     and serialized the whole span decode.
     """
     tag = f"n{n_docs}_s{seed}_v3"
+    if (hot_frac, hot_r_scale) != (0.35, 1.0):  # skew-rehearsal corpora
+        tag += f"_hf{hot_frac:g}_hr{hot_r_scale:g}"
     d = os.path.join(out_dir, tag)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d
     os.makedirs(d, exist_ok=True)
-    docs, side = generate_corpus(n_docs, seed)
+    docs, side = generate_corpus(n_docs, seed, hot_frac=hot_frac,
+                                 hot_r_scale=hot_r_scale)
     pq.write_table(docs, os.path.join(d, "documents.parquet"),
                    row_group_size=16384)
     for name, t in side.items():

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--docs", type=int, default=1024000)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # skew rehearsal (round-4 verdict ask): raise --hot-frac and shrink
+    # --hot-r-scale for a denser megacity (density ~ hot_frac/r_scale^2;
+    # 0.875 / 0.5 ~= 10x the default 0.35 / 1.0)
+    ap.add_argument("--hot-frac", type=float, default=0.35)
+    ap.add_argument("--hot-r-scale", type=float, default=1.0)
     args = ap.parse_args()
 
     from planetiler_openmaptiles_spark.datagen import write_corpus
@@ -45,8 +50,9 @@ def main():
     spark = get_spark("p1-stragglers", master=f"local[{args.cpus}]",
                       shuffle_partitions=max(int(args.cpus), 16))
     corpus = write_corpus(os.path.join(REPO, ".gendata"), n_docs=args.docs,
-                          seed=42)
-    ckpt = os.path.join(REPO, ".p1ckpt", f"n{args.docs}")
+                          seed=42, hot_frac=args.hot_frac,
+                          hot_r_scale=args.hot_r_scale)
+    ckpt = os.path.join(REPO, ".p1ckpt", os.path.basename(corpus))
     os.makedirs(ckpt, exist_ok=True)
     # build through the checkpointed stages once; resume is free afterwards
     tiles = build_tiles(spark, corpus, Config(max_zoom=14),
