@@ -83,12 +83,15 @@ def main():
     n_docs = spark.read.parquet(os.path.join(corpus, "documents.parquet")).count()
     import tempfile
 
-    # min of two cold builds: this sandbox is a shared VM — identical
+    # min of THREE cold builds: this sandbox is a shared VM — identical
     # back-to-back builds have measured 35 vs 76 s walls (cpu steal +
-    # DRAM-bus neighbors). The min is the reproducible engine cost; both
-    # walls are reported so the noise is visible, not hidden.
+    # DRAM-bus neighbors), and the round-5 fixed-commit A/B
+    # (tools/ab_tile_build.py) proved the render path code-neutral across
+    # r3->r5 while single driver windows read 23-35 s. The min is the
+    # reproducible engine cost; all walls are reported so the noise is
+    # visible, not hidden.
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         ckpt = tempfile.mkdtemp(prefix="omt_ckpt_")
         t0 = time.time()
         tiles = build_tiles(spark, corpus, Config(max_zoom=14), checkpoint_dir=ckpt)
