@@ -5103,13 +5103,25 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN NOT mk THEN word
                      WHEN fi THEN '<extra_id_' || CAST(sn - 1 AS VARCHAR) || '>'
                      ELSE NULL END AS tk
-              FROM sp)
-            SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-                   CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS INT) AS n_masked,
-                   CAST(sum(CASE WHEN fi THEN 1 ELSE 0 END) AS INT) AS n_spans,
-                   md5(string_agg(tk, ' ' ORDER BY pos)
-                       FILTER (WHERE tk IS NOT NULL)) AS masked_md5
-            FROM tok GROUP BY doc_id ORDER BY doc_id
+              FROM sp),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                     CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS INT)
+                       AS n_masked,
+                     CAST(sum(CASE WHEN fi THEN 1 ELSE 0 END) AS INT)
+                       AS n_spans,
+                     md5(string_agg(tk, ' ' ORDER BY pos)
+                         FILTER (WHERE tk IS NOT NULL)) AS masked_md5
+              FROM tok GROUP BY doc_id)
+            -- LEFT JOIN back to w: empty/whitespace-only documents keep a
+            -- row with n_tokens=0 (mirrors span_mask's posexplode_outer);
+            -- masked_text is '' there, so masked_md5 = md5('')
+            SELECT w.doc_id,
+                   coalesce(agg.n_tokens, 0) AS n_tokens,
+                   coalesce(agg.n_masked, 0) AS n_masked,
+                   coalesce(agg.n_spans, 0) AS n_spans,
+                   coalesce(agg.masked_md5, md5('')) AS masked_md5
+            FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id
         """,
         "hash_split": r"""
             WITH u AS (

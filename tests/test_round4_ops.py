@@ -352,3 +352,21 @@ def test_training_sample_hash_prune_at_scale(spark):
                   small.orderBy("vec_id").limit(64)
                   .select("embedding").collect()]
     assert [r[0] for r in got_small] == want_small
+
+
+def test_span_mask_keeps_empty_documents(spark):
+    """Empty / whitespace-only docs must surface with n_tokens=0 (the
+    posexplode_outer contract), not vanish from the output."""
+    from planetiler_openmaptiles_spark.textops.masking import span_mask
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   "), (4, "delta")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in span_mask(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for d in (2, 3):
+        r = rows[d]
+        assert (r.n_tokens, r.n_masked, r.n_spans, r.masked_text) == \
+            (0, 0, 0, "")
+    assert rows[1].n_tokens == 3 and rows[4].n_tokens == 1
