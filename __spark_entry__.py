@@ -116,17 +116,33 @@ def _write_aux(df: DataFrame, sf_dir: str, name: str) -> str:
     markers dropped) so reruns overwrite in place instead of churning the
     git tree with fresh task-UUID filenames every session."""
     out = os.path.join(AUX_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
-    df.coalesce(1).write.mode("overwrite").parquet(out)
+    prev = os.path.join(out, "part-00000.parquet")
+    tmp = out + ".tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     import glob as _glob
+    import shutil as _shutil
 
-    for junk in {
-        *_glob.glob(os.path.join(out, "_SUCCESS")),
-        *_glob.glob(os.path.join(out, ".*.crc")),
-    }:
-        os.remove(junk)
-    parts = sorted(_glob.glob(os.path.join(out, "part-*.parquet")))
+    parts = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    if len(parts) == 1 and os.path.exists(prev):
+        # keep the committed file when the DATA is unchanged: parquet
+        # bytes differ across writer runs (metadata), which would dirty
+        # the git tree on every oracle run even though nothing moved
+        try:
+            import pyarrow.parquet as _pq
+
+            if _pq.read_table(parts[0]).equals(_pq.read_table(prev)):
+                _shutil.rmtree(tmp)
+                return out
+        except Exception:
+            pass  # unreadable/old file: fall through and replace
+    _shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
     if len(parts) == 1:
-        os.replace(parts[0], os.path.join(out, "part-00000.parquet"))
+        os.replace(parts[0], prev)
+    else:  # multi-part (not expected after coalesce(1)) — keep as-is
+        for p in parts:
+            os.replace(p, os.path.join(out, os.path.basename(p)))
+    _shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
